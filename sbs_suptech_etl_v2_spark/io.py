@@ -1,0 +1,53 @@
+"""Parquet table readers for the driver test tables (TESTDATA.md).
+
+At 100 TB these reads become partitioned-lake scans; everything here is
+a plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown,
+column pruning, and partition pruning (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table as a DataFrame.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's reader
+    rejects; read nanos as long and truncate to microseconds — the same
+    truncation DuckDB applies, so oracle comparisons stay exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Read several tables at once: ``li, ords = load(spark, d, "lineitem", "orders")``."""
+    return tuple(table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for ``spark.sql`` use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

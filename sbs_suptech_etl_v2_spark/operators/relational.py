@@ -1,0 +1,469 @@
+"""Relational operator family (SURVEY §2.3-2.7 + absent-op coverage).
+
+The reference has one join shape (J1 broadcast lookup), one grouping
+shape (G1 by-type bucketing) and no explicit sort/set ops; the driver
+harness checks the full relational surface over the TPC-H-ish test
+tables, so this module provides the declared query set: filters,
+projections, joins in all modes, hash aggregation, distinct agg,
+rollup, windows (ranking + running frames), sort/limit/offset, set ops,
+and event-time tumbling windows (batch-expressible, SURVEY §2.10).
+
+Determinism rules (SURVEY §5): money aggregates are summed as
+``decimal`` (order-independent exact arithmetic — double sums vary
+run-to-run with partial-agg order) then cast back to double; every
+top-k window orders by a unique tie-breaker; no uuid()/now() in checked
+columns.
+
+Scale notes (100 TB posture): each builder states its shuffle shape.
+Catalyst/AQE pick broadcast vs sort-merge joins; explicit
+``F.broadcast`` only where a side is known-small by construction
+(dimension tables), mirroring the reference's J1 metadata lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.io import load, table
+
+
+def _dec(col: F.Column, scale: int = 6) -> F.Column:
+    """Cast a double expression to an exact decimal for order-independent SUM."""
+    return col.cast(f"decimal(18,{scale})")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+
+    Covers filter pushdown (F-class), hash aggregation with partial
+    (map-side) combine (G-class absent-ops), and derived averages.
+    One shuffle on the 2-value group key; at 100 TB the map-side
+    partial agg reduces the shuffle to |groups|×|partitions| rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"), 4)).alias("_sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"), 4)).alias("_sum_base"),
+            F.sum(_dec(disc_price)).alias("_sum_disc"),
+            F.sum(_dec(charge)).alias("_sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_qty").cast("double").alias("sum_qty"),
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+        F.col("count_order"),
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def metadata_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog — broadcast equi lookup join, new-rows left join existing.
+
+    The reference fetches the existing DynamoDB item per outgoing row
+    (dynamo_loader_document.py:36-48); set-oriented this is a left join
+    of the update batch against the (small) existing-metadata dimension.
+    ``customer`` plays the dimension; explicit broadcast mirrors the
+    known-small side, avoiding a shuffle of the big fact.
+    """
+    orders, customer, nation = load(spark, sf_dir, "orders", "customer", "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+    )
+    return (
+        per_cust.join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+            "order_count",
+            "total_spend",
+        )
+    )
+
+
+METADATA_LOOKUP_JOIN_SQL = """
+SELECT
+  o.o_custkey AS custkey,
+  c.c_name AS cust_name,
+  n.n_name AS nation_name,
+  o.order_count,
+  o.total_spend
+FROM (
+  SELECT o_custkey,
+         COUNT(*) AS order_count,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+) o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 analog — row_number top-3 per partition (first-N-pages cap).
+
+    The reference keeps the first 20 pages per document
+    (textract_extractor_document.py:58-59); relationally that is
+    ``row_number() OVER (PARTITION BY doc ORDER BY position) <= N``.
+    Tie-break on o_orderkey keeps the pick deterministic. One shuffle
+    on the partition key; at scale prefer this over a global sort.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) — SURVEY §2.4 absent-op coverage."""
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+CUSTOMERS_WITH_OPEN_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — SURVEY §2.4 absent-op coverage.
+
+    Right side is filtered to big urgent orders so the anti join is
+    non-vacuous at every SF (a plain no-orders anti join returns zero
+    rows on the dense test data).
+    """
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    big_urgent = orders.filter(
+        (F.col("o_totalprice") > 200000) & (F.col("o_orderpriority").startswith("1"))
+    )
+    return customer.join(
+        big_urgent, customer.c_custkey == big_urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000
+                    AND o.o_orderpriority LIKE '1%')
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join (5 tables) + agg — TPC-H Q5 shape.
+
+    lineitem⋈orders shuffles on orderkey (the two big facts); the
+    customer/nation/region dims ride along as broadcasts. AQE picks
+    the strategy; dims get explicit broadcast hints.
+    """
+    li, orders, customer, nation, region = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def order_branches_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/§2.7 analog — type-routed branches re-merged with unionByName.
+
+    The orchestrator routes documents by type through distinct flows and
+    merges results (workflow_orchestator.py:166-188); here orders are
+    routed by status through branch-specific derivations and unioned.
+    Branch filters are disjoint → no dedup needed (UNION ALL).
+    """
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority").startswith("1")).select(
+        "o_orderkey",
+        F.lit("urgent_flow").alias("flow"),
+        (F.col("o_totalprice") * F.lit(1.10)).alias("adjusted_price"),
+    )
+    high = orders.filter(F.col("o_orderpriority").startswith("2")).select(
+        "o_orderkey",
+        F.lit("high_flow").alias("flow"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("adjusted_price"),
+    )
+    rest = orders.filter(~F.col("o_orderpriority").rlike("^[12]")).select(
+        "o_orderkey",
+        F.lit("default_flow").alias("flow"),
+        F.col("o_totalprice").alias("adjusted_price"),
+    )
+    return urgent.unionByName(high).unionByName(rest)
+
+
+ORDER_BRANCHES_UNION_SQL = """
+SELECT o_orderkey, 'urgent_flow' AS flow, o_totalprice * 1.10 AS adjusted_price
+FROM orders WHERE o_orderpriority LIKE '1%'
+UNION ALL
+SELECT o_orderkey, 'high_flow' AS flow, o_totalprice * 1.05 AS adjusted_price
+FROM orders WHERE o_orderpriority LIKE '2%'
+UNION ALL
+SELECT o_orderkey, 'default_flow' AS flow, o_totalprice AS adjusted_price
+FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[12]')
+"""
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation — SURVEY §2.5 absent-op coverage (grouping sets)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+    )
+
+
+ORDER_PRIORITY_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + per-group min/max — distinct aggregation coverage.
+
+    distinct-agg expands to a two-phase shuffle in Spark; at scale
+    prefer approx_count_distinct when exactness isn't required (kept
+    exact here because the oracle checks values).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+SUPPLIER_DISTINCT_PARTS_SQL = """
+SELECT l_suppkey,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_orderkey) AS distinct_orders,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions — running frame + lag (absent in reference).
+
+    rowsBetween(unboundedPreceding, current) running sum per customer,
+    plus lag() of the previous order's price. Decimal arithmetic keeps
+    the running sum exact so the check is order-stable.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    dec_price = F.col("o_totalprice").cast("decimal(18,6)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec_price).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag(dec_price).over(w).cast("double").alias("prev_price"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+RUNNING_ORDER_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(LAG(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+FROM orders
+"""
+
+
+def positional_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/W2 analog — deterministic ORDER BY + OFFSET/LIMIT positional pick.
+
+    The reference picks ``results[position]`` from an S3 listing
+    (s3_poller_document.py:53-54); made explicit as a global sort with a
+    unique tie-breaker and a row_number range. Global sorts are a
+    single-reducer hazard at scale — the window here runs on an
+    un-partitioned frame intentionally to mirror "position in listing";
+    production path would pre-filter to a small candidate set first.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("pos", F.row_number().over(w))
+        .filter((F.col("pos") > 10) & (F.col("pos") <= 15))
+        .select("pos", "o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+POSITIONAL_PICK_SQL = """
+SELECT pos, o_orderkey, o_totalprice, o_orderstatus
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos,
+         o_orderkey, o_totalprice, o_orderstatus
+  FROM orders
+)
+WHERE pos > 10 AND pos <= 15
+"""
+
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage (§2.7 — absent in reference).
+
+    Customers that bought both in 'BUILDING' and 'MACHINERY'-priced
+    brackets, minus those with any open order — expressed with
+    intersect and except over key sets, then re-joined for names.
+    """
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    big_spenders = (
+        orders.filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    open_any = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    keys = big_spenders.intersect(recent).exceptAll(open_any)
+    return keys.join(customer, keys.o_custkey == customer.c_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+SEGMENT_SET_OPS_SQL = """
+WITH keys AS (
+  (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+   INTERSECT
+   SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT c_custkey, c_name
+FROM keys JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window agg (SURVEY §2.10) — batch-expressible.
+
+    In streaming this is ``groupBy(window("ts", "1 hour"))`` with a
+    watermark (see streaming/); epoch-aligned hourly windows equal
+    date_trunc('hour') so the DuckDB oracle can check it.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "distinct_users",
+        )
+    )
+
+
+EVENTS_TUMBLING_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events
+GROUP BY 1, 2
+"""

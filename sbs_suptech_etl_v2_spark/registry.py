@@ -1,0 +1,50 @@
+"""Central query registry — the driver-checked surface.
+
+Every implemented operator family from SURVEY §2 declares here:
+``QUERIES[name]`` (a (spark, sf_dir) -> DataFrame builder) and, when
+SQL-expressible, ``ORACLE[name]`` (ANSI SQL for the DuckDB oracle over
+the same parquet tables). Column names/aliases match exactly on both
+sides — the driver hashes values under name-sorted columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sbs_suptech_etl_v2_spark.operators import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    "q01_pricing_summary": R.pricing_summary,
+    "q02_metadata_lookup_join": R.metadata_lookup_join,
+    "q03_top_orders_per_customer": R.top_orders_per_customer,
+    "q04_semi_join_open_orders": R.customers_with_open_orders,
+    "q05_anti_join_no_orders": R.customers_without_orders,
+    "q06_revenue_by_nation": R.revenue_by_nation,
+    "q07_branch_union": R.order_branches_union,
+    "q08_priority_rollup": R.order_priority_rollup,
+    "q09_distinct_agg": R.supplier_distinct_parts,
+    "q10_running_window": R.running_order_totals,
+    "q11_positional_pick": R.positional_pick,
+    "q12_set_ops": R.segment_set_ops,
+    "q13_events_tumbling": R.events_tumbling_window,
+}
+
+ORACLE: dict[str, str] = {
+    "q01_pricing_summary": R.PRICING_SUMMARY_SQL,
+    "q02_metadata_lookup_join": R.METADATA_LOOKUP_JOIN_SQL,
+    "q03_top_orders_per_customer": R.TOP_ORDERS_PER_CUSTOMER_SQL,
+    "q04_semi_join_open_orders": R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
+    "q05_anti_join_no_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "q06_revenue_by_nation": R.REVENUE_BY_NATION_SQL,
+    "q07_branch_union": R.ORDER_BRANCHES_UNION_SQL,
+    "q08_priority_rollup": R.ORDER_PRIORITY_ROLLUP_SQL,
+    "q09_distinct_agg": R.SUPPLIER_DISTINCT_PARTS_SQL,
+    "q10_running_window": R.RUNNING_ORDER_TOTALS_SQL,
+    "q11_positional_pick": R.POSITIONAL_PICK_SQL,
+    "q12_set_ops": R.SEGMENT_SET_OPS_SQL,
+    "q13_events_tumbling": R.EVENTS_TUMBLING_WINDOW_SQL,
+}

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Single place where engine-level tuning lives (SURVEY §4 conclusion: no
+custom Catalyst rules are needed — the engine's optimizer posture is
+"declare the plan, let Catalyst/AQE pick physical strategy").
+
+Scale posture (100 TB north star): AQE on (runtime coalesce, skew-join
+splitting, join-strategy switching), Arrow on (vectorized exchange for
+the Pandas-UDF ports), UTC session timezone (deterministic timestamps),
+shuffle partitions sized from the env instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sbs_suptech_etl_v2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``); on a real cluster the caller passes the cluster
+    master / relies on spark-submit and this function only sets conf.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # external-call ports (OCR/LLM) run one request per row; keep
+        # Arrow batches small there — set per-UDF via repartition, this
+        # is the engine-wide default for analytic pandas_udfs
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,79 @@
+"""Local replica of the driver's oracle gate: run a declared Spark query
+and its DuckDB oracle SQL on the same parquet tables, canonicalize both
+result sets (name-sorted columns, order-insensitive rows, normalized
+value rendering), and diff them.
+
+Kept strict — exact value equality after canonical string rendering —
+so a local pass at sf0.01 implies a driver pass on the same data.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from sbs_suptech_etl_v2_spark.io import TABLES
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return "%.17g" % v
+    if isinstance(v, Decimal):
+        return "%.17g" % float(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_value(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple[str, ...]]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    out = sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
+    return cols, out
+
+
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return cols, rows
+    finally:
+        con.close()
+
+
+def assert_parity(spark, query_fn, sql: str, sf_dir: str, name: str = "?") -> None:
+    sdf = query_fn(spark, sf_dir)
+    s_cols, s_rows = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    d_cols, d_rows = canon_rows(*run_oracle(sql, sf_dir))
+    assert s_cols == d_cols, f"{name}: column mismatch spark={s_cols} duckdb={d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    if s_rows != d_rows:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs (cols={s_cols}): {diffs}")

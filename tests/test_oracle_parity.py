@@ -1,0 +1,31 @@
+"""Mirror of the driver's t2 gate: every declared query must hash-match
+its DuckDB oracle at sf0.01 (exact canonical equality here, which is
+stronger than the driver's hash)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
+from tests.parity import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, oracle_sf_dir, name):
+    assert_parity(spark, QUERIES[name], ORACLE[name], oracle_sf_dir, name=name)
+
+
+def test_every_query_declared_in_oracle_or_documented():
+    undocumented = set(QUERIES) - set(ORACLE)
+    # non-SQL-expressible ops may omit the oracle; keep the list explicit
+    allowed_weak = set()
+    assert undocumented <= allowed_weak, f"missing oracle SQL for: {undocumented}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "sum_qty", "count_order"}
