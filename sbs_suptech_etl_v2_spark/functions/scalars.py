@@ -34,9 +34,11 @@ SPANISH_MONTHS: dict[str, int] = {
     "diciembre": 12,
 }
 
-_MONTH_MAP = F.create_map(
-    *[F.lit(x) for kv in SPANISH_MONTHS.items() for x in (kv[0], str(kv[1]))]
-)
+def _month_map() -> Column:
+    # built lazily: Column construction needs an active SparkContext
+    return F.create_map(
+        *[F.lit(x) for kv in SPANISH_MONTHS.items() for x in (kv[0], str(kv[1]))]
+    )
 
 DATE_PATTERN = r"\b(\d{2}/\d{2}/\d{4})\b"
 
@@ -59,7 +61,7 @@ def refine_month(col: Column | str) -> Column:
     semantics; the reference stringifies None to "None" — a bug we fix).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.element_at(_MONTH_MAP, F.lower(F.trim(c)))
+    return F.element_at(_month_map(), F.lower(F.trim(c)))
 
 
 def refine_year(col: Column | str) -> Column:

@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -31,6 +32,11 @@ QUERIES: dict[str, QueryFn] = {
     "q11_positional_pick": R.positional_pick,
     "q12_set_ops": R.segment_set_ops,
     "q13_events_tumbling": R.events_tumbling_window,
+    "q14_scalar_refinement": D.scalar_refinement,
+    "q15_path_parse": D.path_parse,
+    "q16_pages_concat": D.pages_concat,
+    "q17_metadata_merge": D.metadata_merge,
+    "q18_stage_gate_notifications": D.stage_gate_notifications,
 }
 
 ORACLE: dict[str, str] = {
@@ -47,4 +53,9 @@ ORACLE: dict[str, str] = {
     "q11_positional_pick": R.POSITIONAL_PICK_SQL,
     "q12_set_ops": R.SEGMENT_SET_OPS_SQL,
     "q13_events_tumbling": R.EVENTS_TUMBLING_WINDOW_SQL,
+    "q14_scalar_refinement": D.SCALAR_REFINEMENT_SQL,
+    "q15_path_parse": D.PATH_PARSE_SQL,
+    "q16_pages_concat": D.PAGES_CONCAT_SQL,
+    "q17_metadata_merge": D.METADATA_MERGE_SQL,
+    "q18_stage_gate_notifications": D.STAGE_GATE_NOTIFICATIONS_SQL,
 }
