@@ -33,10 +33,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's reader
     rejects; read nanos as long and truncate to microseconds — the same
-    truncation DuckDB applies, so oracle comparisons stay exact.
+    truncation DuckDB applies, so oracle comparisons stay exact. The
+    ``nanosAsLong`` conf is owned by ``session.get_spark``; the set here
+    is an idempotent fallback for driver-built vanilla sessions (the
+    driver harness constructs its own SparkSession).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -229,17 +229,68 @@ FIRST_PAGES = 2  # W1 analog cap (reference caps at 20 real pages)
 
 
 def pages_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6/A7/W1/G3/G4 — page fan-out, ordered per-page text, first-N concat.
+    """A6/W1/G3/G4 — per-page text + first-N concat, shuffle-free.
 
-    Documents are fanned out to one row per simulated page (10-word
-    chunks — the explode the reference does per Textract page), then
-    re-aggregated: page count, word count, and the first-2-pages
-    ordered concat with "\\n\\n" (the reference's first-20-pages cap,
-    textract_extractor_document.py:58-60).
+    Documents are paginated into 10-word chunks (the reference's
+    Textract pages) and re-aggregated: page count, word count, and the
+    first-2-pages ordered concat with "\\n\\n" (the reference's
+    first-20-pages cap, textract_extractor_document.py:58-60).
 
-    The Spark side exercises the real distributed pattern —
-    posexplode + groupBy + sort_array(collect_list(struct)) — while the
-    oracle computes the same result with list slicing.
+    Every output is derivable per-row from ``text``, so the plan is
+    pure array expressions — ``split`` once, then
+    ``sequence``/``transform``/``slice``/``array_join`` — zero explode,
+    zero shuffle. At 100 TB of text this is a narrow map-only stage;
+    the word-level explode + double groupBy alternative (kept as
+    q19_pages_explode for explicit G2 coverage) shuffles every word.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_pages = F.ceil(F.size(words) / F.lit(PAGE_WORDS)).cast("int")
+    page_text = lambda i: F.array_join(  # noqa: E731
+        F.slice(words, (i - 1) * PAGE_WORDS + 1, PAGE_WORDS), " "
+    )
+    return docs.select(
+        "doc_id",
+        n_pages.alias("n_pages"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.least(n_pages, F.lit(FIRST_PAGES))),
+                page_text,
+            ),
+            "\n\n",
+        ).alias("first_pages"),
+    )
+
+
+PAGES_CONCAT_SQL = f"""
+WITH arr AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(ceil(len(words)/{PAGE_WORDS}.0) AS INTEGER) AS n_pages,
+       CAST(len(words) AS BIGINT) AS n_words,
+       array_to_string(
+         list_transform(
+           range(1, least(CAST(ceil(len(words)/{PAGE_WORDS}.0) AS BIGINT), {FIRST_PAGES}) + 1),
+           p -> array_to_string(list_slice(words, (p-1)*{PAGE_WORDS}+1, p*{PAGE_WORDS}), ' ')),
+         chr(10) || chr(10)) AS first_pages
+FROM arr
+"""
+
+
+def pages_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8/G2/G4 — explicit page fan-out + ordered list re-aggregation.
+
+    The distributed explode pattern the reference performs per Textract
+    page (one row per page, then per-document re-aggregation with
+    page-order preserved): posexplode word positions → page rows →
+    ``sort_array(collect_list(struct(page_no, ...)))`` concat. Two
+    shuffles by construction — q16_pages_concat is the shuffle-free
+    production form; this query exists to exercise G2 (list-concat
+    accumulation) and A7/A8 (fan-out + re-parenting) as real physical
+    operators. Ref: extract_async_helper.py:48-58,
+    workflow_orchestator.py:79-93.
     """
     docs = table(spark, sf_dir, "documents")
     words = docs.select(
@@ -256,12 +307,12 @@ def pages_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 " ",
             ).alias("page_text"),
-            F.count(F.lit(1)).alias("n_words"),
+            F.count(F.lit(1)).alias("page_words"),
         )
     )
     return pages.groupBy("doc_id").agg(
         F.max("page_no").cast("int").alias("n_pages"),
-        F.sum("n_words").alias("n_words"),
+        F.sum("page_words").cast("bigint").alias("n_words"),
         F.array_join(
             F.transform(
                 F.filter(
@@ -275,7 +326,7 @@ def pages_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PAGES_CONCAT_SQL = f"""
+PAGES_EXPLODE_SQL = f"""
 WITH arr AS (
   SELECT doc_id, str_split(text, ' ') AS words FROM documents
 ),
@@ -284,13 +335,13 @@ pages AS (
          array_to_string(
            list_slice(words, (t.page_no-1)*{PAGE_WORDS}+1, t.page_no*{PAGE_WORDS}),
            ' ') AS page_text,
-         len(list_slice(words, (t.page_no-1)*{PAGE_WORDS}+1, t.page_no*{PAGE_WORDS})) AS n_words
+         len(list_slice(words, (t.page_no-1)*{PAGE_WORDS}+1, t.page_no*{PAGE_WORDS})) AS page_words
   FROM arr,
        unnest(generate_series(1, CAST(ceil(len(words)/{PAGE_WORDS}.0) AS BIGINT))) AS t(page_no)
 )
 SELECT doc_id,
        CAST(MAX(page_no) AS INTEGER) AS n_pages,
-       SUM(n_words) AS n_words,
+       CAST(SUM(page_words) AS BIGINT) AS n_words,
        string_agg(CASE WHEN page_no <= {FIRST_PAGES} THEN page_text END, chr(10) || chr(10)
                   ORDER BY page_no) AS first_pages
 FROM pages

@@ -91,9 +91,11 @@ def metadata_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference fetches the existing DynamoDB item per outgoing row
     (dynamo_loader_document.py:36-48); set-oriented this is a left join
-    of the update batch against the (small) existing-metadata dimension.
-    ``customer`` plays the dimension; explicit broadcast mirrors the
-    known-small side, avoiding a shuffle of the big fact.
+    of the update batch against the existing-metadata table.
+    ``customer`` plays that table — it scales with the fact data, so no
+    explicit broadcast hint: AQE picks broadcast at small SF and
+    switches to shuffle join when it grows. ``nation`` is a bounded
+    dimension (25 rows at any SF) and keeps the explicit hint.
     """
     orders, customer, nation = load(spark, sf_dir, "orders", "customer", "nation")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -101,7 +103,7 @@ def metadata_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_spend"),
     )
     return (
-        per_cust.join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey, "left")
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .select(
             F.col("o_custkey").alias("custkey"),
@@ -212,9 +214,12 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way join (5 tables) + agg — TPC-H Q5 shape.
 
-    lineitem⋈orders shuffles on orderkey (the two big facts); the
-    customer/nation/region dims ride along as broadcasts. AQE picks
-    the strategy; dims get explicit broadcast hints.
+    lineitem⋈orders shuffles on orderkey (the two big facts).
+    ``nation``/``region`` are bounded dims (25/5 rows at any SF) and
+    get explicit broadcast hints; ``customer`` scales with SF — it is
+    fact-sized at 100×, so AQE chooses its join strategy (broadcast
+    while small, shuffle when it grows) instead of a hint that would
+    OOM executors at scale.
     """
     li, orders, customer, nation, region = load(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
@@ -222,7 +227,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -371,17 +376,19 @@ def positional_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/W2 analog — deterministic ORDER BY + OFFSET/LIMIT positional pick.
 
     The reference picks ``results[position]`` from an S3 listing
-    (s3_poller_document.py:53-54); made explicit as a global sort with a
-    unique tie-breaker and a row_number range. Global sorts are a
-    single-reducer hazard at scale — the window here runs on an
-    un-partitioned frame intentionally to mirror "position in listing";
-    production path would pre-filter to a small candidate set first.
+    (s3_poller_document.py:53-54); made explicit as a global top-k with
+    a unique tie-breaker. ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject — each partition keeps its local top-15 and
+    only k rows reach the driver-side merge, so the plan stays parallel
+    at any scale (no single-partition WindowExec). ``row_number`` then
+    runs on the 15-row result only to derive the position label.
     """
     orders = table(spark, sf_dir, "orders")
+    top15 = orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(15)
     w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        orders.withColumn("pos", F.row_number().over(w))
-        .filter((F.col("pos") > 10) & (F.col("pos") <= 15))
+        top15.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") > 10)
         .select("pos", "o_orderkey", "o_totalprice", "o_orderstatus")
     )
 
@@ -400,20 +407,27 @@ WHERE pos > 10 AND pos <= 15
 def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT coverage (§2.7 — absent in reference).
 
-    Customers that bought both in 'BUILDING' and 'MACHINERY'-priced
-    brackets, minus those with any open order — expressed with
-    intersect and except over key sets, then re-joined for names.
+    Big-spending customers that also ordered recently, minus those with
+    any open order. A naive form scans ``orders`` three times and
+    shuffles each; here one ``groupBy(o_custkey)`` computes all three
+    segment flags in a single scan + single shuffle, and the
+    intersect/exceptAll set operators then run over the three tiny
+    per-customer key sets derived from that shared aggregate (identical
+    subtrees → Spark reuses the exchange instead of rescanning).
     """
     customer, orders = load(spark, sf_dir, "customer", "orders")
-    big_spenders = (
-        orders.filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
+    flags = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_totalprice") > 100000).cast("int")).alias("is_big"),
+        F.max(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")).cast(
+                "int"
+            )
+        ).alias("is_recent"),
+        F.max((F.col("o_orderstatus") == "O").cast("int")).alias("is_open"),
     )
-    recent = (
-        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        .select("o_custkey")
-        .distinct()
-    )
-    open_any = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    big_spenders = flags.filter(F.col("is_big") == 1).select("o_custkey")
+    recent = flags.filter(F.col("is_recent") == 1).select("o_custkey")
+    open_any = flags.filter(F.col("is_open") == 1).select("o_custkey")
     keys = big_spenders.intersect(recent).exceptAll(open_any)
     return keys.join(customer, keys.o_custkey == customer.c_custkey).select(
         "c_custkey", "c_name"

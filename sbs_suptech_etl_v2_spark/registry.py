@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     "q16_pages_concat": D.pages_concat,
     "q17_metadata_merge": D.metadata_merge,
     "q18_stage_gate_notifications": D.stage_gate_notifications,
+    "q19_pages_explode": D.pages_explode,
 }
 
 ORACLE: dict[str, str] = {
@@ -58,4 +59,5 @@ ORACLE: dict[str, str] = {
     "q16_pages_concat": D.PAGES_CONCAT_SQL,
     "q17_metadata_merge": D.METADATA_MERGE_SQL,
     "q18_stage_gate_notifications": D.STAGE_GATE_NOTIFICATIONS_SQL,
+    "q19_pages_explode": D.PAGES_EXPLODE_SQL,
 }

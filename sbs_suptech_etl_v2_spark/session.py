@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); Spark's vectorized
+        # reader rejects it unless nanos are read as long (io.table
+        # truncates to micros). Owned here so readers never mutate conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # external-call ports (OCR/LLM) run one request per row; keep
         # Arrow batches small there — set per-UDF via repartition, this
