@@ -1,0 +1,427 @@
+"""Deduplication operator family — SURVEY §2.11 [EXT-1].
+
+Training-data-pipeline dedup over the ``documents`` table, Spark-first:
+
+- **exact dedup** — canonical-winner dedup on a normalized key
+  (deterministic ``row_number()==1``, not ``dropDuplicates`` whose
+  surviving row is partition-order-dependent).
+- **MinHash + LSH near-dup** — per-row signature via pure array
+  expressions (shingle → md5-derived 32-bit hash → ``min((a*h+b) mod p)``
+  per hash function), banded signatures, ``groupBy(band)``-shaped
+  bucket self-join for candidate pairs. Never all-pairs: at 100 TB the
+  only shuffle is on (band_id, band_signature), and bucket sizes stay
+  bounded because random texts rarely collide on a 2-minhash band.
+- **SimHash** — 32-bit per-document signature from token-hash bit votes.
+- **n-gram Jaccard** — exact shingle-set similarity via
+  ``array_intersect``/``array_union`` (the verifier for MinHash
+  estimates).
+
+The corpus has no exact duplicates by construction, so the near-dup
+queries build a deterministic variants corpus (every 4th doc gets a
+truncated-copy variant at ``doc_id + VARIANT_OFFSET``) — the standard
+planted-near-dup evaluation setup; both Spark and the DuckDB oracle
+synthesize it identically from the same table.
+
+All hash arithmetic is engine-portable: base hash = first 8 hex chars
+of md5 (Spark ``conv(substr(md5(s),1,8),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``), then exact BIGINT
+modular arithmetic with p = 2^31-1 (products stay < 2^62 — no
+overflow). No Python UDFs anywhere; everything is JVM-side codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.io import table
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+N_HASHES = 16
+BAND_ROWS = 2  # minhashes per LSH band
+N_BANDS = N_HASHES // BAND_ROWS
+
+# Fixed affine-hash parameters (a*h + b) mod p — generated once from a
+# small LCG (seed 42) and frozen so Spark and the oracle agree forever.
+def _lcg_params(n: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    a_s, b_s, x = [], [], seed
+    for _ in range(n):
+        x = (1_103_515_245 * x + 12_345) % (1 << 31)
+        a_s.append(x % (MERSENNE_P - 1) + 1)  # a in [1, p-1]
+        x = (1_103_515_245 * x + 12_345) % (1 << 31)
+        b_s.append(x % MERSENNE_P)  # b in [0, p-1]
+    return a_s, b_s
+
+
+MINHASH_A, MINHASH_B = _lcg_params(N_HASHES)
+
+VARIANT_OFFSET = 1_000_000
+VARIANT_KEEP = 0.8  # variant keeps the first 80% of words
+SHINGLE_K = 3
+EXACT_KEY_TOKENS = 4
+SIMHASH_BITS = 32
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _let(bound: Column, body) -> Column:
+    """Let-binding idiom: evaluate ``bound`` ONCE per row, pass it to
+    ``body`` as a lambda variable.
+
+    ``transform(array(e), x -> body(x))[0]`` materializes ``e`` a single
+    time even when ``body`` references it many times — without this,
+    CollapseProject inlines an intermediate column expression into every
+    use site (16× md5 recompute for the minhash signature).
+    """
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct k-word shingles of a document (the MinHash item set)."""
+    return _let(
+        _words(text),
+        lambda ws: F.when(
+            F.size(ws) >= SHINGLE_K,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - SHINGLE_K),
+                    lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+                )
+            ),
+        ).otherwise(F.array(text)),
+    )
+
+
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex chars of md5 as BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _minhash_sig(text: Column) -> Column:
+    """N_HASHES-element MinHash signature as an array<bigint> column."""
+    a_lit = F.array(*[F.lit(a) for a in MINHASH_A])
+    b_lit = F.array(*[F.lit(b) for b in MINHASH_B])
+    hashes = F.transform(_shingles(text), lambda s: _hash32(s) % MERSENNE_P)
+    return _let(
+        hashes,
+        lambda hs: F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(hs, lambda h: (F.get(a_lit, i) * h + F.get(b_lit, i)) % MERSENNE_P)
+            ),
+        ),
+    )
+
+
+def _variant_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ planted near-duplicates (every 4th doc, 80% prefix)."""
+    base = docs.select("doc_id", "text")
+    variants = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
+            _let(
+                _words(F.col("text")),
+                lambda ws: F.array_join(
+                    F.slice(
+                        ws,
+                        1,
+                        F.greatest(
+                            F.lit(SHINGLE_K),
+                            F.floor(F.size(ws) * VARIANT_KEEP).cast("int"),
+                        ),
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+        )
+    )
+    return base.unionByName(variants)
+
+
+# SQL fragments shared by the oracle queries -------------------------------
+
+_ORACLE_VARIANTS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {VARIANT_OFFSET} AS doc_id,
+         array_to_string(
+           list_slice(str_split(text, ' '), 1,
+                      greatest({SHINGLE_K},
+                               CAST(floor(len(str_split(text, ' ')) * {VARIANT_KEEP}) AS INT))),
+           ' ') AS text
+  FROM documents WHERE doc_id % 4 = 0
+)
+"""
+
+_ORACLE_SHINGLES = f"""
+shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {SHINGLE_K}
+         THEN list_distinct(list_transform(range(1, len(words) - {SHINGLE_K - 2}),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [text] END AS shingles
+  FROM (SELECT doc_id, text, str_split(text, ' ') AS words FROM corpus)
+)
+"""
+
+
+def _oracle_sig_exprs() -> str:
+    """16 list_min expressions over the per-doc hash list."""
+    mins = ", ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{mins}]"
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] exact dedup — canonical winner per normalized key.
+
+    Key = first {EXACT_KEY_TOKENS} tokens of the (already-normalized)
+    text; winner = lowest doc_id. ``row_number()==1`` keeps the choice
+    deterministic under shuffles, unlike ``dropDuplicates``. One shuffle
+    on the dedup key; at 100 TB the key should be a content fingerprint
+    (see doc_fingerprint in textops) so groups stay small and skew-free.
+    """
+    docs = table(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(_words(F.col("text")), 1, EXACT_KEY_TOKENS), " ")
+    w = W.partitionBy("dedup_key").orderBy("doc_id")
+    return (
+        docs.select("doc_id", key.alias("dedup_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(W.partitionBy("dedup_key")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dedup_key", F.col("dup_count").cast("bigint").alias("dup_count"))
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_slice(str_split(text, ' '), 1, {EXACT_KEY_TOKENS}), ' ') AS dedup_key
+  FROM documents
+)
+SELECT doc_id, dedup_key, CAST(dup_count AS BIGINT) AS dup_count
+FROM (
+  SELECT doc_id, dedup_key,
+         ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY dedup_key) AS dup_count
+  FROM keyed
+)
+WHERE rn = 1
+"""
+
+
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] MinHash + banded LSH near-duplicate pair mining.
+
+    Pipeline (all narrow until the band shuffle):
+      1. per-row: shingle set → 32-bit hashes → 16-element MinHash
+         signature (pure array expressions, md5 computed once per
+         shingle via the let-binding idiom);
+      2. explode 8 bands of 2 minhashes; shuffle ONLY on
+         (band_id, band_signature);
+      3. bucket self-join → candidate pairs (doc_a < doc_b);
+      4. verify candidates by full-signature agreement
+         (est_jaccard = matching components / 16), keep ≥ 0.5.
+
+    This is the scale path: no all-pairs product anywhere; candidate
+    volume is governed by the band collision probability (≈ J^2 per
+    band). Planted variants (80% prefix copies) surface as pairs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    corpus = _variant_corpus(docs)
+    sigs = corpus.select("doc_id", _minhash_sig(F.col("text")).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda j: F.concat_ws(
+                    "_",
+                    F.get(F.col("sig"), j * BAND_ROWS),
+                    F.get(F.col("sig"), j * BAND_ROWS + 1),
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_sig"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_sig"
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(N_HASHES))
+    )
+    return (
+        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+MINHASH_NEARDUP_SQL = f"""
+WITH {_ORACLE_VARIANTS},
+{_ORACLE_SHINGLES},
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {MERSENNE_P}) AS hashes
+  FROM shingled
+),
+sigs AS (
+  SELECT doc_id, {_oracle_sig_exprs()} AS sig FROM hashed
+),
+bands AS (
+  SELECT doc_id, sig, j AS band_id,
+         CAST(sig[j*{BAND_ROWS} + 1] AS VARCHAR) || '_' ||
+         CAST(sig[j*{BAND_ROWS} + 2] AS VARCHAR) AS band_sig
+  FROM sigs, unnest(range({N_BANDS})) AS t(j)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       len(list_filter(range({N_HASHES}), i -> sa.sig[i+1] = sb.sig[i+1])) / {N_HASHES}.0
+         AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+WHERE len(list_filter(range({N_HASHES}), i -> sa.sig[i+1] = sb.sig[i+1])) / {N_HASHES}.0 >= 0.5
+"""
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] SimHash — 32-bit near-dup signature per document.
+
+    Each token occurrence votes ±1 on every bit of its 32-bit hash; the
+    signature sets bit b iff the bit-b vote sum is positive. Pure
+    per-row array expressions (token hashes materialized once), so the
+    operator is a narrow map at any scale; near-dup candidate
+    generation then groups on signature bands exactly like MinHash.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(_words(F.col("text")), _hash32)
+
+    def _bit_vote(hs: Column, b: int) -> Column:
+        vote = F.aggregate(
+            F.transform(
+                hs,
+                lambda h: F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    sim = _let(
+        tok_hashes,
+        lambda hs: F.aggregate(
+            F.array(*[_bit_vote(hs, b) for b in range(SIMHASH_BITS)]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return docs.select("doc_id", sim.alias("simhash"), F.col("lang"))
+
+
+SIMHASH_SIGNATURES_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         list_transform(str_split(text, ' '),
+           s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range({SIMHASH_BITS}),
+         b -> CASE WHEN list_sum(list_transform(hs,
+                     h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash,
+       lang
+FROM hashed
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] exact n-gram Jaccard over planted near-dup pairs.
+
+    The exact verifier for MinHash estimates: per (doc, variant) pair,
+    Jaccard = |S_a ∩ S_b| / |S_a ∪ S_b| of the distinct 3-shingle sets.
+    Computed per-row with ``array_intersect``/``array_union`` — both
+    texts derive from the same source row, so there is no join at all;
+    the general pair form joins the candidate pairs from the LSH bucket
+    stage (minhash_neardup) back to the shingle table.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        _shingles(F.col("text")).alias("s_base"),
+        _shingles(
+            _let(
+                _words(F.col("text")),
+                lambda ws: F.array_join(
+                    F.slice(
+                        ws,
+                        1,
+                        F.greatest(
+                            F.lit(SHINGLE_K),
+                            F.floor(F.size(ws) * VARIANT_KEEP).cast("int"),
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("s_var"),
+    )
+    inter = F.size(F.array_intersect("s_base", "s_var"))
+    union = F.size(F.array_union("s_base", "s_var"))
+    return pairs.select(
+        "doc_id",
+        (F.col("doc_id") + VARIANT_OFFSET).alias("variant_id"),
+        inter.cast("bigint").alias("n_intersect"),
+        union.cast("bigint").alias("n_union"),
+        (inter / union).alias("jaccard"),
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_ORACLE_VARIANTS},
+{_ORACLE_SHINGLES},
+paired AS (
+  SELECT b.doc_id, b.shingles AS s_base, v.shingles AS s_var
+  FROM shingled b
+  JOIN shingled v ON v.doc_id = b.doc_id + {VARIANT_OFFSET}
+  WHERE b.doc_id % 4 = 0 AND b.doc_id < {VARIANT_OFFSET}
+)
+SELECT doc_id,
+       doc_id + {VARIANT_OFFSET} AS variant_id,
+       CAST(len(list_intersect(s_base, s_var)) AS BIGINT) AS n_intersect,
+       CAST(len(s_base) + len(s_var) - len(list_intersect(s_base, s_var)) AS BIGINT) AS n_union,
+       CAST(len(list_intersect(s_base, s_var)) AS DOUBLE)
+         / (len(s_base) + len(s_var) - len(list_intersect(s_base, s_var))) AS jaccard
+FROM paired
+"""

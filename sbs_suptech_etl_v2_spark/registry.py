@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sbs_suptech_etl_v2_spark.operators import dedup as X1
 from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
 
@@ -38,6 +39,10 @@ QUERIES: dict[str, QueryFn] = {
     "q17_metadata_merge": D.metadata_merge,
     "q18_stage_gate_notifications": D.stage_gate_notifications,
     "q19_pages_explode": D.pages_explode,
+    "q20_exact_dedup": X1.exact_dedup,
+    "q21_minhash_neardup": X1.minhash_neardup,
+    "q22_simhash_signatures": X1.simhash_signatures,
+    "q23_ngram_jaccard": X1.ngram_jaccard,
 }
 
 ORACLE: dict[str, str] = {
@@ -60,4 +65,8 @@ ORACLE: dict[str, str] = {
     "q17_metadata_merge": D.METADATA_MERGE_SQL,
     "q18_stage_gate_notifications": D.STAGE_GATE_NOTIFICATIONS_SQL,
     "q19_pages_explode": D.PAGES_EXPLODE_SQL,
+    "q20_exact_dedup": X1.EXACT_DEDUP_SQL,
+    "q21_minhash_neardup": X1.MINHASH_NEARDUP_SQL,
+    "q22_simhash_signatures": X1.SIMHASH_SIGNATURES_SQL,
+    "q23_ngram_jaccard": X1.NGRAM_JACCARD_SQL,
 }
