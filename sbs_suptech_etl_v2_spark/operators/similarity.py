@@ -1,0 +1,259 @@
+"""Similarity-search operator family — SURVEY §2.11 [EXT-2].
+
+Approximate-nearest-neighbor and near-duplicate search over the
+``embeddings`` table (``embedding: array<float>``, 64-dim), Spark-first:
+
+- **brute-force top-k cosine** — the exactness baseline: broadcast the
+  (small by construction) query set against all candidates, expression
+  dot-product + norms, ``row_number`` per query. No Python UDFs: the
+  fold is ``F.aggregate(F.zip_with(...))`` — JVM-side, codegen'd.
+- **sign-LSH bucketed near-dup** — the 100 TB path: random-hyperplane
+  signs bucket each vector into 2 bands × 4-bit buckets; candidate
+  pairs come from a bucket self-join (shuffle on (band, bucket) only,
+  never the all-pairs product), then the exact cosine filter keeps
+  true near-duplicates. Recall for cos≈0.98 pairs with 2 OR-ed bands
+  of 4 hyperplanes ≈ 95%; add bands for higher recall at constant
+  per-band cost. The IVF alternative (k-means coarse quantizer →
+  per-centroid candidate lists) drops in by replacing the bucket id
+  with a nearest-centroid id.
+
+Float determinism: every dot product is a *sequential left fold* over
+the (double-cast) elements in index order — Spark ``F.aggregate`` and
+DuckDB ``list_reduce`` fold identically, and sqrt/division are
+correctly-rounded IEEE ops, so scores match the oracle bit-for-bit.
+
+The corpus has no natural near-dups (max pairwise cosine ≈ 0.51), so
+the near-dup query plants deterministic perturbed variants (every 5th
+vector, ±0.02 per component, cosine ≈ 0.98 to the base) — both engines
+synthesize the identical corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.io import table
+
+TOP_K = 10
+QUERY_STRIDE = 100  # vec_id % stride == 0 → query vector
+
+NEARDUP_OFFSET = 100_000
+NEARDUP_STRIDE = 5  # every 5th vector gets a planted variant
+PERTURB = 0.02
+COSINE_THRESHOLD = 0.9
+
+DIM = 64
+N_BANDS = 2
+PLANES_PER_BAND = 4
+
+
+def _plane_signs(band: int, plane: int) -> list[int]:
+    """Deterministic ±1 hyperplane components (LCG bit-16 parity) —
+    generated identically for the Spark literals and the oracle SQL."""
+    signs = []
+    for j in range(DIM):
+        v = (1_103_515_245 * ((band * PLANES_PER_BAND + plane) * DIM + j) + 12_345) % (
+            1 << 31
+        )
+        signs.append(1 if ((v >> 16) & 1) == 0 else -1)
+    return signs
+
+
+PLANES = [
+    [_plane_signs(b, p) for p in range(PLANES_PER_BAND)] for b in range(N_BANDS)
+]
+
+
+def _dbl(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (order-stable for the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+    )
+
+
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] brute-force top-k cosine — the ANN exactness baseline.
+
+    Query set = ``vec_id % {QUERY_STRIDE} == 0`` (scales with the table
+    but stays a tiny fraction); broadcast it against all candidates,
+    one window per query for the top-{TOP_K}. The broadcast keeps the
+    big side un-shuffled — the only shuffle is the per-query window,
+    partitioned by query_id (bounded cardinality). At 100 TB replace
+    the full candidate scan with the LSH/IVF bucket join below.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    queries = vecs.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+TOPK_COSINE_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_sql_dot('q.v', 'c.v')}
+           / (sqrt({_sql_dot('q.v', 'q.v')}) * sqrt({_sql_dot('c.v', 'c.v')})) AS score
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+)
+SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, cand_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _variant_vec(v: Column, band_signs: list[int]) -> Column:
+    signs = F.array(*[F.lit(float(s)) for s in band_signs])
+    return F.zip_with(v, signs, lambda x, s: x + F.lit(PERTURB) * s)
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] sign-LSH bucketed embedding near-duplicate pairs.
+
+    The scale path for embedding dedup: each vector hashes to a 4-bit
+    bucket per band (sign of the dot with 4 fixed hyperplanes); pairs
+    are mined ONLY within (band, bucket) groups, then verified with the
+    exact cosine and kept above {COSINE_THRESHOLD}. Planted variants
+    (±{PERTURB} per component, cosine ≈ 0.98) surface as pairs; random
+    pairs (max natural cosine ≈ 0.51) are filtered out.
+
+    Plan shape: narrow map to (band, bucket) rows → shuffle on the
+    bucket key → bounded bucket self-join → exact verify. The all-pairs
+    cross product never materializes.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    variant_signs = _plane_signs(7, 7)  # fixed perturbation pattern
+    variants = base.filter(F.col("vec_id") % NEARDUP_STRIDE == 0).select(
+        (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+        _variant_vec(F.col("v"), variant_signs).alias("v"),
+    )
+    corpus = base.unionByName(variants)
+
+    def bucket(v: Column, band: int) -> Column:
+        bits = [
+            F.when(
+                _dot(v, F.array(*[F.lit(float(s)) for s in PLANES[band][p]])) > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(PLANES_PER_BAND)
+        ]
+        acc = bits[0]
+        for bcol in bits[1:]:
+            acc = acc + bcol
+        return acc
+
+    banded = corpus.select(
+        "vec_id",
+        "v",
+        F.posexplode(F.array(*[bucket(F.col("v"), b) for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= COSINE_THRESHOLD)
+
+
+def _sql_bucket(band: int) -> str:
+    terms = []
+    for p in range(PLANES_PER_BAND):
+        arr = "[" + ", ".join(f"{float(s)!r}" for s in PLANES[band][p]) + "]"
+        terms.append(
+            f"CASE WHEN {_sql_dot('v', arr)} > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_VARIANT_ARR = "[" + ", ".join(f"{float(s)!r}" for s in _plane_signs(7, 7)) + "]"
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {NEARDUP_OFFSET} AS vec_id,
+         list_transform(range(1, len(v) + 1),
+                        i -> v[i] + {PERTURB} * ({_VARIANT_ARR})[i]) AS v
+  FROM base WHERE vec_id % {NEARDUP_STRIDE} = 0
+),
+banded AS (
+  SELECT vec_id, v, 0 AS band, {_sql_bucket(0)} AS bucket FROM corpus
+  UNION ALL
+  SELECT vec_id, v, 1 AS band, {_sql_bucket(1)} AS bucket FROM corpus
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+       {_sql_dot('ca.v', 'cb.v')}
+         / (sqrt({_sql_dot('ca.v', 'ca.v')}) * sqrt({_sql_dot('cb.v', 'cb.v')})) AS cosine
+FROM pairs p
+JOIN corpus ca ON ca.vec_id = p.vec_a
+JOIN corpus cb ON cb.vec_id = p.vec_b
+WHERE {_sql_dot('ca.v', 'cb.v')}
+        / (sqrt({_sql_dot('ca.v', 'ca.v')}) * sqrt({_sql_dot('cb.v', 'cb.v')}))
+      >= {COSINE_THRESHOLD}
+"""

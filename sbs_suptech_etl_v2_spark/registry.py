@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sbs_suptech_etl_v2_spark.operators import dedup as X1
 from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
+from sbs_suptech_etl_v2_spark.operators import similarity as X2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,6 +44,8 @@ QUERIES: dict[str, QueryFn] = {
     "q21_minhash_neardup": X1.minhash_neardup,
     "q22_simhash_signatures": X1.simhash_signatures,
     "q23_ngram_jaccard": X1.ngram_jaccard,
+    "q24_topk_cosine": X2.topk_cosine,
+    "q25_embedding_neardup": X2.embedding_neardup,
 }
 
 ORACLE: dict[str, str] = {
@@ -69,4 +72,6 @@ ORACLE: dict[str, str] = {
     "q21_minhash_neardup": X1.MINHASH_NEARDUP_SQL,
     "q22_simhash_signatures": X1.SIMHASH_SIGNATURES_SQL,
     "q23_ngram_jaccard": X1.NGRAM_JACCARD_SQL,
+    "q24_topk_cosine": X2.TOPK_COSINE_SQL,
+    "q25_embedding_neardup": X2.EMBEDDING_NEARDUP_SQL,
 }
