@@ -1,0 +1,320 @@
+"""Text-analysis operator family — SURVEY §2.11 [EXT-4].
+
+The operations a 100 TB training-data pipeline runs over every document,
+each a pure DataFrame plan over the ``documents`` table:
+
+- **quality stats** (q26) — token/char counts, type-token ratio,
+  stopword ratio, mean token length, and a Gopher-style keep/drop
+  gate. Narrow map-only plan: one row in, one row out, no shuffle.
+- **token frequency** (q27) — corpus-level term + document frequency
+  with map-side partial aggregation; the only shuffle is on the token
+  key (bounded by vocabulary size, not corpus size).
+- **TF-IDF** (q28) — tf from a per-doc explode, df from a token-level
+  aggregate joined back (broadcast — vocabulary-sized), top-3 terms
+  per document. The df side is small by construction at any corpus
+  size, so the join never shuffles the big side twice.
+- **language-ID** (q29) — stopword-profile hit scoring with a
+  deterministic argmax. Real profiles would be char-n-gram based; the
+  operator shape (per-row array scoring + tie-broken argmax) is the
+  same.
+- **document fingerprint** (q30) — bottom-k sketch of shingle hashes
+  (winnowing-style): a compact, order-insensitive content signature
+  usable as an exact-dedup key at scale.
+
+All ratios divide exact integers (bit-deterministic doubles); the only
+transcendental is ln() in TF-IDF, which both engines compute on the
+same small set of rational arguments (verified against the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.operators.dedup import _hash32, _let, _shingles, _words
+
+STOPWORDS = ("the", "a")
+
+MIN_TOKENS = 15
+MAX_TOKENS = 80
+MAX_STOPWORD_RATIO = 0.3
+MIN_TTR = 0.4  # type-token ratio floor
+
+TFIDF_TOP = 3
+FINGERPRINT_K = 4  # bottom-k sketch size
+
+# Toy per-language stopword profiles over the corpus vocabulary; a real
+# deployment swaps in char-n-gram frequency profiles — the plan shape
+# (per-row membership scoring + deterministic argmax) is identical.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("batch", "group", "window", "fast"),
+    "en": ("the", "a", "table", "row"),
+    "es": ("data", "query", "sort", "slow"),
+    "zh": ("vector", "hash", "stream", "key"),
+}
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] per-document quality statistics + keep/drop gate.
+
+    Gopher-style filters: token-count band, stopword-ratio cap,
+    type-token-ratio floor. Everything derives per-row from ``text`` —
+    map-only, shuffle-free, whole-stage-codegen'd.
+    """
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    out = _let(
+        _words(F.col("text")),
+        lambda ws: F.struct(
+            F.size(ws).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(ws)).cast("bigint").alias("n_types"),
+            (F.size(F.filter(ws, lambda t: F.array_contains(stop_arr, t))) / F.size(ws)).alias(
+                "stopword_ratio"
+            ),
+            (
+                F.aggregate(
+                    F.transform(ws, lambda t: F.length(t).cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                / F.size(ws)
+            ).alias("mean_token_len"),
+            (F.size(F.array_distinct(ws)) / F.size(ws)).alias("type_token_ratio"),
+        ),
+    )
+    stats = docs.select("doc_id", "lang", F.col("n_chars"), out.alias("s")).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "s.n_tokens",
+        "s.n_types",
+        "s.stopword_ratio",
+        "s.mean_token_len",
+        "s.type_token_ratio",
+    )
+    keep = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
+        & (F.col("type_token_ratio") >= MIN_TTR)
+    )
+    return stats.withColumn("keep", keep)
+
+
+TEXT_STATS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars, str_split(text, ' ') AS ws FROM documents
+),
+stats AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+         CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stopword_ratio,
+         CAST(list_sum(list_transform(ws, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+           / len(ws) AS mean_token_len,
+         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio
+  FROM s
+)
+SELECT *,
+       n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+         AND stopword_ratio <= {MAX_STOPWORD_RATIO}
+         AND type_token_ratio >= {MIN_TTR} AS keep
+FROM stats
+"""
+
+
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] corpus token frequency — term freq + doc freq, top-20.
+
+    One explode + one groupBy(token): the shuffle key cardinality is
+    the vocabulary, not the corpus, and map-side partial aggregation
+    reduces the shuffle to |vocab| × |partitions| rows. The global
+    top-20 is a TakeOrderedAndProject (parallel), not a global sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return agg.orderBy(F.col("term_freq").desc(), F.col("token")).limit(20)
+
+
+TOKEN_TOPK_SQL = """
+SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY term_freq DESC, token
+LIMIT 20
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] TF-IDF — top-{TFIDF_TOP} characteristic terms per doc.
+
+    tf from the per-doc token explode; df aggregated once on the
+    (vocabulary-sized) token key and broadcast back; idf = ln(N/df).
+    Scale: the document side shuffles once on (doc_id, token); the df
+    dimension is tiny at any corpus size, so the join is broadcast.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # corpus size; a driver-side scalar like the
+    # reference's batch size — at scale use a broadcast scalar subquery
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).cast("float").alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select("doc_id", "token", "tf", "df", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf * ln(n.n_docs / df.df) AS FLOAT) AS tfidf
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_TOP}
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] heuristic language-ID — profile hit scoring + argmax.
+
+    Per row: count token hits against each language's stopword profile,
+    pick the best (score desc, language asc — fully deterministic).
+    Map-only; with char-n-gram profiles the plan is identical, only the
+    membership arrays grow.
+    """
+    docs = table(spark, sf_dir, "documents")
+    langs = sorted(LANG_PROFILES)
+
+    def hits(ws, lang: str):
+        profile = F.array(*[F.lit(t) for t in LANG_PROFILES[lang]])
+        return F.size(F.filter(ws, lambda t: F.array_contains(profile, t)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        _let(
+            _words(F.col("text")),
+            lambda ws: F.struct(
+                *[hits(ws, lang).cast("bigint").alias(f"score_{lang}") for lang in langs]
+            ),
+        ).alias("s"),
+    ).select("doc_id", "actual_lang", *[f"s.score_{lang}" for lang in langs])
+    best = scored
+    pred = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return best.withColumn("predicted_lang", pred).select(
+        "doc_id", "actual_lang", "predicted_lang", *[f"score_{lang}" for lang in langs]
+    )
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n         ".join(
+        "CAST(len(list_filter(ws, t -> t IN ({}))) AS BIGINT) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]), lang
+        )
+        for lang in langs
+    )
+    # same left-to-right argmax chain as the Spark side
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang AS actual_lang, str_split(text, ' ') AS ws FROM documents
+),
+scored AS (
+  SELECT doc_id, actual_lang,
+         {score_cols}
+  FROM s
+)
+SELECT doc_id, actual_lang, {pred} AS predicted_lang, {cols}
+FROM scored
+"""
+
+
+LANGUAGE_ID_SQL = _langid_sql()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] bottom-k shingle-hash fingerprint (winnowing-style).
+
+    The k smallest shingle hashes, sorted and joined — an
+    order-insensitive compact content signature: near-identical
+    documents share most sketch elements, identical documents share
+    all. Usable directly as the exact-dedup key at 100 TB (constant
+    size per row regardless of document length). Map-only plan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sketch = _let(
+        F.array_sort(
+            F.array_distinct(F.transform(_shingles(F.col("text")), _hash32))
+        ),
+        lambda hs: F.array_join(
+            F.transform(F.slice(hs, 1, FINGERPRINT_K), lambda h: h.cast("string")), "-"
+        ),
+    )
+    return docs.select("doc_id", sketch.alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{{shingles}}
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_slice(list_sort(list_distinct(list_transform(shingles,
+             s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))), 1, {FINGERPRINT_K}),
+           h -> CAST(h AS VARCHAR)),
+         '-') AS fingerprint
+FROM shingled
+""".format(
+    shingles="""
+shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+         THEN list_distinct(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [text] END AS shingles
+  FROM (SELECT doc_id, text, str_split(text, ' ') AS words FROM corpus)
+)
+"""
+)

@@ -17,6 +17,7 @@ from sbs_suptech_etl_v2_spark.operators import dedup as X1
 from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
 from sbs_suptech_etl_v2_spark.operators import similarity as X2
+from sbs_suptech_etl_v2_spark.operators import textops as X4
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,6 +47,11 @@ QUERIES: dict[str, QueryFn] = {
     "q23_ngram_jaccard": X1.ngram_jaccard,
     "q24_topk_cosine": X2.topk_cosine,
     "q25_embedding_neardup": X2.embedding_neardup,
+    "q26_text_stats": X4.text_stats,
+    "q27_token_topk": X4.token_topk,
+    "q28_tfidf_top_terms": X4.tfidf_top_terms,
+    "q29_language_id": X4.language_id,
+    "q30_doc_fingerprint": X4.doc_fingerprint,
 }
 
 ORACLE: dict[str, str] = {
@@ -74,4 +80,9 @@ ORACLE: dict[str, str] = {
     "q23_ngram_jaccard": X1.NGRAM_JACCARD_SQL,
     "q24_topk_cosine": X2.TOPK_COSINE_SQL,
     "q25_embedding_neardup": X2.EMBEDDING_NEARDUP_SQL,
+    "q26_text_stats": X4.TEXT_STATS_SQL,
+    "q27_token_topk": X4.TOKEN_TOPK_SQL,
+    "q28_tfidf_top_terms": X4.TFIDF_TOP_TERMS_SQL,
+    "q29_language_id": X4.LANGUAGE_ID_SQL,
+    "q30_doc_fingerprint": X4.DOC_FINGERPRINT_SQL,
 }
