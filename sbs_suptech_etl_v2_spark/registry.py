@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from sbs_suptech_etl_v2_spark.operators import dedup as X1
+from sbs_suptech_etl_v2_spark.operators import extraction as E
 from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
 from sbs_suptech_etl_v2_spark.operators import similarity as X2
@@ -52,6 +53,9 @@ QUERIES: dict[str, QueryFn] = {
     "q28_tfidf_top_terms": X4.tfidf_top_terms,
     "q29_language_id": X4.language_id,
     "q30_doc_fingerprint": X4.doc_fingerprint,
+    "q31_extract_polizas": E.extract_polizas,
+    "q32_extract_tasaciones": E.extract_tasaciones,
+    "q33_extract_inscripciones": E.extract_inscripciones,
 }
 
 ORACLE: dict[str, str] = {
@@ -85,4 +89,7 @@ ORACLE: dict[str, str] = {
     "q28_tfidf_top_terms": X4.TFIDF_TOP_TERMS_SQL,
     "q29_language_id": X4.LANGUAGE_ID_SQL,
     "q30_doc_fingerprint": X4.DOC_FINGERPRINT_SQL,
+    "q31_extract_polizas": E.EXTRACT_POLIZAS_SQL,
+    "q32_extract_tasaciones": E.EXTRACT_TASACIONES_SQL,
+    "q33_extract_inscripciones": E.EXTRACT_INSCRIPCIONES_SQL,
 }
