@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.functions.scalars import (
+    format_text_key,
     map_merge_new_wins,
     refine_dates,
     refine_month,
@@ -447,4 +448,40 @@ SELECT CAST(o_orderkey AS VARCHAR) AS "recordId",
        '{NOTIFICATION_TYPE}' AS "type"
 FROM orders
 WHERE o_totalprice > 5000 AND o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+"""
+
+
+def artifact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C6 + F6/F8 — S3 text-artifact projection before the load stage.
+
+    The pólizas load step formats ``txt/{record_id}.txt``, UTF-8-encodes
+    the content for S3, then nulls the big text columns so only slim
+    metadata reaches DynamoDB (workflow_polizas.py:85-92). Here: the
+    key format (C5), the ``encode`` to BinaryType with its exact byte
+    length and sha-256 digest (C6 — checked via the digest, not raw
+    bytes), and an explicit ``drop`` of the content columns (F6/F8) so
+    the output projection carries no text — Catalyst prunes the
+    dropped columns out of the scan entirely.
+    """
+    docs = table(spark, sf_dir, "documents")
+    record_id = F.concat(F.lit("rec_"), F.col("doc_id").cast("string"))
+    body = F.encode(F.col("text"), "utf-8")
+    staged = docs.select(
+        record_id.alias("record_id"),
+        format_text_key(record_id).alias("s3_key"),
+        F.length(body).cast("bigint").alias("body_bytes"),
+        F.sha2(body, 256).alias("body_sha256"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    # F6/F8 — anti-projection: content dropped before the metadata sink
+    return staged.drop("text", "lang")
+
+
+ARTIFACT_KEYS_SQL = """
+SELECT 'rec_' || doc_id AS record_id,
+       'txt/rec_' || doc_id || '.txt' AS s3_key,
+       octet_length(encode(text)) AS body_bytes,
+       sha256(text) AS body_sha256
+FROM documents
 """

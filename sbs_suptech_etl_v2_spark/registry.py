@@ -13,8 +13,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sbs_suptech_etl_v2_spark.operators import blocks as B
 from sbs_suptech_etl_v2_spark.operators import dedup as X1
 from sbs_suptech_etl_v2_spark.operators import extraction as E
+from sbs_suptech_etl_v2_spark.operators import jsonops as J
 from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
 from sbs_suptech_etl_v2_spark.operators import similarity as X2
@@ -56,6 +58,10 @@ QUERIES: dict[str, QueryFn] = {
     "q31_extract_polizas": E.extract_polizas,
     "q32_extract_tasaciones": E.extract_tasaciones,
     "q33_extract_inscripciones": E.extract_inscripciones,
+    "q34_blocks_page_text": B.blocks_page_text,
+    "q35_notification_encode": J.notification_encode,
+    "q36_request_decode": J.request_decode,
+    "q37_artifact_keys": D.artifact_keys,
 }
 
 ORACLE: dict[str, str] = {
@@ -92,4 +98,8 @@ ORACLE: dict[str, str] = {
     "q31_extract_polizas": E.EXTRACT_POLIZAS_SQL,
     "q32_extract_tasaciones": E.EXTRACT_TASACIONES_SQL,
     "q33_extract_inscripciones": E.EXTRACT_INSCRIPCIONES_SQL,
+    "q34_blocks_page_text": B.BLOCKS_PAGE_TEXT_SQL,
+    "q35_notification_encode": J.NOTIFICATION_ENCODE_SQL,
+    "q36_request_decode": J.REQUEST_DECODE_SQL,
+    "q37_artifact_keys": D.ARTIFACT_KEYS_SQL,
 }
