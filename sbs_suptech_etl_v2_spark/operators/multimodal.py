@@ -1,0 +1,200 @@
+"""Multimodal-column operators — SURVEY §2.11 [EXT-3].
+
+A training-data lake stores images/audio/video as opaque ``binary``
+columns with typed struct metadata beside the text — the reference's
+S3-PDF + extracted-text + metadata triple normalized into one table
+(the PDF bytes are exactly such an opaque binary: S4 feeds them to an
+external decoder). This module provides:
+
+- ``build_multimodal`` — the table layout: ``binary`` payloads +
+  ``struct`` metadata + text in one row, synthesized deterministically
+  (the container has no image/audio codecs, so payloads are fake but
+  the schema, partitioning and batch plumbing are real).
+- ``image_features`` (q38) — decode/feature-extract via Arrow-batched
+  ``mapInPandas``: parses the payload HEADER BYTES (not the metadata
+  column), so the UDF boundary is exercised end-to-end; emits width/
+  height/bytes/sha features. The DuckDB oracle re-derives the same
+  features from the synthesis rule — an independent computation.
+- ``frame_sample`` (q39) — video-style frame sampler: fixed-size
+  frames inside one binary, every 2nd frame emitted as its own row
+  (1 binary → N rows, the UDTF shape of S4's page fan-out).
+- ``decode_image_production`` — the real-codec path, stubbed: tries
+  Pillow and raises ``NotImplementedError`` when absent. The Spark
+  plumbing around it (schema, batching, fan-out) is identical to the
+  fake's, which is the point of the fake.
+
+Scale notes: binaries ride the scan as a single column — keep them
+OUT of shuffles (extract features first, drop the payload — the F8
+pattern); Arrow moves them zero-copy into pandas. Partition the lake
+by modality/source so a feature backfill prunes to one modality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.io import table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes bigint, sha256 string"
+)
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_no int, frame_md5 string"
+
+
+def build_multimodal(docs: DataFrame) -> DataFrame:
+    """[EXT-3] one-table multimodal layout: text + binaries + metadata.
+
+    ``image`` = ``IMG:{w}x{h}:`` header + utf-8 text payload;
+    ``video`` = raw utf-8 text bytes (a stand-in frame container);
+    metadata is a typed struct per modality. Binary columns are opaque
+    to the engine — only the decode UDFs look inside.
+    """
+    did = F.col("doc_id")
+    width = (did % 640 + 16).cast("int")
+    height = (did % 480 + 16).cast("int")
+    image_str = F.concat(
+        F.lit("IMG:"), width.cast("string"), F.lit("x"), height.cast("string"),
+        F.lit(":"), F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        "text",
+        F.encode(image_str, "utf-8").alias("image"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("image_meta"),
+        F.encode(F.col("text"), "utf-8").alias("video"),
+        F.struct(
+            F.lit(FRAME_BYTES).alias("frame_bytes"),
+            F.lit("fake/frames").alias("codec"),
+        ).alias("video_meta"),
+    )
+
+
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-3] image decode/feature-extract over the binary column.
+
+    The ``mapInPandas`` fake decoder parses ``IMG:{w}x{h}:`` from the
+    payload bytes and hashes the full binary — the same signature a
+    Pillow-backed decoder has (bytes in → features out), so swapping
+    ``decode_image_production`` in changes no plan. Payload is dropped
+    after feature extraction (never shuffled).
+    """
+    mm = build_multimodal(table(spark, sf_dir, "documents")).select("doc_id", "image")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["image"]):
+                blob = bytes(payload)
+                # parse "IMG:{w}x{h}:" from the bytes themselves
+                parts = blob.split(b":", 2)
+                w, h = parts[1].split(b"x")
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": int(w),
+                        "height": int(h),
+                        "n_bytes": len(blob),
+                        "sha256": hashlib.sha256(blob).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+IMAGE_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+       octet_length(encode('IMG:' || (doc_id % 640 + 16) || 'x' || (doc_id % 480 + 16)
+                           || ':' || text)) AS n_bytes,
+       sha256('IMG:' || (doc_id % 640 + 16) || 'x' || (doc_id % 480 + 16)
+              || ':' || text) AS sha256
+FROM documents
+"""
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-3] frame sampling — 1 binary → N frame rows (UDTF shape).
+
+    Chunks the video payload into {FRAME_BYTES}-byte frames and emits
+    every {FRAME_STRIDE}nd one (frame_no is 1-based over the kept
+    frames' original positions). The fan-out happens inside
+    ``mapInPandas`` — one Arrow batch in, a longer batch out — exactly
+    how S4 turns one PDF into N page rows.
+    """
+    mm = build_multimodal(table(spark, sf_dir, "documents")).select("doc_id", "video")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+                blob = bytes(payload)
+                n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_no": i + 1,
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+         substr(text, (i - 1) * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
+  FROM documents,
+       unnest(generate_series(
+         1, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT),
+         {FRAME_STRIDE})) AS t(i)
+)
+SELECT doc_id, frame_no, md5(frame) AS frame_md5
+FROM frames
+"""
+
+
+def decode_image_production(payload: bytes) -> dict:
+    """Real-codec image decode — STUB (no imaging libs in this env).
+
+    The production path: Pillow opens the bytes, returns
+    width/height/mode + pixel features. Import-gated so environments
+    with codecs get the real decoder and this repo stays
+    dependency-free; callers inject it in place of the fake decoder —
+    the mapInPandas plumbing is unchanged.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not available in this "
+            "environment; use the deterministic fake decoder (image_features)"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    return {"width": img.width, "height": img.height, "format": img.format}

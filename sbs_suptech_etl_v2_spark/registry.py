@@ -17,6 +17,7 @@ from sbs_suptech_etl_v2_spark.operators import blocks as B
 from sbs_suptech_etl_v2_spark.operators import dedup as X1
 from sbs_suptech_etl_v2_spark.operators import extraction as E
 from sbs_suptech_etl_v2_spark.operators import jsonops as J
+from sbs_suptech_etl_v2_spark.operators import multimodal as X3
 from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
 from sbs_suptech_etl_v2_spark.operators import similarity as X2
@@ -62,6 +63,8 @@ QUERIES: dict[str, QueryFn] = {
     "q35_notification_encode": J.notification_encode,
     "q36_request_decode": J.request_decode,
     "q37_artifact_keys": D.artifact_keys,
+    "q38_image_features": X3.image_features,
+    "q39_frame_sample": X3.frame_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -102,4 +105,6 @@ ORACLE: dict[str, str] = {
     "q35_notification_encode": J.NOTIFICATION_ENCODE_SQL,
     "q36_request_decode": J.REQUEST_DECODE_SQL,
     "q37_artifact_keys": D.ARTIFACT_KEYS_SQL,
+    "q38_image_features": X3.IMAGE_FEATURES_SQL,
+    "q39_frame_sample": X3.FRAME_SAMPLE_SQL,
 }
