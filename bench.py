@@ -1,20 +1,48 @@
 """Benchmark runner — driver contract.
 
-Runs the headline queries from the registry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as a full materialization (count of the result —
-forces the whole plan without driver-side collect of wide rows).
+Methodology (BASELINE.md): per-query wall clock is the MEDIAN OF 3
+materializations (noop sink — forces the whole plan, no driver
+collect); a dedicated warmup phase first spins the JVM, parquet
+footers, codegen, and a Python worker pool so q01 doesn't absorb
+startup and the first mapInPandas query doesn't absorb worker fork.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+RUNS = 3
+
+
+def _materialize(df) -> None:
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    # JVM + shuffle + codegen + parquet footers
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _materialize(li.groupBy("l_returnflag").agg(F.count(F.lit(1))))
+    # Python worker pool (mapInPandas queries otherwise pay fork cost once)
+    def _identity(batches):
+        yield from batches
+
+    _materialize(
+        spark.range(1000).withColumnRenamed("id", "x").mapInPandas(_identity, "x long")
+    )
 
 
 def main() -> None:
@@ -25,20 +53,17 @@ def main() -> None:
     from sbs_suptech_etl_v2_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
-
-    # warm the JVM + parquet footers once so timings measure the plans
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    _warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            # noop sink unavailable for some plans → fall back to count
-            fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -51,6 +76,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
+        "runs_per_query": RUNS,
+        "aggregation": "median",
     }
     print(json.dumps(out))
     spark.stop()

@@ -405,15 +405,17 @@ WHERE pos > 10 AND pos <= 15
 
 
 def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT coverage (§2.7 — absent in reference).
+    """Customer segmentation — set semantics in single-scan form (§2.7).
 
     Big-spending customers that also ordered recently, minus those with
-    any open order. A naive form scans ``orders`` three times and
-    shuffles each; here one ``groupBy(o_custkey)`` computes all three
-    segment flags in a single scan + single shuffle, and the
-    intersect/exceptAll set operators then run over the three tiny
-    per-customer key sets derived from that shared aggregate (identical
-    subtrees → Spark reuses the exchange instead of rescanning).
+    any open order. The set-algebra formulation (three DISTINCT key
+    sets → INTERSECT → EXCEPT ALL — kept verbatim in the oracle SQL)
+    is equivalent to one ``groupBy(o_custkey)`` computing all three
+    segment flags and a conjunction filter: one scan + one shuffle
+    instead of three of each. (A branch-per-set Spark form defeats
+    exchange reuse because per-branch column pruning specializes each
+    aggregate.) The physical intersect/exceptAll operators are
+    exercised by q40 over bounded dimensions.
     """
     customer, orders = load(spark, sf_dir, "customer", "orders")
     flags = orders.groupBy("o_custkey").agg(
@@ -425,10 +427,9 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_recent"),
         F.max((F.col("o_orderstatus") == "O").cast("int")).alias("is_open"),
     )
-    big_spenders = flags.filter(F.col("is_big") == 1).select("o_custkey")
-    recent = flags.filter(F.col("is_recent") == 1).select("o_custkey")
-    open_any = flags.filter(F.col("is_open") == 1).select("o_custkey")
-    keys = big_spenders.intersect(recent).exceptAll(open_any)
+    keys = flags.filter(
+        (F.col("is_big") == 1) & (F.col("is_recent") == 1) & (F.col("is_open") == 0)
+    ).select("o_custkey")
     return keys.join(customer, keys.o_custkey == customer.c_custkey).select(
         "c_custkey", "c_name"
     )
@@ -444,6 +445,41 @@ WITH keys AS (
 )
 SELECT c_custkey, c_name
 FROM keys JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical INTERSECT / EXCEPT ALL coverage (§2.7) on bounded dims.
+
+    Nations that have both customers and suppliers, minus the nations
+    of region 0 — real set-operator nodes (hash-aggregate based) over
+    key sets whose cardinality is bounded (≤25 at any SF), so the
+    set-op shuffles never grow with the data; the big tables contribute
+    only a distinct-key projection each.
+    """
+    customer, supplier, nation = load(spark, sf_dir, "customer", "supplier", "nation")
+    cust_nations = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    region0 = nation.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    keys = cust_nations.intersect(supp_nations).exceptAll(region0)
+    return keys.join(nation, keys.nationkey == nation.n_nationkey).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation_name"),
+    )
+
+
+NATION_SET_OPS_SQL = """
+WITH keys AS (
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   INTERSECT
+   SELECT DISTINCT s_nationkey FROM supplier)
+  EXCEPT ALL
+  SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+)
+SELECT n_nationkey AS nationkey, n_name AS nation_name
+FROM keys JOIN nation ON nationkey = n_nationkey
 """
 
 

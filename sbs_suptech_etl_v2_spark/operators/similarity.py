@@ -45,6 +45,10 @@ PERTURB = 0.02
 COSINE_THRESHOLD = 0.9
 
 DIM = 64
+# 2 OR-ed bands of 4-bit sign buckets: per-band candidate volume is
+# ~|corpus|^2/16 — verified fast enough because each candidate costs a
+# single unit-vector dot. More planes/band buys selectivity at the cost
+# of recall for mid-cosine (0.9-0.95) pairs; tune per corpus density.
 N_BANDS = 2
 PLANES_PER_BAND = 4
 
@@ -151,16 +155,25 @@ def _variant_vec(v: Column, band_signs: list[int]) -> Column:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-2] sign-LSH bucketed embedding near-duplicate pairs.
 
-    The scale path for embedding dedup: each vector hashes to a 4-bit
-    bucket per band (sign of the dot with 4 fixed hyperplanes); pairs
-    are mined ONLY within (band, bucket) groups, then verified with the
-    exact cosine and kept above {COSINE_THRESHOLD}. Planted variants
-    (±{PERTURB} per component, cosine ≈ 0.98) surface as pairs; random
-    pairs (max natural cosine ≈ 0.51) are filtered out.
+    The scale path for embedding dedup: each vector hashes to an
+    {PLANES_PER_BAND}-bit bucket per band (signs of the dots with fixed
+    hyperplanes); pairs are mined ONLY within (band, bucket) groups,
+    then verified with the exact cosine and kept above
+    {COSINE_THRESHOLD}. Planted variants (±{PERTURB} per component,
+    cosine ≈ 0.98) surface as pairs; random pairs (max natural cosine
+    ≈ 0.51) are filtered out.
 
     Plan shape: narrow map to (band, bucket) rows → shuffle on the
     bucket key → bounded bucket self-join → exact verify. The all-pairs
-    cross product never materializes.
+    cross product never materializes. Pair-stage economics: norms are
+    folded into the vector ONCE per row before the join (unit vectors),
+    so each candidate pair costs a single dot-product fold instead of
+    three, and the duplicate-pair dedup runs threshold-filtered on
+    scalar columns only — no 64-double arrays ride that shuffle.
+
+    Float note: cosine(a,b) ≡ dot(a/|a|, b/|b|) exactly in both engines
+    because the per-element x/norm divisions and the fold are the same
+    IEEE ops in the same order; the oracle mirrors the normalization.
     """
     emb = table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
@@ -170,6 +183,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _variant_vec(F.col("v"), variant_signs).alias("v"),
     )
     corpus = base.unionByName(variants)
+    unit = corpus.select(
+        "vec_id",
+        F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"),
+        "v",
+    )
 
     def bucket(v: Column, band: int) -> Column:
         bits = [
@@ -184,33 +202,26 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + bcol
         return acc
 
-    banded = corpus.select(
+    banded = unit.select(
         "vec_id",
-        "v",
+        "u",
         F.posexplode(F.array(*[bucket(F.col("v"), b) for b in range(N_BANDS)])).alias(
             "band", "bucket"
         ),
     )
     a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "band", "bucket"
     )
     b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), "band", "bucket"
     )
-    pairs = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _dot(F.col("ua"), F.col("ub")).alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .dropDuplicates(["vec_a", "vec_b"])
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
-            ).alias("cosine"),
-        )
     )
-    return pairs.filter(F.col("cosine") >= COSINE_THRESHOLD)
 
 
 def _sql_bucket(band: int) -> str:
@@ -225,6 +236,11 @@ def _sql_bucket(band: int) -> str:
 
 _VARIANT_ARR = "[" + ", ".join(f"{float(s)!r}" for s in _plane_signs(7, 7)) + "]"
 
+_BANDED_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, u, {b} AS band, {_sql_bucket(b)} AS bucket FROM unit"
+    for b in range(N_BANDS)
+)
+
 EMBEDDING_NEARDUP_SQL = f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -237,23 +253,20 @@ corpus AS (
                         i -> v[i] + {PERTURB} * ({_VARIANT_ARR})[i]) AS v
   FROM base WHERE vec_id % {NEARDUP_STRIDE} = 0
 ),
+unit AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
+  FROM corpus
+),
 banded AS (
-  SELECT vec_id, v, 0 AS band, {_sql_bucket(0)} AS bucket FROM corpus
-  UNION ALL
-  SELECT vec_id, v, 1 AS band, {_sql_bucket(1)} AS bucket FROM corpus
+{_BANDED_UNION}
 ),
 pairs AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_sql_dot('a.u', 'b.u')} AS cosine
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_sql_dot('a.u', 'b.u')} >= {COSINE_THRESHOLD}
 )
-SELECT p.vec_a, p.vec_b,
-       {_sql_dot('ca.v', 'cb.v')}
-         / (sqrt({_sql_dot('ca.v', 'ca.v')}) * sqrt({_sql_dot('cb.v', 'cb.v')})) AS cosine
-FROM pairs p
-JOIN corpus ca ON ca.vec_id = p.vec_a
-JOIN corpus cb ON cb.vec_id = p.vec_b
-WHERE {_sql_dot('ca.v', 'cb.v')}
-        / (sqrt({_sql_dot('ca.v', 'ca.v')}) * sqrt({_sql_dot('cb.v', 'cb.v')}))
-      >= {COSINE_THRESHOLD}
+SELECT vec_a, vec_b, cosine FROM pairs
 """

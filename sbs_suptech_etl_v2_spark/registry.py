@@ -65,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "q37_artifact_keys": D.artifact_keys,
     "q38_image_features": X3.image_features,
     "q39_frame_sample": X3.frame_sample,
+    "q40_nation_set_ops": R.nation_set_ops,
 }
 
 ORACLE: dict[str, str] = {
@@ -107,4 +108,5 @@ ORACLE: dict[str, str] = {
     "q37_artifact_keys": D.ARTIFACT_KEYS_SQL,
     "q38_image_features": X3.IMAGE_FEATURES_SQL,
     "q39_frame_sample": X3.FRAME_SAMPLE_SQL,
+    "q40_nation_set_ops": R.NATION_SET_OPS_SQL,
 }
