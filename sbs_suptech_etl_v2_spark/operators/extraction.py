@@ -262,6 +262,58 @@ def extract_inscripciones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ocr_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + A6 — full OCR extract pipeline: binary doc → blocks → pages.
+
+    Document bytes (the multimodal binary column standing in for the
+    S3 PDF) go through the extractor port (``mapInPandas`` UDTF fan-out,
+    one doc → N block rows), then the A6 aggregation materializes
+    per-page text: LINE filter, ordered ``collect_list`` concat,
+    line count — the textract_extractor_document.py:28-72 →
+    extract_async_helper.py:48-58 chain as one declarative plan. The
+    binary payload dies at the port boundary; only text rows shuffle.
+    """
+    from sbs_suptech_etl_v2_spark.ports.extractor import extract_blocks
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    blocks = extract_blocks(docs)
+    return (
+        blocks.filter(F.col("block_type") == "LINE")
+        .groupBy("doc_id", "page_no")
+        .agg(
+            F.count(F.lit(1)).alias("lines_count"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "text"))),
+                    lambda s: s.text,
+                ),
+                "\n",
+            ).alias("page_text"),
+        )
+    )
+
+
+OCR_EXTRACT_PAGES_SQL = """
+WITH arr AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         CAST((i - 1) // 4 + 1 AS INTEGER) AS page_no,
+         CAST((i - 1) % 4 + 1 AS INTEGER) AS line_no,
+         array_to_string(list_slice(words, (i - 1) * 5 + 1, i * 5), ' ') AS text
+  FROM arr,
+       unnest(generate_series(1, CAST(ceil(len(words) / 5.0) AS BIGINT))) AS t(i)
+)
+SELECT doc_id, page_no, COUNT(*) AS lines_count,
+       string_agg(text, chr(10) ORDER BY line_no) AS page_text
+FROM lines
+GROUP BY doc_id, page_no
+"""
+
+
 EXTRACT_INSCRIPCIONES_SQL = """
 WITH pages AS (
   SELECT doc_id, CAST(p AS INTEGER) AS page_no,

@@ -81,6 +81,27 @@ WHERE o_totalprice > 5000 AND o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
 """
 
 
+def notification_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — uuid() message ids on the notification projection.
+
+    The reference assigns ``str(uuid.uuid4())`` per notification
+    (workflow_orchestator.py:154). ``uuid()`` is nondeterministic by
+    design, so this query is declared WITHOUT an oracle — the driver
+    records the weaker rows-only check; the deterministic payload
+    around the id is fully covered by q18/q35.
+    """
+    orders = table(spark, sf_dir, "orders")
+    ok = orders.filter(
+        (F.col("o_totalprice") > 5000)
+        & (F.col("o_orderkey") % 7 != 0)
+        & (F.col("o_orderkey") % 11 != 0)
+    )
+    return ok.select(
+        F.expr("uuid()").alias("message_id"),
+        F.col("o_orderkey").cast("string").alias("recordId"),
+    )
+
+
 def request_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 — camelCase JSON request decode + snake_case rename.
 

@@ -147,6 +147,107 @@ WHERE rank <= {TOP_K}
 """
 
 
+ANN_TOP_K = 5
+
+
+def _unit(vecs: DataFrame) -> DataFrame:
+    return vecs.select(
+        "vec_id", F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"), "v"
+    )
+
+
+def _bucket_expr(v: Column, band: int) -> Column:
+    bits = [
+        F.when(
+            _dot(v, F.array(*[F.lit(float(s)) for s in PLANES[band][p]])) > 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p in range(PLANES_PER_BAND)
+    ]
+    acc = bits[0]
+    for bcol in bits[1:]:
+        acc = acc + bcol
+    return acc
+
+
+def _banded(unit: DataFrame) -> DataFrame:
+    return unit.select(
+        "vec_id",
+        "u",
+        F.posexplode(
+            F.array(*[_bucket_expr(F.col("v"), b) for b in range(N_BANDS)])
+        ).alias("band", "bucket"),
+    )
+
+
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] approximate top-k — LSH-bucket candidates only.
+
+    The 100 TB ANN path: a query scores ONLY vectors sharing one of its
+    (band, bucket) LSH cells instead of the full corpus — per-query
+    candidate count is governed by bucket occupancy (corpus/2^planes
+    per band), independent of corpus size given enough planes. Recall
+    vs the exact q24 degrades gracefully with bucket selectivity; the
+    IVF variant swaps the bucket id for a nearest-centroid id with the
+    same plan shape. Unit vectors make each candidate a single dot.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    banded = _banded(_unit(base))
+    queries = banded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
+    )
+    cands = banded.select(
+        F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"), "band", "bucket"
+    )
+    scored = (
+        queries.join(cands, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "cand_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _ann_sql() -> str:
+    banded = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, u, {b} AS band, {_sql_bucket(b)} AS bucket FROM unit"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
+  FROM vecs
+),
+banded AS (
+{banded}
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_sql_dot('q.u', 'c.u')} AS score
+  FROM banded q JOIN banded c
+    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+)
+SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, cand_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_TOP_K}
+"""
+
+
 def _variant_vec(v: Column, band_signs: list[int]) -> Column:
     signs = F.array(*[F.lit(float(s)) for s in band_signs])
     return F.zip_with(v, signs, lambda x, s: x + F.lit(PERTURB) * s)
@@ -183,32 +284,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _variant_vec(F.col("v"), variant_signs).alias("v"),
     )
     corpus = base.unionByName(variants)
-    unit = corpus.select(
-        "vec_id",
-        F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"),
-        "v",
-    )
-
-    def bucket(v: Column, band: int) -> Column:
-        bits = [
-            F.when(
-                _dot(v, F.array(*[F.lit(float(s)) for s in PLANES[band][p]])) > 0,
-                F.lit(1 << p),
-            ).otherwise(F.lit(0))
-            for p in range(PLANES_PER_BAND)
-        ]
-        acc = bits[0]
-        for bcol in bits[1:]:
-            acc = acc + bcol
-        return acc
-
-    banded = unit.select(
-        "vec_id",
-        "u",
-        F.posexplode(F.array(*[bucket(F.col("v"), b) for b in range(N_BANDS)])).alias(
-            "band", "bucket"
-        ),
-    )
+    banded = _banded(_unit(corpus))
     a = banded.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "band", "bucket"
     )
@@ -270,3 +346,6 @@ pairs AS (
 )
 SELECT vec_a, vec_b, cosine FROM pairs
 """
+
+
+ANN_BUCKETED_TOPK_SQL = _ann_sql()

@@ -274,6 +274,39 @@ FROM scored
 LANGUAGE_ID_SQL = _langid_sql()
 
 
+SUBWORD_PATTERN = r"[aeiou]+|[^aeiou\s]+"  # vowel/consonant runs — a
+# BPE-ish subword segmentation proxy (real BPE applies a learned merge
+# table; the counting plan is identical)
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] token counting — whitespace tokens + regex subwords.
+
+    The two counters a data pipeline budget-checks documents with:
+    whitespace token count and a BPE-ish regex segmentation count
+    (``regexp_extract_all`` — JVM regex, one pass), plus chars/token.
+    Map-only, no shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(_words(F.col("text")))
+    sub = F.size(F.regexp_extract_all(F.col("text"), F.lit(SUBWORD_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        sub.cast("bigint").alias("subword_tokens"),
+        (F.col("n_chars") / ws).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{SUBWORD_PATTERN}')) AS BIGINT) AS subword_tokens,
+       CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')) AS chars_per_token
+FROM documents
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-4] bottom-k shingle-hash fingerprint (winnowing-style).
 

@@ -66,6 +66,10 @@ QUERIES: dict[str, QueryFn] = {
     "q38_image_features": X3.image_features,
     "q39_frame_sample": X3.frame_sample,
     "q40_nation_set_ops": R.nation_set_ops,
+    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
+    "q42_token_counts": X4.token_counts,
+    "q43_notification_ids": J.notification_ids,  # C7 uuid — no oracle (rows-only)
+    "q44_ocr_extract_pages": E.ocr_extract_pages,
 }
 
 ORACLE: dict[str, str] = {
@@ -109,4 +113,9 @@ ORACLE: dict[str, str] = {
     "q38_image_features": X3.IMAGE_FEATURES_SQL,
     "q39_frame_sample": X3.FRAME_SAMPLE_SQL,
     "q40_nation_set_ops": R.NATION_SET_OPS_SQL,
+    "q41_ann_bucketed_topk": X2.ANN_BUCKETED_TOPK_SQL,
+    "q42_token_counts": X4.TOKEN_COUNTS_SQL,
+    # q43_notification_ids: C7 uuid() is nondeterministic — deliberately
+    # no oracle entry (driver records the weaker rows-only check)
+    "q44_ocr_extract_pages": E.OCR_EXTRACT_PAGES_SQL,
 }

@@ -18,7 +18,7 @@ def test_query_matches_oracle(spark, oracle_sf_dir, name):
 def test_every_query_declared_in_oracle_or_documented():
     undocumented = set(QUERIES) - set(ORACLE)
     # non-SQL-expressible ops may omit the oracle; keep the list explicit
-    allowed_weak = set()
+    allowed_weak = {"q43_notification_ids"}  # C7 uuid() — nondeterministic
     assert undocumented <= allowed_weak, f"missing oracle SQL for: {undocumented}"
 
 
