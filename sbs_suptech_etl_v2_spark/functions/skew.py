@@ -1,0 +1,94 @@
+"""Skew-mitigation utilities — the 100 TB posture for hot keys.
+
+First line of defense is AQE (``spark.sql.adaptive.skewJoin`` splits
+oversized post-shuffle partitions at runtime — on in session.py).
+These helpers cover the cases AQE cannot fix:
+
+- **salted aggregation** — a single hot group key overwhelms one
+  reducer even after map-side combine when the map-side hash table
+  degrades (huge per-key state, e.g. collect_list). Two-phase
+  re-aggregation over a synthetic salt bounds any reducer's share of a
+  hot key to 1/n_salts.
+- **salted join** — a hot join key floods one task. Replicate the
+  small side once per salt and scatter the big side uniformly; AQE's
+  skew-join split handles sort-merge joins, but a salted plan is the
+  only option for hot keys inside aggregations-after-join or for
+  engines/stages where AQE splitting is unavailable.
+
+Salts are deterministic (``monotonically_increasing_id() % n`` — stable
+within a computed plan, uniform across partitions), so salted results
+are reproducible row-for-row, not just set-equal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+# aggregate name -> (phase-1 partial, phase-2 combine)
+_REAGG = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, Column | str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation: groupBy(keys+salt) → groupBy(keys).
+
+    ``aggs`` is ``[(out_name, column, fn)]`` with ``fn`` in
+    {sum, count, min, max} — the re-aggregatable family (phase 2
+    combines partials: count→sum, min→min, ...). A hot key's rows
+    spread over ``n_salts`` reducers in phase 1; phase 2 touches only
+    ``|groups| × n_salts`` rows. Equivalent to a plain groupBy for
+    every re-aggregatable fn (decimal inputs keep sums exact — the
+    engine's determinism rule).
+    """
+    for _, _, fn in aggs:
+        if fn not in _REAGG:
+            raise ValueError(f"{fn!r} is not re-aggregatable; use plain groupBy")
+    salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, SALT_COL).agg(
+        *[
+            _REAGG[fn][0](F.col(c) if isinstance(c, str) else c).alias(name)
+            for name, c, fn in aggs
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[_REAGG[fn][1](name).alias(name) for name, _, fn in aggs]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: scatter the big side, replicate the small.
+
+    The big side gets a uniform salt; the small side is exploded
+    ``n_salts``× so every (key, salt) bucket finds its match. Payload
+    cost: ``|small| × n_salts`` extra rows — only worth it when one
+    key dominates the big side (otherwise let AQE's skew split do the
+    work). Result equals ``big.join(small, on, how)`` for inner/left.
+    """
+    big_salted = big.withColumn(
+        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    small_rep = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = big_salted.join(small_rep, [on, SALT_COL], how)
+    return joined.drop(SALT_COL)

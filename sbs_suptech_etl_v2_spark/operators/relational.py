@@ -517,3 +517,98 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (§2.10) — 1 h size / 30 min hop.
+
+    Each event lands in exactly two overlapping windows; Spark's
+    ``window(ts, '1 hour', '30 minutes')`` does the assignment
+    (streaming-identical semantics — add ``withWatermark`` and this
+    plan runs unchanged under ``readStream``). The oracle reproduces
+    the assignment by exploding the two candidate starts per event.
+    One shuffle on (window, type); map-side partial agg first.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+EVENTS_SLIDING_WINDOW_SQL = """
+WITH assigned AS (
+  SELECT e.event_type, e.value, t.window_start
+  FROM events e,
+       unnest([
+         time_bucket(INTERVAL '30 minutes', e.ts),
+         time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes'
+       ]) AS t(window_start)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (§2.10) — {SESSION_GAP_MIN}-minute inactivity gap
+    per user.
+
+    ``session_window(ts, gap)`` merges events whose gaps stay under the
+    threshold — in streaming the same expression runs stateful with a
+    watermark. The oracle is the classic gaps-and-islands rewrite
+    (lag → new-session flag → running sum), an independent derivation
+    of the same sessions. Shuffles: one on user_id (the session merge),
+    one on the output group — both keyed, both partial-agg'd.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""

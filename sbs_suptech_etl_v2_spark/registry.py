@@ -70,6 +70,8 @@ QUERIES: dict[str, QueryFn] = {
     "q42_token_counts": X4.token_counts,
     "q43_notification_ids": J.notification_ids,  # C7 uuid — no oracle (rows-only)
     "q44_ocr_extract_pages": E.ocr_extract_pages,
+    "q45_events_sliding": R.events_sliding_window,
+    "q46_events_session": R.events_session_window,
 }
 
 ORACLE: dict[str, str] = {
@@ -118,4 +120,6 @@ ORACLE: dict[str, str] = {
     # q43_notification_ids: C7 uuid() is nondeterministic — deliberately
     # no oracle entry (driver records the weaker rows-only check)
     "q44_ocr_extract_pages": E.OCR_EXTRACT_PAGES_SQL,
+    "q45_events_sliding": R.EVENTS_SLIDING_WINDOW_SQL,
+    "q46_events_session": R.EVENTS_SESSION_WINDOW_SQL,
 }

@@ -1,0 +1,58 @@
+"""Salting utilities: salted results must equal their unsalted plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.functions.skew import salted_agg, salted_join
+from sbs_suptech_etl_v2_spark.io import table
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    plain = {
+        (r["o_orderstatus"],): (r["n"], r["total"], r["mx"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["o_orderstatus"],): (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            orders,
+            ["o_orderstatus"],
+            [
+                ("n", F.lit(1), "count"),
+                ("total", F.col("o_totalprice").cast("decimal(18,6)"), "sum"),
+                ("mx", "o_totalprice", "max"),
+            ],
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_reaggregatable():
+    with pytest.raises(ValueError):
+        salted_agg(None, ["k"], [("bad", "v", "avg")])
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in orders.join(customer, "o_custkey").collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in salted_join(orders, customer, "o_custkey", n_salts=4).collect()
+    )
+    assert salted == plain
