@@ -33,7 +33,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
-from sbs_suptech_etl_v2_spark.operators.dedup import _hash32, _let, _shingles, _words
+from sbs_suptech_etl_v2_spark.operators.dedup import (
+    _ORACLE_SHINGLE_HASHES,
+    _hash32,
+    _let,
+    _shingle_hashes,
+    _words,
+)
 
 STOPWORDS = ("the", "a")
 
@@ -318,9 +324,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sketch = _let(
-        F.array_sort(
-            F.array_distinct(F.transform(_shingles(F.col("text")), _hash32))
-        ),
+        F.array_sort(_shingle_hashes(F.col("text"))),
         lambda hs: F.array_join(
             F.transform(F.slice(hs, 1, FINGERPRINT_K), lambda h: h.cast("string")), "-"
         ),
@@ -330,24 +334,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_FINGERPRINT_SQL = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
-{{shingles}}
+{_ORACLE_SHINGLE_HASHES}
 SELECT doc_id,
        array_to_string(
-         list_transform(
-           list_slice(list_sort(list_distinct(list_transform(shingles,
-             s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))), 1, {FINGERPRINT_K}),
-           h -> CAST(h AS VARCHAR)),
+         list_transform(list_slice(list_sort(hashes), 1, {FINGERPRINT_K}),
+                        h -> CAST(h AS VARCHAR)),
          '-') AS fingerprint
-FROM shingled
-""".format(
-    shingles="""
-shingled AS (
-  SELECT doc_id,
-    CASE WHEN len(words) >= 3
-         THEN list_distinct(list_transform(range(1, len(words) - 1),
-                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
-         ELSE [text] END AS shingles
-  FROM (SELECT doc_id, text, str_split(text, ' ') AS words FROM corpus)
-)
+FROM shingle_hashed
 """
-)
