@@ -248,6 +248,110 @@ WHERE rank <= {ANN_TOP_K}
 """
 
 
+CENTROID_STRIDE = 201  # vec_id % stride == 3 → centroid (fixed quantizer)
+IVF_NPROBE = 2
+IVF_TOP_K = 3
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] IVF approximate top-k — coarse quantizer + nprobe search.
+
+    The inverted-file ANN path: a fixed coarse quantizer (deterministic
+    centroid subset — production trains k-means once offline) assigns
+    every vector to its nearest centroid cell; a query probes its
+    {IVF_NPROBE} nearest cells and scores ONLY their members. Build
+    cost |V|×|C| dots amortizes over all queries; per-query cost is
+    nprobe cells' occupancy, independent of corpus size as |C| grows
+    with √|V|. Same plan shape as the LSH variant (q41) with the
+    bucket id replaced by a learned cell id.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
+        "vec_id", "u"
+    )
+    centroids = unit.filter(F.col("vec_id") % CENTROID_STRIDE == 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("u").alias("uc")
+    )
+    scored_cells = unit.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "u", "cent_id", _dot(F.col("u"), F.col("uc")).alias("cscore")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cent_id"))
+    assigned = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "u", "cent_id")
+    )
+    probes = (
+        scored_cells.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "cent_id")
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("u").alias("ucand"), "cent_id"
+    )
+    pair_scores = (
+        probes.join(cands, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("ucand")).alias("score"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        pair_scores.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "cand_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
+  FROM vecs
+),
+centroids AS (
+  SELECT vec_id AS cent_id, u AS uc FROM unit WHERE vec_id % {CENTROID_STRIDE} = 3
+),
+scored_cells AS (
+  SELECT n.vec_id, n.u, c.cent_id, {_sql_dot('n.u', 'c.uc')} AS cscore
+  FROM unit n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, u, cent_id FROM (
+    SELECT vec_id, u, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cent_id) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, u AS uq, cent_id FROM (
+    SELECT vec_id, u, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cent_id) AS rn
+    FROM scored_cells WHERE vec_id % {QUERY_STRIDE} = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+pair_scores AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS cand_id,
+         {_sql_dot('p.uq', 'a.u')} AS score
+  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, cand_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cand_id) AS rank
+  FROM pair_scores
+)
+WHERE rank <= {IVF_TOP_K}
+"""
+
+
 def _variant_vec(v: Column, band_signs: list[int]) -> Column:
     signs = F.array(*[F.lit(float(s)) for s in band_signs])
     return F.zip_with(v, signs, lambda x, s: x + F.lit(PERTURB) * s)

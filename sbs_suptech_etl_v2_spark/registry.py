@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     "q44_ocr_extract_pages": E.ocr_extract_pages,
     "q45_events_sliding": R.events_sliding_window,
     "q46_events_session": R.events_session_window,
+    "q47_ivf_topk": X2.ivf_topk,
 }
 
 ORACLE: dict[str, str] = {
@@ -122,4 +123,5 @@ ORACLE: dict[str, str] = {
     "q44_ocr_extract_pages": E.OCR_EXTRACT_PAGES_SQL,
     "q45_events_sliding": R.EVENTS_SLIDING_WINDOW_SQL,
     "q46_events_session": R.EVENTS_SESSION_WINDOW_SQL,
+    "q47_ivf_topk": X2.IVF_TOPK_SQL,
 }
