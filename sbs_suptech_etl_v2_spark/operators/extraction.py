@@ -67,6 +67,12 @@ def extract_structured(
     an unpicklable client.
     """
 
+    value_cols = [
+        f.strip().split(" ")[0]
+        for f in out_schema.split(",")
+        if f.strip().split(" ")[0] not in key_cols
+    ]
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -78,7 +84,8 @@ def extract_structured(
 
         for pdf in batches:
             extracted = bounded_map(call, pdf[content_col].tolist())
-            out = pd.DataFrame(extracted)
+            # explicit columns: an empty batch must still match the schema
+            out = pd.DataFrame(extracted, columns=value_cols)
             for i, k in enumerate(key_cols):
                 out.insert(i, k, pdf[k].values)
             yield out
