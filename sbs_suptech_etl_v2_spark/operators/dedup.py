@@ -269,12 +269,6 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_sig"
     )
-    pairs = (
-        a.join(b, ["band_id", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     est = (
         F.size(
             F.filter(
@@ -284,9 +278,15 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(float(N_HASHES))
     )
+    # verify before dedup: the threshold kills almost all candidates, so
+    # the duplicate-pair dedup shuffles a few scalar rows instead of
+    # signature arrays (multi-band duplicates recompute est — rare)
     return (
-        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -81,6 +81,38 @@ WHERE o_totalprice > 5000 AND o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
 """
 
 
+def props_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 on real table data — decode the events JSON ``props`` column.
+
+    ``from_json`` under an explicit schema, then a grouped aggregate
+    over the extracted field — the decode stays a narrow map; the only
+    shuffle is the group key. (q36 covers the synthesized request DTO;
+    this one parses the driver table's own JSON.)
+    """
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+PROPS_DECODE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def notification_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 — uuid() message ids on the notification projection.
 

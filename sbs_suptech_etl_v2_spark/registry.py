@@ -73,6 +73,7 @@ QUERIES: dict[str, QueryFn] = {
     "q45_events_sliding": R.events_sliding_window,
     "q46_events_session": R.events_session_window,
     "q47_ivf_topk": X2.ivf_topk,
+    "q48_props_decode": J.props_decode,
 }
 
 ORACLE: dict[str, str] = {
@@ -124,4 +125,5 @@ ORACLE: dict[str, str] = {
     "q45_events_sliding": R.EVENTS_SLIDING_WINDOW_SQL,
     "q46_events_session": R.EVENTS_SESSION_WINDOW_SQL,
     "q47_ivf_topk": X2.IVF_TOPK_SQL,
+    "q48_props_decode": J.PROPS_DECODE_SQL,
 }
