@@ -10,13 +10,16 @@ search, text analysis, multimodal columns) designed for 100 TB scale.
 Layout:
   session    — SparkSession builder (AQE, Arrow, UTC)
   io         — parquet readers / view registration for the test tables
-  schemas    — StructTypes for the document-pipeline data model
-  functions/ — scalar column functions (SURVEY §2.8 C1-C12), text, vectors
-  operators/ — relational, dedup, similarity, text-analysis, documents
-  plans/     — end-to-end ETL plans (route → stages → merge → notify)
-  sources/   — request decode (Kafka/HTTP shape), fake OCR block source
-  sinks/     — metadata merge-upsert, notification sink
-  streaming/ — Structured Streaming ingress (foreachBatch into the plan)
+  registry   — QUERIES/ORACLE: the driver-checked query surface
+  functions/ — scalar column functions (SURVEY §2.8 C1-C12), skew salting
+  operators/ — relational, dedup, similarity, textops, documents,
+               extraction, blocks, jsonops, multimodal
+  ports/     — transform (LLM) and extract (OCR) ports: retry/backoff,
+               bounded concurrency, deterministic fakes
+  plans/     — end-to-end ETL plan (route → stages → merge → notify)
+  sources/   — HTTP-batch entry, binaryFile prefix-listing scan
+  sinks/     — text artifacts, metadata MERGE, notification chunking, lake
+  streaming/ — readStream ingress, foreachBatch, stateful dedup
 """
 
 __version__ = "0.1.0"

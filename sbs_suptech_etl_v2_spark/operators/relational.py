@@ -448,6 +448,54 @@ FROM keys JOIN customer ON o_custkey = c_custkey
 """
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — fact⋈dimension join + conditional aggregate.
+
+    Monthly share of revenue from PROMO-type parts: lineitem joins the
+    ``part`` dimension on partkey (shuffle on the join key; at scale
+    ``part`` is mid-sized — AQE picks broadcast vs shuffle), then a
+    conditional decimal sum per ship month. The ratio divides two
+    exact decimal sums cast to double — bit-deterministic.
+    """
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    disc = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum(promo).alias("_promo"),
+            F.sum(disc).alias("_total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "ship_month",
+            (F.col("_promo").cast("double") * 100 / F.col("_total").cast("double")).alias(
+                "promo_share_pct"
+            ),
+            F.col("_total").cast("double").alias("total_revenue"),
+            "n_items",
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS promo_share_pct,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical INTERSECT / EXCEPT ALL coverage (§2.7) on bounded dims.
 

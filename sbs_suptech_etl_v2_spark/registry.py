@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "q46_events_session": R.events_session_window,
     "q47_ivf_topk": X2.ivf_topk,
     "q48_props_decode": J.props_decode,
+    "q49_promo_revenue": R.promo_revenue_share,
 }
 
 ORACLE: dict[str, str] = {
@@ -126,4 +127,5 @@ ORACLE: dict[str, str] = {
     "q46_events_session": R.EVENTS_SESSION_WINDOW_SQL,
     "q47_ivf_topk": X2.IVF_TOPK_SQL,
     "q48_props_decode": J.PROPS_DECODE_SQL,
+    "q49_promo_revenue": R.PROMO_REVENUE_SHARE_SQL,
 }
