@@ -10,3 +10,7 @@ from sbs_suptech_etl_v2_spark.functions.scalars import (  # noqa: F401
     refine_year,
     stringify_map_values,
 )
+from sbs_suptech_etl_v2_spark.functions.skew import (  # noqa: F401
+    salted_agg,
+    salted_join,
+)
