@@ -317,6 +317,102 @@ WHERE len(list_filter(range({N_HASHES}), i -> sa.sig[i+1] = sb.sig[i+1])) / {N_H
 """
 
 
+CLUSTER_ITERATIONS = 3
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] near-dup clustering — label propagation over the pair graph.
+
+    Turns the MinHash candidate pairs into dedup clusters: every
+    document starts labeled with its own id; each round every node
+    takes the min of its label and its neighbors' labels. Bounded to
+    {CLUSTER_ITERATIONS} rounds (covers paths of that length — the
+    planted star-shaped duplicate groups converge in one; production
+    runs rounds until a fixpoint, each round one join + one groupBy on
+    the edge list — the standard large-scale connected-components
+    recipe). Output: members of non-trivial clusters with the
+    canonical (min-id) representative and cluster size — the rows a
+    dedup pass would drop are exactly those with doc_id != cluster_id.
+    """
+    docs = table(spark, sf_dir, "documents")
+    corpus_ids = _variant_corpus(docs).select("doc_id")
+    pairs = minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+    labels = corpus_ids.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CLUSTER_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
+def _clusters_sql() -> str:
+    steps = []
+    prev = "labels0"
+    for i in range(1, CLUSTER_ITERATIONS + 1):
+        steps.append(
+            f"""labels{i} AS (
+  SELECT l.doc_id,
+         least(l.label, coalesce(n.nbr_label, l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN (
+    SELECT e.src, MIN(p.label) AS nbr_label
+    FROM edges e JOIN {prev} p ON p.doc_id = e.dst
+    GROUP BY e.src
+  ) n ON n.src = l.doc_id
+)"""
+        )
+        prev = f"labels{i}"
+    joined_steps = ",\n".join(steps)
+    return f"""
+WITH {_ORACLE_VARIANTS},
+pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_NEARDUP_SQL})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+labels0 AS (
+  SELECT doc_id, doc_id AS label FROM corpus
+),
+{joined_steps},
+sizes AS (
+  SELECT label, COUNT(*) AS cluster_size FROM {prev} GROUP BY label
+)
+SELECT l.doc_id, l.label AS cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM {prev} l JOIN sizes s ON s.label = l.label
+WHERE s.cluster_size > 1
+"""
+
+
+NEARDUP_CLUSTERS_SQL = _clusters_sql()
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-1] SimHash — 32-bit near-dup signature per document.
 

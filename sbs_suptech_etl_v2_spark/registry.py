@@ -75,6 +75,7 @@ QUERIES: dict[str, QueryFn] = {
     "q47_ivf_topk": X2.ivf_topk,
     "q48_props_decode": J.props_decode,
     "q49_promo_revenue": R.promo_revenue_share,
+    "q50_neardup_clusters": X1.neardup_clusters,
 }
 
 ORACLE: dict[str, str] = {
@@ -128,4 +129,5 @@ ORACLE: dict[str, str] = {
     "q47_ivf_topk": X2.IVF_TOPK_SQL,
     "q48_props_decode": J.PROPS_DECODE_SQL,
     "q49_promo_revenue": R.PROMO_REVENUE_SHARE_SQL,
+    "q50_neardup_clusters": X1.NEARDUP_CLUSTERS_SQL,
 }
