@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.operators.dedup import _let
 
 TOP_K = 10
 QUERY_STRIDE = 100  # vec_id % stride == 0 → query vector
@@ -458,3 +459,67 @@ SELECT vec_a, vec_b, cosine FROM pairs
 
 
 ANN_BUCKETED_TOPK_SQL = _ann_sql()
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] int8 scalar quantization — embedding storage at 100 TB.
+
+    Per-vector symmetric int8 quantization (scale = 127/max|x|): 4×
+    smaller embeddings with sub-1% reconstruction error, the standard
+    storage layout for trillion-row vector tables (dot products then
+    run over int8 codes with one rescale at the end). Map-only plan;
+    outputs the scale, an exact integer checksum of the codes, and the
+    sequential-fold mean absolute reconstruction error per vector.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+
+    def body(v: Column) -> Column:
+        scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+        codes = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+        return _let(
+            codes,
+            lambda q: F.struct(
+                scale.alias("scale"),
+                F.aggregate(
+                    q, F.lit(0).cast("bigint"), lambda acc, c: acc + c
+                ).alias("code_checksum"),
+                (
+                    F.aggregate(
+                        F.zip_with(v, q, lambda x, c: F.abs(x - c / scale)),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    )
+                    / F.size(v)
+                ).alias("mean_abs_err"),
+            ),
+        )
+
+    out = vecs.select("vec_id", _let(F.col("v"), body).alias("s"))
+    return out.select(
+        "vec_id", "s.scale", "s.code_checksum", "s.mean_abs_err"
+    )
+
+
+QUANTIZE_EMBEDDINGS_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM vecs
+),
+coded AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS q
+  FROM scaled
+)
+SELECT vec_id, scale,
+       CAST(list_reduce(list_transform(q, c -> CAST(c AS BIGINT)),
+                        (acc, c) -> acc + c) AS BIGINT) AS code_checksum,
+       list_reduce(list_transform(range(1, len(v) + 1),
+                                  i -> abs(v[i] - q[i] / scale)),
+                   (acc, e) -> acc + e) / len(v) AS mean_abs_err
+FROM coded
+"""

@@ -76,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     "q48_props_decode": J.props_decode,
     "q49_promo_revenue": R.promo_revenue_share,
     "q50_neardup_clusters": X1.neardup_clusters,
+    "q51_quantize_embeddings": X2.quantize_embeddings,
 }
 
 ORACLE: dict[str, str] = {
@@ -130,4 +131,5 @@ ORACLE: dict[str, str] = {
     "q48_props_decode": J.PROPS_DECODE_SQL,
     "q49_promo_revenue": R.PROMO_REVENUE_SHARE_SQL,
     "q50_neardup_clusters": X1.NEARDUP_CLUSTERS_SQL,
+    "q51_quantize_embeddings": X2.QUANTIZE_EMBEDDINGS_SQL,
 }
