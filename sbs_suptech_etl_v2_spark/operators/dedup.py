@@ -336,7 +336,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     corpus_ids = _variant_corpus(docs).select("doc_id")
-    pairs = minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the (tiny) pair list once and truncate its lineage:
+    # every label iteration references the edge list, and without the
+    # checkpoint Spark re-executes the whole MinHash pipeline per
+    # reference (~6x) — the standard move for iterative algorithms
+    pairs = minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
