@@ -22,7 +22,7 @@ LLM ports so a task failure re-runs a bounded number of calls.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,14 +57,16 @@ def extract_structured(
     out_schema: str,
     key_cols: tuple[str, ...] = ("doc_id",),
     content_col: str = "content",
+    port_factory: Callable[[], Any] | None = None,
 ) -> DataFrame:
     """Run a transform-port method over every row via ``mapInPandas``.
 
     One Arrow batch in → one extracted batch out; within a batch the
     port is invoked through ``with_throttling_retry`` (A10) under
     ``bounded_map`` (A9). The port instance is constructed inside the
-    task (never serialized from the driver) — the production port holds
-    an unpicklable client.
+    task via ``port_factory`` (never serialized from the driver) — the
+    production port holds an unpicklable client. Default:
+    ``FakeTransformer``.
     """
 
     value_cols = [
@@ -72,11 +74,12 @@ def extract_structured(
         for f in out_schema.split(",")
         if f.strip().split(" ")[0] not in key_cols
     ]
+    factory = port_factory if port_factory is not None else FakeTransformer
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        port = FakeTransformer()
+        port = factory()
         method: Callable[[str], dict] = getattr(port, port_method_name)
 
         def call(content: str) -> dict:

@@ -109,7 +109,9 @@ def _extract(branch: DataFrame) -> DataFrame:
     )
 
 
-def _transform(extracted: DataFrame, port_method: str, out_schema: str) -> DataFrame:
+def _transform(
+    extracted: DataFrame, port_method: str, out_schema: str, port_factory=None
+) -> DataFrame:
     """A2-A4 + C2/C3 — port extraction (F4-gated) + period refinement."""
     gated = extracted.filter(F.col("extract_success"))
     fields = extract_structured(
@@ -117,6 +119,7 @@ def _transform(extracted: DataFrame, port_method: str, out_schema: str) -> DataF
         port_method,
         out_schema,
         key_cols=("record_id",),
+        port_factory=port_factory,
     )
     return (
         gated.join(fields, "record_id", "left")
@@ -145,6 +148,7 @@ def run_document_etl(
     requests: DataFrame,
     lake_dir: str,
     notifier: NotificationBatchWriter | None = None,
+    port_factory=None,
 ) -> DataFrame:
     """Run the full Extract→Transform→Load→Notify plan.
 
@@ -153,13 +157,26 @@ def run_document_etl(
     decoder). Side effects: ``{lake_dir}/txt/*.txt`` artifacts and the
     ``{lake_dir}/metadata`` merged table. Returns the per-document
     result rows (record_id, document_type, success) after notifying.
+
+    The transform output is ``persist()``ed before the first action:
+    the plan fires three actions per flow (K1 text write, K2 metadata
+    merge, results/notify), and without the persist each one would
+    re-execute the ``mapInPandas`` LLM port — exactly the reference's
+    double-execution bug **[B]** (workflow_orchestator.py:82-83) at 3×
+    the external-call spend. The returned result frame is
+    ``localCheckpoint``ed (it is small — one flag row per request) so
+    the cached port output can be released before returning.
     """
     notifier = notifier if notifier is not None else NotificationBatchWriter()
     branches = _route(requests)
     results = []
+    persisted: list[DataFrame] = []
     for flow, port_method, out_schema in _FLOWS:
         extracted = _extract(branches[flow])
-        transformed = _transform(extracted, port_method, out_schema)
+        transformed = _transform(extracted, port_method, out_schema, port_factory)
+        # one port execution per flow: cache across the K1/K2/notify actions
+        transformed = transformed.persist()
+        persisted.append(transformed)
         extracted_cols = [
             f.split(" ")[0] for f in out_schema.split(", ") if not f.startswith("record_id")
         ]
@@ -217,4 +234,9 @@ def run_document_etl(
         ).alias("body"),
     )
     notifier(notifications, batch_id=0)
+    # cut the lineage of the (small) result frame so the port caches can
+    # be released — callers may run further actions on the return value
+    merged = merged.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
     return merged

@@ -27,8 +27,10 @@ the same observable semantics:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import tempfile
 import uuid
 from collections.abc import Callable, Iterator, Sequence
 from typing import Any
@@ -129,40 +131,88 @@ def overwrite_rows(spark: SparkSession, table_path: str, replacements: DataFrame
     _atomic_swap(spark, out, table_path)
 
 
+def _spool_sender(spool_dir: str) -> Callable[[list[dict[str, Any]]], None]:
+    """Partition-local recorder client: each sent chunk becomes one JSON
+    line in a uniquely-named file under ``spool_dir``. Runs inside the
+    executor's Python worker — no row ever travels to the driver — and
+    is how tests observe executor-side sends (the VERDICT's
+    "partition-local client recorder")."""
+
+    def send(chunk: list[dict[str, Any]]) -> None:
+        path = os.path.join(spool_dir, f"{uuid.uuid4().hex}.jsonl")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps(chunk))
+
+    return send
+
+
 class NotificationBatchWriter:
     """K3 — SQS-shaped notification sink, chunked by {SQS_BATCH_MAX}.
 
-    Callable as ``foreachBatch(writer)``: serializes each micro-batch's
-    rows to ``{Id, MessageBody}`` entries (the reference's
-    sqs_notification.py:29-39 shape) and hands them to the injected
-    client in chunks of ≤10 — the intended semantics behind the
-    reference's unchunked send **[B]**. The default client records
-    batches in memory (test double); production injects boto3 SQS.
+    Callable as ``foreachBatch(writer)``: each partition builds its own
+    client via ``client_factory`` and sends its rows as ``{Id,
+    MessageBody}`` entries (the reference's sqs_notification.py:29-39
+    shape) in chunks of ≤10 — the intended semantics behind the
+    reference's unchunked send **[B]**. Sends happen in
+    ``foreachPartition`` on the executors, mirroring K1
+    (``write_text_artifacts``): the driver never materializes a row, so
+    an unthrottled batch (e.g. the batch document-ETL plan passing all
+    successes at once) costs zero driver memory. Production injects a
+    factory returning a per-partition boto3 SQS ``send_message_batch``;
+    the default factory records chunks to a local spool directory,
+    exposed to tests via ``sent_batches``.
     """
 
     def __init__(
         self,
-        client_send: Callable[[list[dict[str, Any]]], None] | None = None,
+        client_factory: Callable[[], Callable[[list[dict[str, Any]]], None]] | None = None,
         body_col: str = "body",
         id_col: str = "recordId",
     ):
-        self.sent_batches: list[list[dict[str, Any]]] = []
-        self._send = client_send if client_send is not None else self.sent_batches.append
+        self._spool_dir: str | None = None
+        if client_factory is None:
+            self._spool_dir = tempfile.mkdtemp(prefix="sqs_spool_")
+            spool = self._spool_dir
+
+            def client_factory() -> Callable[[list[dict[str, Any]]], None]:
+                return _spool_sender(spool)
+
+        self._client_factory = client_factory
         self._body_col = body_col
         self._id_col = id_col
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(self._id_col, self._body_col).collect()
-        entries = [
-            {"Id": r[self._id_col], "MessageBody": r[self._body_col]} for r in rows
-        ]
-        for chunk in self._chunks(entries):
-            self._send(chunk)
+        factory = self._client_factory
+        id_col, body_col = self._id_col, self._body_col
 
-    @staticmethod
-    def _chunks(entries: Sequence[dict[str, Any]]) -> Iterator[list[dict[str, Any]]]:
-        for i in range(0, len(entries), SQS_BATCH_MAX):
-            yield list(entries[i : i + SQS_BATCH_MAX])
+        def send_partition(it: Iterator[Row]) -> None:
+            send = factory()
+            chunk: list[dict[str, Any]] = []
+            for row in it:
+                chunk.append({"Id": row[id_col], "MessageBody": row[body_col]})
+                if len(chunk) == SQS_BATCH_MAX:
+                    send(chunk)
+                    chunk = []
+            if chunk:
+                send(chunk)
+
+        batch_df.select(id_col, body_col).foreachPartition(send_partition)
+
+    @property
+    def sent_batches(self) -> list[list[dict[str, Any]]]:
+        """Chunks recorded by the default spool client (test double).
+
+        Order across partitions is nondeterministic — exactly as SQS
+        sends from concurrent executors would be. Empty when a custom
+        ``client_factory`` is injected.
+        """
+        if self._spool_dir is None or not os.path.isdir(self._spool_dir):
+            return []
+        batches = []
+        for name in sorted(os.listdir(self._spool_dir)):
+            with open(os.path.join(self._spool_dir, name), encoding="utf-8") as fh:
+                batches.append(json.loads(fh.read()))
+        return batches
 
 
 def stage_text_artifacts(df: DataFrame, record_id_col: str, content_col: str) -> DataFrame:

@@ -100,12 +100,67 @@ def test_full_document_etl_plan(spark, tmp_path):
     assert meta["rec_1"]["inscription_number"] == "1001"
     assert meta["rec_1"]["inscription_date"] == "06/12/2021"
 
-    # K3 notifications: 12 successes -> chunks of 10 + 2, nested JSON body
-    sizes = [len(b) for b in notifier.sent_batches]
-    assert sizes == [10, 2]
+    # K3 notifications: 12 successes, every chunk ≤10 (per-partition
+    # chunking — executors send independently), nested JSON body
+    sent = [e for b in notifier.sent_batches for e in b]
+    assert len(sent) == 12
+    assert all(len(b) <= 10 for b in notifier.sent_batches)
+    assert sorted(e["Id"] for e in sent) == sorted(f"rec_{i}" for i in range(12))
     body = json.loads(notifier.sent_batches[0][0]["MessageBody"])
     assert body["type"].startswith("regulatory-compliance")
     assert set(body["data"]) == {"recordId", "parentId"}
+
+
+def test_port_executes_once_per_request(spark, tmp_path):
+    """The LLM port must run exactly once per request across the whole
+    composed plan (K1 write + K2 merge + notify + caller actions).
+
+    Guards against the reference's double-execution bug [B]
+    (workflow_orchestator.py:82-83): before the persist() fix the three
+    actions re-ran the mapInPandas port ~3x per flow. Each port call
+    drops a uniquely-named marker file from the executor; the total
+    must equal the request count.
+    """
+    import os
+    import uuid as uuid_mod
+
+    calls_dir = str(tmp_path / "calls")
+    os.makedirs(calls_dir)
+
+    def factory():
+        from sbs_suptech_etl_v2_spark.ports.transformer import FakeTransformer
+
+        class CountingTransformer(FakeTransformer):
+            def _mark(self):
+                path = os.path.join(calls_dir, uuid_mod.uuid4().hex)
+                with open(path, "w") as fh:
+                    fh.write("1")
+
+            def llm_caller_polizas(self, content):
+                self._mark()
+                return super().llm_caller_polizas(content)
+
+            def llm_caller_inscripciones(self, content):
+                self._mark()
+                return super().llm_caller_inscripciones(content)
+
+            def llm_caller_tasaciones(self, content):
+                self._mark()
+                return super().llm_caller_tasaciones(content)
+
+        return CountingTransformer()
+
+    results = run_document_etl(
+        spark,
+        _requests(spark),
+        str(tmp_path / "lake"),
+        NotificationBatchWriter(),
+        port_factory=factory,
+    )
+    # two extra caller-side actions on the returned frame: still no re-run
+    assert results.count() == 12
+    assert len(results.collect()) == 12
+    assert len(os.listdir(calls_dir)) == 12  # exactly one port call per request
 
 
 def test_failed_extract_produces_no_notification(spark, tmp_path):

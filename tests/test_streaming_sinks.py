@@ -183,9 +183,45 @@ def test_notification_writer_chunks_by_ten(spark):
         [(f"id_{i}", f'{{"n":{i}}}') for i in range(23)], "recordId string, body string"
     )
     writer = NotificationBatchWriter()
-    writer(df, batch_id=0)
-    sizes = [len(b) for b in writer.sent_batches]
-    assert sizes == [10, 10, 3]
+    writer(df.coalesce(1), batch_id=0)
+    sizes = sorted(len(b) for b in writer.sent_batches)
+    assert sizes == [3, 10, 10]  # single partition -> exact 10/10/3 split
     sent_ids = [e["Id"] for batch in writer.sent_batches for e in batch]
     assert sorted(sent_ids) == sorted(f"id_{i}" for i in range(23))
-    assert writer.sent_batches[0][0]["MessageBody"].startswith('{"n":')
+    assert all(
+        e["MessageBody"].startswith('{"n":') for b in writer.sent_batches for e in b
+    )
+
+
+def test_notification_writer_sends_from_executors(spark, tmp_path):
+    """Chunks must be sent from executor workers — never a driver collect.
+
+    A partition-local recorder stamps each chunk with the sending
+    process's PID; in local mode Python workers are separate processes,
+    so every send PID must differ from the driver's.
+    """
+    import json as _json
+    import os as _os
+
+    spool = str(tmp_path / "spool")
+    _os.makedirs(spool)
+
+    def factory():
+        def send(chunk):
+            pid = _os.getpid()
+            with open(_os.path.join(spool, f"{pid}_{id(chunk)}.json"), "w") as fh:
+                fh.write(_json.dumps({"pid": pid, "n": len(chunk)}))
+
+        return send
+
+    df = spark.createDataFrame(
+        [(f"id_{i}", "{}") for i in range(37)], "recordId string, body string"
+    ).repartition(4)
+    writer = NotificationBatchWriter(client_factory=factory)
+    writer(df, batch_id=0)
+    records = [
+        _json.loads(open(_os.path.join(spool, f)).read()) for f in _os.listdir(spool)
+    ]
+    assert sum(r["n"] for r in records) == 37
+    assert all(r["n"] <= 10 for r in records)
+    assert all(r["pid"] != _os.getpid() for r in records)  # executor-side only
