@@ -39,6 +39,11 @@ from sbs_suptech_etl_v2_spark.operators.dedup import _let
 
 TOP_K = 10
 QUERY_STRIDE = 100  # vec_id % stride == 0 → query vector
+# q24 broadcasts its query set: cap it at a FIXED count so broadcast
+# size is corpus-independent (a %-stride alone grows as |V|/stride —
+# an OOM at 100×). q41/q47 queries ride the bucket shuffle instead and
+# may keep growing with the corpus.
+MAX_BF_QUERIES = 16
 
 NEARDUP_OFFSET = 100_000
 NEARDUP_STRIDE = 5  # every 5th vector gets a planted variant
@@ -101,18 +106,22 @@ def _sql_dot(a: str, b: str) -> str:
 def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-2] brute-force top-k cosine — the ANN exactness baseline.
 
-    Query set = ``vec_id % {QUERY_STRIDE} == 0`` (scales with the table
-    but stays a tiny fraction); broadcast it against all candidates,
-    one window per query for the top-{TOP_K}. The broadcast keeps the
-    big side un-shuffled — the only shuffle is the per-query window,
-    partitioned by query_id (bounded cardinality). At 100 TB replace
-    the full candidate scan with the LSH/IVF bucket join below.
+    Query set = every {QUERY_STRIDE}-th vector, capped at
+    {MAX_BF_QUERIES} queries — a FIXED count, so the broadcast stays
+    constant-size no matter how large the corpus grows. Broadcast it
+    against all candidates, one window per query for the top-{TOP_K}.
+    The broadcast keeps the big side un-shuffled — the only shuffle is
+    the per-query window, partitioned by query_id (bounded
+    cardinality). At 100 TB replace the full candidate scan with the
+    LSH/IVF bucket join below; for a corpus-scale query SET, drop the
+    broadcast and shuffle-join on the bucket key instead.
     """
     emb = table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
-    queries = vecs.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
-    )
+    queries = vecs.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
     scored = (
         vecs.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -142,6 +151,7 @@ scored AS (
            / (sqrt({_sql_dot('q.v', 'q.v')}) * sqrt({_sql_dot('c.v', 'c.v')})) AS score
   FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
   WHERE q.vec_id % {QUERY_STRIDE} = 0
+    AND q.vec_id < {QUERY_STRIDE * MAX_BF_QUERIES}
 )
 SELECT query_id, cand_id, score, CAST(rank AS INTEGER) AS rank
 FROM (
@@ -157,8 +167,17 @@ ANN_TOP_K = 5
 
 
 def _unit(vecs: DataFrame) -> DataFrame:
+    # bind the norm ONCE per row: a bare transform(v, x -> x/_norm(v))
+    # re-folds the 64-element norm for every element (O(d²) per row —
+    # CollapseProject inlines the norm into each lambda use). Value is
+    # identical, so the oracle's plain x/sqrt(dot) form still matches.
     return vecs.select(
-        "vec_id", F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"), "v"
+        "vec_id",
+        _let(
+            _norm(F.col("v")),
+            lambda n: F.transform(F.col("v"), lambda x: x / n),
+        ).alias("u"),
+        "v",
     )
 
 
@@ -254,7 +273,13 @@ WHERE rank <= {ANN_TOP_K}
 """
 
 
-CENTROID_STRIDE = 201  # vec_id % stride == 3 → centroid (fixed quantizer)
+CENTROID_STRIDE = 201  # vec_id % stride == 3 → centroid candidate
+# FIXED quantizer size: exactly min(|V|, K)-ish centroids regardless of
+# corpus scale. A bare %-stride grows |C| as |V|/201, making the build
+# |V|²/201 dots and the centroid broadcast linear in the corpus — both
+# scale-killers. Production trains k-means to K ≈ √N offline; the demo
+# freezes a deterministic K-element sample.
+IVF_K = 8
 IVF_NPROBE = 2
 IVF_TOP_K = 3
 
@@ -263,21 +288,22 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-2] IVF approximate top-k — coarse quantizer + nprobe search.
 
     The inverted-file ANN path: a fixed coarse quantizer (deterministic
-    centroid subset — production trains k-means once offline) assigns
-    every vector to its nearest centroid cell; a query probes its
-    {IVF_NPROBE} nearest cells and scores ONLY their members. Build
-    cost |V|×|C| dots amortizes over all queries; per-query cost is
-    nprobe cells' occupancy, independent of corpus size as |C| grows
-    with √|V|. Same plan shape as the LSH variant (q41) with the
-    bucket id replaced by a learned cell id.
+    {IVF_K}-centroid subset — production trains k-means to K ≈ √N once
+    offline) assigns every vector to its nearest centroid cell; a query
+    probes its {IVF_NPROBE} nearest cells and scores ONLY their
+    members. Build cost is |V|×K dots (linear in the corpus, K fixed)
+    and the centroid broadcast is K×{DIM} doubles — constant; per-query
+    cost is nprobe cells' occupancy. Same plan shape as the LSH variant
+    (q41) with the bucket id replaced by a learned cell id.
     """
     emb = table(spark, sf_dir, "embeddings")
     unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
         "vec_id", "u"
     )
-    centroids = unit.filter(F.col("vec_id") % CENTROID_STRIDE == 3).select(
-        F.col("vec_id").alias("cent_id"), F.col("u").alias("uc")
-    )
+    centroids = unit.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 3)
+        & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("uc"))
     scored_cells = unit.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "u", "cent_id", _dot(F.col("u"), F.col("uc")).alias("cscore")
     )
@@ -319,7 +345,9 @@ unit AS (
   FROM vecs
 ),
 centroids AS (
-  SELECT vec_id AS cent_id, u AS uc FROM unit WHERE vec_id % {CENTROID_STRIDE} = 3
+  SELECT vec_id AS cent_id, u AS uc FROM unit
+  WHERE vec_id % {CENTROID_STRIDE} = 3
+    AND vec_id < {CENTROID_STRIDE * IVF_K}
 ),
 scored_cells AS (
   SELECT n.vec_id, n.u, c.cent_id, {_sql_dot('n.u', 'c.uc')} AS cscore
