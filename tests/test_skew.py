@@ -42,6 +42,12 @@ def test_salted_agg_rejects_non_reaggregatable():
         salted_agg(None, ["k"], [("bad", "v", "avg")])
 
 
+def test_salted_join_rejects_right_and_full():
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(None, None, "k", how=how)
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = table(spark, sf_dir, "customer").select(

@@ -102,9 +102,10 @@ def test_listing_scan_filters_and_period_parse(spark, tmp_path):
 
     df = listing_scan(spark, str(root), "Polizas", extension="pdf")
     rows = {r["basename"]: r for r in df.collect()}
-    # extension filter: glob is case-sensitive lowercase (F2's intent is
-    # case-insensitive; uppercase keys need a second glob or a filter)
+    # extension filter is case-insensitive like the reference's
+    # key.lower().endswith — '.PDF' keys must survive the glob
     assert "a.pdf" in rows and "c.pdf" in rows
+    assert "B.PDF" in rows
     assert "skip.docx" not in rows
     assert rows["a.pdf"]["period_month"] == "5"
     assert rows["a.pdf"]["period_year"] == "2023"
@@ -113,7 +114,9 @@ def test_listing_scan_filters_and_period_parse(spark, tmp_path):
 
     picked = listing_scan(spark, str(root), "Polizas", position=0).collect()
     assert len(picked) == 1
-    assert picked[0]["basename"] == "a.pdf"  # key-ordered positional pick
+    # key-ordered positional pick; 'B' < 'a' in byte order, and the
+    # case-insensitive glob now lists B.PDF
+    assert picked[0]["basename"] == "B.PDF"
 
 
 def test_write_text_artifacts_one_file_per_row(spark, tmp_path):
