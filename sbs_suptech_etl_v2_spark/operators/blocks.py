@@ -164,7 +164,13 @@ def blocks_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     intended deterministic line order).
     """
     docs = table(spark, sf_dir, "documents")
-    blocks = synthesize_blocks(docs)
+    # materialize the synthesized graph once: the closure references
+    # the block frame {depth}+2 times (edges per step, roots, the LINE
+    # join-back), and each reference would otherwise re-run the whole
+    # explode/concat synthesis. Block rows are tiny (ids + short text).
+    # In production blocks arrive as a real table, so this checkpoint
+    # models the scan; with a persisted source table it is a no-op.
+    blocks = synthesize_blocks(docs).localCheckpoint()
     reach = page_closure(blocks)
     line_blocks = blocks.filter(F.col("block_type") == "LINE").select(
         F.col("block_id"), F.col("line_no"), F.col("text")

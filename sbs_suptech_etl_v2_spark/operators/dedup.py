@@ -344,8 +344,6 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical (min-id) representative and cluster size — the rows a
     dedup pass would drop are exactly those with doc_id != cluster_id.
     """
-    docs = table(spark, sf_dir, "documents")
-    corpus_ids = _variant_corpus(docs).select("doc_id")
     # materialize the (tiny) pair list once and truncate its lineage:
     # every label iteration references the edge list, and without the
     # checkpoint Spark re-executes the whole MinHash pipeline per
@@ -355,7 +353,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
 
-    labels = corpus_ids.select("doc_id", F.col("doc_id").alias("label"))
+    # propagate labels over edge-touched nodes ONLY: a doc in no pair
+    # keeps its own label and can never reach cluster_size > 1, so the
+    # corpus-sized id set never enters the iteration — at 100 TB the
+    # whole clustering runs on edge-bounded frames (src of the
+    # bidirectional edge list covers every endpoint)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
     for _ in range(CLUSTER_ITERATIONS):
         neighbor_min = (
             # edge list is checkpointed and tiny -> broadcast it, so the
@@ -382,16 +389,14 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # recompute. Tiny frame (one row per corpus doc).
             .persist()
         )
-    # non-trivial clusters only BEFORE the join: bounded by the edge
-    # count (not corpus size), so the broadcast stays small at scale
-    # and the corpus-sized labels frame never shuffles
-    sizes = (
-        labels.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .filter(F.col("cluster_size") > 1)
-    )
+    # cluster sizes via one count window on the label key — a single
+    # shuffle (vs groupBy + join-back = two stages); per-label groups
+    # are cluster-sized (bounded by the edge graph), so no skew risk
     return (
-        labels.join(F.broadcast(sizes), "label")
+        labels.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("label"))
+        )
+        .filter(F.col("cluster_size") > 1)
         .select(
             "doc_id",
             F.col("label").alias("cluster_id"),

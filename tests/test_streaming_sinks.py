@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.sinks.writers import (
@@ -228,3 +229,26 @@ def test_notification_writer_sends_from_executors(spark, tmp_path):
     assert sum(r["n"] for r in records) == 37
     assert all(r["n"] <= 10 for r in records)
     assert all(r["pid"] != _os.getpid() for r in records)  # executor-side only
+
+
+def test_kafka_request_stream_schema_when_connector_present(spark):
+    """Optional Kafka-connector smoke: the kafka source's fixed schema
+    resolves without contacting a broker, so when the spark-sql-kafka
+    jar is on the classpath this asserts our decode projection wires up;
+    without the jar (this sandbox) it skips rather than fails."""
+    from sbs_suptech_etl_v2_spark.streaming.ingress import kafka_request_stream
+
+    try:
+        stream = kafka_request_stream(spark, "localhost:9092", "requests")
+    except Exception as exc:  # connector jar absent
+        pytest.skip(f"kafka connector unavailable: {type(exc).__name__}")
+    assert stream.isStreaming
+    assert set(stream.columns) == {
+        "record_id",
+        "parent_id",
+        "key",
+        "session_id",
+        "document_type",
+        "period_month",
+        "period_year",
+    }
