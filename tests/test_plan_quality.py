@@ -1,0 +1,59 @@
+"""Physical-plan regression guards — the plans we tuned must stay tuned.
+
+Each assertion pins an optimization the bench depends on: parquet
+filter/column pushdown (q01), broadcast dimension joins (q02/q06),
+TakeOrderedAndProject instead of a global single-partition window
+(q11), and the bounded broadcast of q24's fixed query set. A failure
+here means a plan silently degraded even though results still match.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from sbs_suptech_etl_v2_spark.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reaches the scan
+    # column pruning: the 16-column lineitem scan reads only what q01 uses
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q02_dimension_join_broadcasts(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "q02_metadata_lookup_join")
+
+
+def test_q06_bounded_dims_broadcast(spark, sf_dir):
+    # nation/region carry explicit hints; at sf0.01 AQE may broadcast
+    # more, but at least the two hinted dims must be broadcast joins
+    assert _plan(spark, sf_dir, "q06_revenue_by_nation").count("BroadcastHashJoin") >= 2
+
+
+def test_q11_positional_pick_avoids_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q11_positional_pick")
+    assert "TakeOrderedAndProject" in plan
+    # the residual Window runs AFTER the top-k bound, over <= k rows;
+    # a global Exchange SinglePartition before a sort would be the
+    # round-1 anti-pattern
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q24_query_side_is_broadcast(spark, sf_dir):
+    # fixed-size query set rides a broadcast nested-loop cross join;
+    # the corpus side must NOT shuffle for the scoring stage
+    assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, "q24_topk_cosine")
