@@ -218,7 +218,10 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
-    banded = _banded(_unit(base))
+    # materialize the banded frame once: queries and candidates are two
+    # aliased reads of it, and without this each side re-runs the
+    # normalization + all plane dots (the q21 self-join lesson)
+    banded = _banded(_unit(base)).localCheckpoint()
     queries = banded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
     )
@@ -304,9 +307,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % CENTROID_STRIDE == 3)
         & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
     ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("uc"))
+    # assignment and probe selection both read the scored cells; one
+    # materialization avoids running the |V|×K dot stage twice
     scored_cells = unit.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "u", "cent_id", _dot(F.col("u"), F.col("uc")).alias("cscore")
-    )
+    ).localCheckpoint()
     w_assign = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cent_id"))
     assigned = (
         scored_cells.withColumn("rn", F.row_number().over(w_assign))
@@ -422,7 +427,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _variant_vec(F.col("v"), variant_signs).alias("v"),
     )
     corpus = base.unionByName(variants)
-    banded = _banded(_unit(corpus))
+    # one materialization feeds both self-join sides (see q41 note)
+    banded = _banded(_unit(corpus)).localCheckpoint()
     a = banded.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "band", "bucket"
     )
