@@ -18,6 +18,10 @@ external decoder). This module provides:
 - ``frame_sample`` (q39) — video-style frame sampler: fixed-size
   frames inside one binary, every 2nd frame emitted as its own row
   (1 binary → N rows, the UDTF shape of S4's page fan-out).
+- ``image_resize`` (q55) — binary→binary transform: parse, halve,
+  re-emit; the resize verb of the brief with the production codec slot.
+- ``audio_features`` (q56) — fake-PCM decode: duration/energy/peak via
+  vectorized NumPy over the Arrow batch.
 - ``decode_image_production`` — the real-codec path, stubbed: tries
   Pillow and raises ``NotImplementedError`` when absent. The Spark
   plumbing around it (schema, batching, fan-out) is identical to the
@@ -45,11 +49,19 @@ if TYPE_CHECKING:
 
 FRAME_BYTES = 32
 FRAME_STRIDE = 2  # keep every 2nd frame
+AUDIO_SAMPLE_RATE = 8000  # fake-PCM stand-in: 1 byte == 1 sample
 
 IMAGE_FEATURES_SCHEMA = (
     "doc_id bigint, width int, height int, n_bytes bigint, sha256 string"
 )
 FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_no int, frame_md5 string"
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes bigint, sha256 string"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, duration_ms double, "
+    "byte_sum bigint, peak_byte int"
+)
 
 
 def build_multimodal(docs: DataFrame) -> DataFrame:
@@ -81,6 +93,12 @@ def build_multimodal(docs: DataFrame) -> DataFrame:
             F.lit(FRAME_BYTES).alias("frame_bytes"),
             F.lit("fake/frames").alias("codec"),
         ).alias("video_meta"),
+        F.encode(F.col("text"), "utf-8").alias("audio"),
+        F.struct(
+            F.lit(AUDIO_SAMPLE_RATE).alias("sample_rate"),
+            F.lit(1).alias("sample_width"),
+            F.lit("fake/pcm8").alias("codec"),
+        ).alias("audio_meta"),
     )
 
 
@@ -198,3 +216,118 @@ def decode_image_production(payload: bytes) -> dict:
 
     img = Image.open(io.BytesIO(payload))
     return {"width": img.width, "height": img.height, "format": img.format}
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-3] image resize — binary→binary transform in the executor.
+
+    The fake half-resize parses ``IMG:{w}x{h}:`` from the payload,
+    halves the dimensions (floor) and keeps every 2nd body byte — the
+    same bytes-in/bytes-out signature a Pillow ``Image.resize`` has,
+    so the production codec drops into the identical ``mapInPandas``
+    slot. Output features of the RESIZED binary prove the transform
+    ran in the UDF (the oracle recomputes them from the synthesis
+    rule); the resized payload itself is dropped before any shuffle
+    (F8 pattern) — at scale the resized bytes would be written
+    straight to a lake column, never shuffled.
+    """
+    mm = build_multimodal(table(spark, sf_dir, "documents")).select("doc_id", "image")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["image"]):
+                blob = bytes(payload)
+                header, dims, body = blob.split(b":", 2)
+                w, h = (int(t) for t in dims.split(b"x"))
+                w2, h2 = w // 2, h // 2
+                resized = b"IMG:%dx%d:" % (w2, h2) + body[::2]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w2,
+                        "height": h2,
+                        "n_bytes": len(resized),
+                        "sha256": hashlib.sha256(resized).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(run, IMAGE_RESIZE_SCHEMA)
+
+
+IMAGE_RESIZE_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         (doc_id % 640 + 16) // 2 AS w2,
+         (doc_id % 480 + 16) // 2 AS h2,
+         array_to_string(
+           list_transform(generate_series(1, length(text), 2),
+                          i -> substr(text, i, 1)), '') AS body2
+  FROM documents
+),
+resized AS (
+  SELECT doc_id, w2, h2,
+         'IMG:' || w2 || 'x' || h2 || ':' || body2 AS payload
+  FROM src
+)
+SELECT doc_id,
+       CAST(w2 AS INTEGER) AS width,
+       CAST(h2 AS INTEGER) AS height,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+       sha256(payload) AS sha256
+FROM resized
+"""
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-3] audio decode/feature-extract over the binary column.
+
+    The fake treats the payload as 8-bit PCM at {AUDIO_SAMPLE_RATE} Hz
+    (1 byte = 1 sample): duration, an exact integer energy sum and the
+    peak sample — the same bytes-in/features-out signature a
+    soundfile/librosa decoder has. NumPy folds the whole Arrow batch
+    vectorized (no per-sample Python). The DuckDB oracle re-derives
+    the features character-by-character from the synthesis rule —
+    byte == char because the corpus is ASCII.
+    """
+    mm = build_multimodal(table(spark, sf_dir, "documents")).select("doc_id", "audio")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["audio"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": int(samples.size),
+                        "duration_ms": samples.size * 1000.0 / AUDIO_SAMPLE_RATE,
+                        "byte_sum": int(samples.sum(dtype=np.int64)),
+                        "peak_byte": int(samples.max()) if samples.size else 0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SQL = f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(c) AS BIGINT) AS n_samples,
+       len(c) * 1000.0 / {AUDIO_SAMPLE_RATE} AS duration_ms,
+       CAST(list_reduce(c, (a, b) -> a + b) AS BIGINT) AS byte_sum,
+       CAST(list_max(c) AS INTEGER) AS peak_byte
+FROM codes
+"""

@@ -80,6 +80,8 @@ QUERIES: dict[str, QueryFn] = {
     "q52_status_cube": R.order_status_cube,
     "q53_approx_distinct": R.segment_distinct_customers,
     "q54_purchase_asof_click": R.purchase_asof_click,
+    "q55_image_resize": X3.image_resize,
+    "q56_audio_features": X3.audio_features,
 }
 
 ORACLE: dict[str, str] = {
@@ -138,4 +140,6 @@ ORACLE: dict[str, str] = {
     "q52_status_cube": R.ORDER_STATUS_CUBE_SQL,
     "q53_approx_distinct": R.SEGMENT_DISTINCT_CUSTOMERS_SQL,
     "q54_purchase_asof_click": R.PURCHASE_ASOF_CLICK_SQL,
+    "q55_image_resize": X3.IMAGE_RESIZE_SQL,
+    "q56_audio_features": X3.AUDIO_FEATURES_SQL,
 }
