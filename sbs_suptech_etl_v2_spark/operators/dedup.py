@@ -347,7 +347,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (tiny) pair list once and truncate its lineage:
     # every label iteration references the edge list, and without the
     # checkpoint Spark re-executes the whole MinHash pipeline per
-    # reference (~6x) — the standard move for iterative algorithms
+    # reference (~6x) — the standard move for iterative algorithms.
+    # localCheckpoint keeps blocks in executor memory (lost partitions
+    # are NOT recomputable); a long-running production job should use
+    # sc.setCheckpointDir(<reliable storage>) + .checkpoint() instead
     pairs = minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
