@@ -802,3 +802,100 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+RANGE_FRAME_DAYS = 30
+
+
+def rolling_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — SURVEY §2.6 frame-spec coverage beyond
+    q10's ROWS frame: per customer, each order's trailing
+    {RANGE_FRAME_DAYS}-day spend (value-based frame bounds, so gaps
+    between order dates matter — a ROWS frame cannot express this).
+
+    Spark's ``rangeBetween`` needs a numeric ordering column: order by
+    epoch seconds and bound by the interval in seconds — exactly the
+    window DuckDB runs with ``RANGE BETWEEN INTERVAL ... PRECEDING``
+    over the timestamp (mirrored via the same epoch arithmetic in the
+    oracle to keep tie/bound semantics byte-identical). One shuffle on
+    the partition key; decimal sums keep the rolling totals exact.
+    """
+    orders = table(spark, sf_dir, "orders")
+    # NTZ timestamps don't cast to long; unix_timestamp gives epoch
+    # seconds (any session-TZ offset is constant, so range-frame
+    # membership — a difference of two epochs — is unaffected)
+    ts = F.unix_timestamp(F.col("o_orderdate"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(ts)
+        .rangeBetween(-RANGE_FRAME_DAYS * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec(F.col("o_totalprice")))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+ROLLING_SPEND_RANGE_FRAME_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS trailing_30d_spend,
+       COUNT(*) OVER w AS trailing_30d_orders
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY epoch(o_orderdate)
+  RANGE BETWEEN {RANGE_FRAME_DAYS} * 86400 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation — the salted path is
+    semantics-preserving, checked against the PLAIN GROUP BY oracle.
+
+    ``o_orderstatus`` has 3 heavily-skewed values (a worst case for a
+    single-shuffle groupBy at scale: 3 reducers own everything);
+    ``salted_agg`` scatters each group over 16 salts, combines
+    partials, and must produce bit-identical totals because every
+    aggregate in the family is re-aggregatable and the money sums run
+    in exact decimal. The oracle is the plain GROUP BY — the whole
+    point is that salting is invisible in the result.
+    """
+    from sbs_suptech_etl_v2_spark.functions.skew import salted_agg
+
+    orders = table(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders,
+        ["o_orderstatus"],
+        [
+            ("n_orders", F.lit(1), "count"),
+            ("total_price", _dec(F.col("o_totalprice")), "sum"),
+            ("first_order", F.col("o_orderdate"), "min"),
+            ("last_order", F.col("o_orderdate"), "max"),
+        ],
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "first_order",
+        "last_order",
+    )
+
+
+SALTED_STATUS_TOTALS_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+"""

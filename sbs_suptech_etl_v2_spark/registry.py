@@ -82,6 +82,8 @@ QUERIES: dict[str, QueryFn] = {
     "q54_purchase_asof_click": R.purchase_asof_click,
     "q55_image_resize": X3.image_resize,
     "q56_audio_features": X3.audio_features,
+    "q57_range_frame": R.rolling_spend_range_frame,
+    "q58_salted_agg": R.salted_status_totals,
 }
 
 ORACLE: dict[str, str] = {
@@ -142,4 +144,6 @@ ORACLE: dict[str, str] = {
     "q54_purchase_asof_click": R.PURCHASE_ASOF_CLICK_SQL,
     "q55_image_resize": X3.IMAGE_RESIZE_SQL,
     "q56_audio_features": X3.AUDIO_FEATURES_SQL,
+    "q57_range_frame": R.ROLLING_SPEND_RANGE_FRAME_SQL,
+    "q58_salted_agg": R.SALTED_STATUS_TOTALS_SQL,
 }
