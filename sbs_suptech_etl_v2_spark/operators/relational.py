@@ -899,3 +899,35 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def priority_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per group — SURVEY §2.5 depth.
+
+    ``F.percentile`` is the exact interpolated order statistic (sorts
+    the group); DuckDB's ``quantile_cont`` applies the identical
+    ``(1-f)·lo + f·hi`` linear interpolation, and both engines compute
+    it in IEEE doubles, so the driver hash matches bit-for-bit. Exact
+    percentiles shuffle every value to its group; at 100 TB switch to
+    ``approx_percentile`` (t-digest sketch, map-side mergeable) — the
+    same tolerance-verdict pattern q53 uses for distinct counts.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50_price"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+PRIORITY_PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""

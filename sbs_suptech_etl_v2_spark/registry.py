@@ -84,6 +84,7 @@ QUERIES: dict[str, QueryFn] = {
     "q56_audio_features": X3.audio_features,
     "q57_range_frame": R.rolling_spend_range_frame,
     "q58_salted_agg": R.salted_status_totals,
+    "q59_percentiles": R.priority_price_percentiles,
 }
 
 ORACLE: dict[str, str] = {
@@ -146,4 +147,5 @@ ORACLE: dict[str, str] = {
     "q56_audio_features": X3.AUDIO_FEATURES_SQL,
     "q57_range_frame": R.ROLLING_SPEND_RANGE_FRAME_SQL,
     "q58_salted_agg": R.SALTED_STATUS_TOTALS_SQL,
+    "q59_percentiles": R.PRIORITY_PRICE_PERCENTILES_SQL,
 }
