@@ -931,3 +931,37 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface — completes §2.5's grouping
+    family (q08 rollup, q52 cube) and exercises ``spark.sql`` itself:
+    every other query drives the DataFrame API, but a reference user
+    migrating raw SQL needs the SQL entry point to plan identically —
+    Catalyst compiles both to the same Expand + hash aggregate.
+
+    The two explicit sets ((status), (priority)) are the cube minus
+    the (status, priority) and () sets — exactly what GROUPING SETS
+    expresses and rollup/cube cannot. Source keys are non-null, so the
+    padded NULLs unambiguously tag each output row's set.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+STATUS_PRIORITY_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""

@@ -85,6 +85,7 @@ QUERIES: dict[str, QueryFn] = {
     "q57_range_frame": R.rolling_spend_range_frame,
     "q58_salted_agg": R.salted_status_totals,
     "q59_percentiles": R.priority_price_percentiles,
+    "q60_grouping_sets": R.status_priority_grouping_sets,
 }
 
 ORACLE: dict[str, str] = {
@@ -148,4 +149,5 @@ ORACLE: dict[str, str] = {
     "q57_range_frame": R.ROLLING_SPEND_RANGE_FRAME_SQL,
     "q58_salted_agg": R.SALTED_STATUS_TOTALS_SQL,
     "q59_percentiles": R.PRIORITY_PRICE_PERCENTILES_SQL,
+    "q60_grouping_sets": R.STATUS_PRIORITY_GROUPING_SETS_SQL,
 }
