@@ -57,3 +57,18 @@ def test_q24_query_side_is_broadcast(spark, sf_dir):
     # fixed-size query set rides a broadcast nested-loop cross join;
     # the corpus side must NOT shuffle for the scoring stage
     assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, "q24_topk_cosine")
+
+
+def test_q54_asof_pushes_type_filter_and_shuffles_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q54_purchase_asof_click")
+    # the event_type IN filter must reach the parquet scan
+    assert "In(event_type" in plan
+    # union + running-last window = exactly ONE shuffle (on user_id);
+    # formatted explain lists each node twice (tree + detail section)
+    assert plan.count("(") and plan.count("Exchange") <= 2
+
+
+def test_q57_range_frame_shuffles_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q57_range_frame")
+    assert plan.count("Exchange") <= 2  # one physical exchange on o_custkey
+    assert "Exchange SinglePartition" not in plan
