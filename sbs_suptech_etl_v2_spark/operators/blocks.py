@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.checkpointing import materialize
 
 CLOSURE_DEPTH = 3  # Textract DAG height: PAGE -> LINE/KEY -> WORD/VALUE
 
@@ -170,7 +171,7 @@ def blocks_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode/concat synthesis. Block rows are tiny (ids + short text).
     # In production blocks arrive as a real table, so this checkpoint
     # models the scan; with a persisted source table it is a no-op.
-    blocks = synthesize_blocks(docs).localCheckpoint()
+    blocks = materialize(synthesize_blocks(docs))
     reach = page_closure(blocks)
     line_blocks = blocks.filter(F.col("block_type") == "LINE").select(
         F.col("block_id"), F.col("line_no"), F.col("text")

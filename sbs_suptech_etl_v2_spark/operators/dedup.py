@@ -36,6 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.checkpointing import materialize
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 N_HASHES = 16
@@ -254,7 +255,8 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed frame is tiny (doc_id + 16 bigints per row).
     sigs = corpus.select(
         "doc_id", _minhash_sig(F.col("text")).alias("sig")
-    ).localCheckpoint()
+    )
+    sigs = materialize(sigs)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -348,10 +350,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every label iteration references the edge list, and without the
     # checkpoint Spark re-executes the whole MinHash pipeline per
     # reference (~6x) — the standard move for iterative algorithms.
-    # localCheckpoint keeps blocks in executor memory (lost partitions
-    # are NOT recomputable); a long-running production job should use
-    # sc.setCheckpointDir(<reliable storage>) + .checkpoint() instead
-    pairs = minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # the durability posture (executor-memory localCheckpoint vs a
+    # reliable storage-backed checkpoint) is injectable via
+    # checkpointing.set_checkpoint_strategy — see checkpointing.py
+    pairs = materialize(minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"))
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -366,6 +368,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
     )
+    cached: list[DataFrame] = []
     for _ in range(CLUSTER_ITERATIONS):
         neighbor_min = (
             # edge list is checkpointed and tiny -> broadcast it, so the
@@ -392,6 +395,18 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # recompute. Tiny frame (one row per corpus doc).
             .persist()
         )
+        # materialize THIS round (cheap — edge-bounded frame), then
+        # release the previous one: cached rounds must not accumulate
+        # for the session lifetime (bench re-runs the query many times)
+        labels.count()
+        for old in cached:
+            old.unpersist()
+        cached = [labels]
+    # cut lineage off the final round, then release its cache too —
+    # the caller's action reads the materialized blocks, not the cache
+    labels = materialize(labels, eager=True)
+    for old in cached:
+        old.unpersist()
     # cluster sizes via one count window on the label key — a single
     # shuffle (vs groupBy + join-back = two stages); per-label groups
     # are cluster-sized (bounded by the edge graph), so no skew risk
@@ -456,38 +471,74 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-1] SimHash — 32-bit near-dup signature per document.
 
     Each token occurrence votes ±1 on every bit of its 32-bit hash; the
-    signature sets bit b iff the bit-b vote sum is positive. Single-pass
-    array-accumulator fold: ONE aggregate over the token hashes carries
-    a 32-wide vote vector (``zip_with`` add per token) — ~2.5× faster
-    than 32 independent per-bit aggregates (one HOF traversal instead
-    of 32). Narrow map at any scale; near-dup candidate generation then
-    groups on signature bands exactly like MinHash.
+    signature sets bit b iff the bit-b vote sum is positive.
+
+    Implemented as an Arrow-batched ``mapInPandas`` NumPy kernel rather
+    than nested ``aggregate``/``zip_with`` expressions: Catalyst runs
+    nested higher-order functions as an *interpreted* (non-codegen)
+    Project, which in round-3 benchmarks cost 8× the oracle runtime for
+    this pure per-row fold. The kernel md5-hashes only the batch's
+    *unique* tokens (vocabulary ≪ token stream), takes the ±1 bit votes
+    as one (tokens × 32) int matrix, and segment-sums per document with
+    ``np.add.reduceat``. Bit-exact vs the expression form: votes are
+    integer (order-free) and the md5→int32 base hash is identical.
+    Plan stays a narrow map — one scan, one MapInPandas, no shuffle —
+    so the 100 TB posture is unchanged; only per-row CPU moved from
+    interpreted Catalyst eval to vectorized NumPy.
     """
-    docs = table(spark, sf_dir, "documents")
-    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
-    tok_hashes = F.transform(_words(F.col("text")), _hash32)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
-    def bits(h: Column) -> Column:
-        return F.transform(
-            powers, lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)
-        )
+    def kernel(batches):
+        import hashlib
 
-    votes = F.aggregate(
-        tok_hashes,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + b),
-    )
-    sim = _let(
-        votes,
-        lambda vs: F.aggregate(
-            F.zip_with(
-                vs, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return docs.select("doc_id", sim.alias("simhash"), F.col("lang"))
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # Same tokenization as F.split(text, " "): keep empty tokens.
+            toks = [t.split(" ") if t is not None else [] for t in pdf["text"]]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            flat = np.array([w for ws in toks for w in ws], dtype=object)
+            sim = np.zeros(len(pdf), dtype=np.int64)
+            nonempty = lens > 0
+            if flat.size:
+                # hash-based factorize beats np.unique's O(n log n) sort
+                inv, uniq = pd.factorize(flat)
+                uh = np.array(
+                    [
+                        int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16)
+                        for u in uniq
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (((uh[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
+                n = int(nonempty.sum())
+                if n * uniq.size <= 20_000_000:
+                    # Small vocab: per-doc token counts (bincount) then one
+                    # (docs × vocab) @ (vocab × 32) matmul — never
+                    # materializes the (tokens × 32) vote matrix.
+                    doc_idx = np.repeat(np.arange(n), lens[nonempty])
+                    counts = np.bincount(
+                        doc_idx * uniq.size + inv, minlength=n * uniq.size
+                    ).reshape(n, uniq.size)
+                    votes = counts @ bits
+                else:
+                    starts = np.zeros(n, dtype=np.int64)
+                    np.cumsum(lens[nonempty][:-1], out=starts[1:])
+                    votes = np.add.reduceat(bits[inv], starts, axis=0)
+                sim[nonempty] = ((votes > 0).astype(np.int64) << shifts).sum(axis=1)
+            # NULL text → NULL signature (matches md5(NULL) propagation);
+            # nullable Int64 keeps the Arrow column integral.
+            sim_col = pd.array(sim, dtype="Int64")
+            sim_col[pdf["text"].isna().to_numpy()] = None
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": sim_col, "lang": pdf["lang"]}
+            )
+
+    return docs.mapInPandas(kernel, "doc_id bigint, simhash bigint, lang string")
 
 
 SIMHASH_SIGNATURES_SQL = f"""

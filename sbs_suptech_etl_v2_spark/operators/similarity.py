@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.checkpointing import materialize
 from sbs_suptech_etl_v2_spark.operators.dedup import _let
 
 TOP_K = 10
@@ -221,7 +222,7 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the banded frame once: queries and candidates are two
     # aliased reads of it, and without this each side re-runs the
     # normalization + all plane dots (the q21 self-join lesson)
-    banded = _banded(_unit(base)).localCheckpoint()
+    banded = materialize(_banded(_unit(base)))
     queries = banded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
     )
@@ -311,7 +312,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization avoids running the |V|×K dot stage twice
     scored_cells = unit.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "u", "cent_id", _dot(F.col("u"), F.col("uc")).alias("cscore")
-    ).localCheckpoint()
+    )
+    scored_cells = materialize(scored_cells)
     w_assign = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cent_id"))
     assigned = (
         scored_cells.withColumn("rn", F.row_number().over(w_assign))
@@ -428,7 +430,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(variants)
     # one materialization feeds both self-join sides (see q41 note)
-    banded = _banded(_unit(corpus)).localCheckpoint()
+    banded = materialize(_banded(_unit(corpus)))
     a = banded.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "band", "bucket"
     )
@@ -501,37 +503,58 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-vector symmetric int8 quantization (scale = 127/max|x|): 4×
     smaller embeddings with sub-1% reconstruction error, the standard
     storage layout for trillion-row vector tables (dot products then
-    run over int8 codes with one rescale at the end). Map-only plan;
-    outputs the scale, an exact integer checksum of the codes, and the
+    run over int8 codes with one rescale at the end). Outputs the
+    scale, an exact integer checksum of the codes, and the
     sequential-fold mean absolute reconstruction error per vector.
+
+    Arrow-batched ``mapInPandas`` NumPy kernel: the pure-expression
+    form (nested ``aggregate``/``zip_with``) runs as an interpreted
+    non-codegen Project — 63× the oracle runtime in round-3 benchmarks
+    for what is dense per-row array math. The kernel is bit-exact vs
+    that form: exact HALF_UP rounding, IEEE-identical multiply/divide,
+    and a dimension-ordered left-fold error sum (NOT pairwise
+    ``np.sum``). Plan stays one scan → one MapInPandas, no shuffle.
     """
-    emb = table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def body(v: Column) -> Column:
-        scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
-        codes = F.transform(v, lambda x: F.round(x * scale).cast("int"))
-        return _let(
-            codes,
-            lambda q: F.struct(
-                scale.alias("scale"),
-                F.aggregate(
-                    q, F.lit(0).cast("bigint"), lambda acc, c: acc + c
-                ).alias("code_checksum"),
-                (
-                    F.aggregate(
-                        F.zip_with(v, q, lambda x, c: F.abs(x - c / scale)),
-                        F.lit(0.0),
-                        lambda acc, e: acc + e,
-                    )
-                    / F.size(v)
-                ).alias("mean_abs_err"),
-            ),
-        )
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
 
-    out = vecs.select("vec_id", _let(F.col("v"), body).alias("s"))
-    return out.select(
-        "vec_id", "s.scale", "s.code_checksum", "s.mean_abs_err"
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # float32 → float64 cast is exact, matching CAST(.. AS DOUBLE[]).
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            scale = 127.0 / np.abs(V).max(axis=1)
+            Y = V * scale[:, None]
+            # Exact HALF_UP (away-from-zero) rounding — numpy's np.round is
+            # half-even and floor(y+0.5) has an FP edge at 0.49999…94, so
+            # split on the exact fractional part instead (y - trunc(y) is
+            # exact for |y| ≤ 127ish by Sterbenz).
+            t = np.trunc(Y)
+            codes = (t + np.where(np.abs(Y - t) >= 0.5, np.sign(Y), 0.0)).astype(
+                np.int64
+            )
+            E = np.abs(V - codes / scale[:, None])
+            # Sequential left fold to match F.aggregate / list_reduce
+            # bit-for-bit: accumulate dimension-by-dimension (vectorized
+            # over rows), NOT np.sum (pairwise summation differs).
+            acc = np.zeros(len(V), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc = acc + E[:, d]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "scale": scale,
+                    "code_checksum": codes.sum(axis=1),
+                    "mean_abs_err": acc / V.shape[1],
+                }
+            )
+
+    return emb.mapInPandas(
+        kernel,
+        "vec_id bigint, scale double, code_checksum bigint, mean_abs_err double",
     )
 
 

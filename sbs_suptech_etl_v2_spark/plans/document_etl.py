@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sbs_suptech_etl_v2_spark.checkpointing import materialize
 from sbs_suptech_etl_v2_spark.functions.scalars import refine_month, refine_year
 from sbs_suptech_etl_v2_spark.operators.documents import (
     FIRST_PAGES,
@@ -236,7 +237,7 @@ def run_document_etl(
     notifier(notifications, batch_id=0)
     # cut the lineage of the (small) result frame so the port caches can
     # be released — callers may run further actions on the return value
-    merged = merged.localCheckpoint(eager=True)
+    merged = materialize(merged, eager=True)
     for df in persisted:
         df.unpersist()
     return merged

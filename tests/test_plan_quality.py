@@ -72,3 +72,21 @@ def test_q57_range_frame_shuffles_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q57_range_frame")
     assert plan.count("Exchange") <= 2  # one physical exchange on o_custkey
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q22_simhash_is_single_pass_vectorized(spark, sf_dir):
+    # round-4 rewrite: the interpreted HOF Project became a NumPy
+    # MapInPandas — plan must stay one scan -> MapInPandas, no shuffle
+    plan = _plan(spark, sf_dir, "q22_simhash_signatures")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "source" not in read_schema  # column pruning through mapInPandas
+
+
+def test_q51_quantize_is_single_pass_vectorized(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q51_quantize_embeddings")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "label" not in read_schema
