@@ -15,9 +15,14 @@ These helpers cover the cases AQE cannot fix:
   only option for hot keys inside aggregations-after-join or for
   engines/stages where AQE splitting is unavailable.
 
-Salts are deterministic (``monotonically_increasing_id() % n`` — stable
-within a computed plan, uniform across partitions), so salted results
-are reproducible row-for-row, not just set-equal.
+Salts are *row-stable*: ``pmod(hash(<all columns>), n)`` depends only
+on row content, never on partition layout — the same input rows get the
+same salt under any repartitioning, so salted plans are reproducible
+run-to-run (``monotonically_increasing_id`` salts, by contrast, shift
+with the physical partitioning even though results stay set-equal).
+Trade-off: byte-identical duplicate rows co-bucket on one salt; a hot
+key made of *identical* rows still needs a content column that varies
+(or AQE's runtime split) to spread.
 """
 
 from __future__ import annotations
@@ -28,6 +33,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+
+
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Content-derived salt in [0, n_salts): stable under repartitioning."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
 
 # aggregate name -> (phase-1 partial, phase-2 combine)
 _REAGG = {
@@ -57,7 +67,7 @@ def salted_agg(
     for _, _, fn in aggs:
         if fn not in _REAGG:
             raise ValueError(f"{fn!r} is not re-aggregatable; use plain groupBy")
-    salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    salted = df.withColumn(SALT_COL, _row_salt(df, n_salts))
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[
             _REAGG[fn][0](F.col(c) if isinstance(c, str) else c).alias(name)
@@ -92,9 +102,7 @@ def salted_join(
             "replicated small-side rows have no unique (key, salt) match, "
             "so right/full flavors duplicate unmatched small rows"
         )
-    big_salted = big.withColumn(
-        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
-    )
+    big_salted = big.withColumn(SALT_COL, _row_salt(big, n_salts))
     small_rep = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -327,7 +327,10 @@ WITH codes AS (
 SELECT doc_id,
        CAST(len(c) AS BIGINT) AS n_samples,
        len(c) * 1000.0 / {AUDIO_SAMPLE_RATE} AS duration_ms,
-       CAST(list_reduce(c, (a, b) -> a + b) AS BIGINT) AS byte_sum,
-       CAST(list_max(c) AS INTEGER) AS peak_byte
+       -- prepend a 0 seed: bare list_reduce errors on an empty list,
+       -- where the Spark kernel returns byte_sum=0 / peak_byte=0
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, b) -> a + b)
+            AS BIGINT) AS byte_sum,
+       CAST(coalesce(list_max(c), 0) AS INTEGER) AS peak_byte
 FROM codes
 """

@@ -757,6 +757,14 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. The same plan shape handles any as-of/range lookup (quotes
     to trades, sensor snapshots); in streaming it becomes a
     watermarked stream-stream interval join.
+
+    Tie semantics: among several clicks sharing one (user_id, ts) the
+    window's ``orderBy(ts, is_purchase, event_id)`` + running ``last``
+    deterministically picks the MAX event_id. DuckDB's ASOF JOIN leaves
+    the duplicate-timestamp choice unspecified, so the oracle collapses
+    click ties to ``max(event_id)`` per (user_id, ts) first — same
+    semantics, fully specified on both engines even if the corpus ever
+    grows tied click timestamps (today it has none).
     """
     ev = table(spark, sf_dir, "events")
     sides = ev.filter(F.col("event_type").isin("click", "purchase")).select(
@@ -799,7 +807,13 @@ SELECT p.event_id AS purchase_event_id,
        c.event_id AS click_event_id,
        c.ts AS click_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  -- collapse (user_id, ts) click ties to the max event_id: ASOF JOIN's
+  -- pick among duplicate right-side timestamps is unspecified, and the
+  -- Spark window deterministically keeps the max
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
@@ -822,8 +836,12 @@ def rolling_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     # NTZ timestamps don't cast to long; unix_timestamp gives epoch
-    # seconds (any session-TZ offset is constant, so range-frame
-    # membership — a difference of two epochs — is unaffected)
+    # seconds. The offset is NOT harmless under a DST session zone —
+    # a 3600 s shift can move an order across the exact 30-day bound
+    # vs the oracle's UTC epoch() — so pin UTC here rather than rely
+    # on session tuning (the driver builds its own vanilla session).
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts = F.unix_timestamp(F.col("o_orderdate"))
     w = (
         W.partitionBy("o_custkey")

@@ -182,6 +182,18 @@ class NotificationBatchWriter:
         self._id_col = id_col
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._spool_dir is not None and not batch_df.sparkSession.sparkContext.master.startswith(
+            "local"
+        ):
+            # the default spool is a driver-local directory written from
+            # executor workers — only observable when executors share the
+            # driver filesystem. On a real cluster sends would vanish.
+            raise RuntimeError(
+                "NotificationBatchWriter's default spool client is local-mode-only "
+                "(executors must share the driver filesystem); inject a "
+                "client_factory returning a real sender (e.g. boto3 SQS "
+                "send_message_batch) for cluster runs"
+            )
         factory = self._client_factory
         id_col, body_col = self._id_col, self._body_col
 
@@ -213,6 +225,16 @@ class NotificationBatchWriter:
             with open(os.path.join(self._spool_dir, name), encoding="utf-8") as fh:
                 batches.append(json.loads(fh.read()))
         return batches
+
+    def close(self) -> None:
+        """Remove the default spool directory (no-op with an injected
+        client_factory)."""
+        if self._spool_dir is not None:
+            shutil.rmtree(self._spool_dir, ignore_errors=True)
+            self._spool_dir = None
+
+    def __del__(self) -> None:  # best-effort: tests should call close()
+        self.close()
 
 
 def stage_text_artifacts(df: DataFrame, record_id_col: str, content_col: str) -> DataFrame:

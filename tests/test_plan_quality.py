@@ -90,3 +90,41 @@ def test_q51_quantize_is_single_pass_vectorized(spark, sf_dir):
     assert "Exchange" not in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "label" not in read_schema
+
+
+def test_q49_promo_revenue_broadcasts_part_single_exchange(spark, sf_dir):
+    # r3 bench flagged a +60% drift with no plan cause; pin the shape so
+    # a real regression (shuffle join / extra exchange) cannot hide in
+    # box noise: broadcast part join + exactly one shuffle exchange for
+    # the final aggregate (counts are doubled: tree + detail section)
+    plan = _plan(spark, sf_dir, "q49_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+def test_q21_minhash_band_join_is_checkpointed_hash_join(spark, sf_dir):
+    # signatures materialized once (checkpoint scan), candidate pairs
+    # come from the band-key equi-join — never a nested-loop product
+    plan = _plan(spark, sf_dir, "q21_minhash_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # checkpointed signature frame
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_q25_embedding_neardup_is_checkpointed_bucket_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q25_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # banded frame materialized once
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_q50_clusters_final_stage_is_one_window_pass(spark, sf_dir):
+    # label propagation runs eagerly behind checkpoints; the returned
+    # plan must be a single count-window over the checkpointed labels —
+    # one shuffle on the label key, nothing recomputed
+    plan = _plan(spark, sf_dir, "q50_neardup_clusters")
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2

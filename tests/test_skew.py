@@ -62,3 +62,34 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         for r in salted_join(orders, customer, "o_custkey", n_salts=4).collect()
     )
     assert salted == plain
+
+
+def test_salt_is_repartition_invariant(spark, sf_dir):
+    # the salt must derive from row CONTENT, not partition layout: the
+    # per-(key, salt) phase-1 partials must be identical no matter how
+    # the input was partitioned beforehand
+    orders = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    aggs = [("n", F.lit(1), "count")]
+
+    def phase1_cells(df):
+        from sbs_suptech_etl_v2_spark.functions.skew import SALT_COL, _row_salt
+
+        return sorted(
+            map(
+                tuple,
+                df.withColumn(SALT_COL, _row_salt(df, 8))
+                .groupBy("o_orderstatus", SALT_COL)
+                .count()
+                .collect(),
+            )
+        )
+
+    assert phase1_cells(orders.repartition(3)) == phase1_cells(
+        orders.repartition(17, "o_totalprice")
+    )
+    # and the end-to-end salted result still matches the plain groupBy
+    plain = sorted(map(tuple, orders.groupBy("o_orderstatus").count().collect()))
+    salted = sorted(
+        map(tuple, salted_agg(orders.repartition(5), ["o_orderstatus"], aggs).collect())
+    )
+    assert sorted((r[0], r[1]) for r in salted) == plain
