@@ -5,12 +5,13 @@ Training-data-pipeline dedup over the ``documents`` table, Spark-first:
 - **exact dedup** — canonical-winner dedup on a normalized key
   (deterministic ``row_number()==1``, not ``dropDuplicates`` whose
   surviving row is partition-order-dependent).
-- **MinHash + LSH near-dup** — per-row signature via pure array
-  expressions (shingle → md5-derived 32-bit hash → ``min((a*h+b) mod p)``
-  per hash function), banded signatures, ``groupBy(band)``-shaped
-  bucket self-join for candidate pairs. Never all-pairs: at 100 TB the
-  only shuffle is on (band_id, band_signature), and bucket sizes stay
-  bounded because random texts rarely collide on a 2-minhash band.
+- **MinHash + LSH near-dup** — per-row signature (shingle →
+  md5-derived 32-bit hash → ``min((a*h+b) mod p)`` per hash function)
+  via a vectorized NumPy ``mapInPandas`` kernel, banded signatures,
+  ``groupBy(band)``-shaped bucket self-join for candidate pairs. Never
+  all-pairs: at 100 TB the only shuffle is on (band_id,
+  band_signature), and bucket sizes stay bounded because random texts
+  rarely collide on a 2-minhash band.
 - **SimHash** — 32-bit per-document signature from token-hash bit votes.
 - **n-gram Jaccard** — exact shingle-set similarity via
   ``array_intersect``/``array_union`` (the verifier for MinHash
@@ -26,7 +27,11 @@ All hash arithmetic is engine-portable: base hash = first 8 hex chars
 of md5 (Spark ``conv(substr(md5(s),1,8),16,10)`` ==
 DuckDB ``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``), then exact BIGINT
 modular arithmetic with p = 2^31-1 (products stay < 2^62 — no
-overflow). No Python UDFs anywhere; everything is JVM-side codegen.
+overflow, and int64 NumPy matches JVM/DuckDB exactly). Per-row array
+math that Catalyst would run as interpreted (non-codegen) HOF
+Projects — the minhash/simhash signature stages — lives in
+Arrow-batched ``mapInPandas`` NumPy kernels instead; joins, shuffles
+and verification stay JVM-side codegen expressions.
 """
 
 from __future__ import annotations
@@ -108,19 +113,73 @@ def _shingle_hashes(text: Column) -> Column:
     )
 
 
-def _minhash_sig(text: Column) -> Column:
-    """N_HASHES-element MinHash signature as an array<bigint> column."""
-    a_lit = F.array(*[F.lit(a) for a in MINHASH_A])
-    b_lit = F.array(*[F.lit(b) for b in MINHASH_B])
-    return _let(
-        _shingle_hashes(text),
-        lambda hs: F.transform(
-            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-            lambda i: F.array_min(
-                F.transform(hs, lambda h: (F.get(a_lit, i) * h + F.get(b_lit, i)) % MERSENNE_P)
-            ),
-        ),
-    )
+def _minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) — N_HASHES-element MinHash signature
+    per corpus row, as an Arrow-batched ``mapInPandas`` NumPy kernel.
+
+    Replaces the pure-expression form (16 ``array_min(transform(...))``
+    per row over the shingle list): nested HOFs run as an interpreted
+    non-codegen Project, and this signature stage dominated q21/q50
+    runtime. The kernel is integer-exact vs the oracle's
+    ``list_min(list_transform(...))`` mirror — same md5-derived token
+    hashes (computed once per *unique* token), same shingle composition
+    ``((h1·31+h2)·31+h3) mod p`` (windows masked at document
+    boundaries), same affine ``(a·h+b) mod p`` minima (products stay
+    < 2^62, exact in int64). Docs with < {SHINGLE_K} words fall back to
+    the whole-text hash, mirroring ``_shingle_hashes``'s ELSE branch.
+    Distinctness of shingles is irrelevant under min, so the kernel
+    skips the ``array_distinct`` the per-row jaccard verifier needs.
+    Plan: one scan → MapInPandas, no shuffle.
+    """
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        P = MERSENNE_P
+        A = np.array(MINHASH_A, dtype=np.int64)
+        B = np.array(MINHASH_B, dtype=np.int64)
+
+        def h32(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % P
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf["text"]
+            none_mask = texts.isna().to_numpy()
+            toks = [t.split(" ") if t is not None else [] for t in texts]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            flat = np.array([w for ws in toks for w in ws], dtype=object)
+            n = len(pdf)
+            sigs = np.zeros((n, N_HASHES), dtype=np.int64)
+            sc = np.maximum(lens - 2, 0)  # shingle count per doc
+            has = sc > 0
+            if flat.size and has.any():
+                inv, uniq = pd.factorize(flat)
+                uh = np.array([h32(u) for u in uniq], dtype=np.int64)
+                th = uh[inv]
+                doc_of = np.repeat(np.arange(n), lens)
+                # 3-gram windows over the flat token-hash stream, minus
+                # the windows that straddle a document boundary
+                sh = ((th[:-2] * 31 + th[1:-1]) * 31 + th[2:]) % P
+                vals = sh[doc_of[:-2] == doc_of[2:]]
+                M = (vals[:, None] * A[None, :] + B[None, :]) % P
+                starts = np.zeros(int(has.sum()), dtype=np.int64)
+                np.cumsum(sc[has][:-1], out=starts[1:])
+                sigs[has] = np.minimum.reduceat(M, starts, axis=0)
+            short = ~has & ~none_mask
+            if short.any():
+                fv = np.array(
+                    [h32(t) for t, s in zip(texts, short) if s], dtype=np.int64
+                )
+                sigs[short] = (fv[:, None] * A[None, :] + B[None, :]) % P
+            out_sig = [None if m else [int(x) for x in row] for m, row in zip(none_mask, sigs)]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": out_sig})
+
+    return corpus.mapInPandas(kernel, "doc_id bigint, sig array<bigint>")
 
 
 def _variant_corpus(docs: DataFrame) -> DataFrame:
@@ -235,8 +294,8 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline (all narrow until the band shuffle):
       1. per-row: shingle set → 32-bit hashes → 16-element MinHash
-         signature (pure array expressions, md5 computed once per
-         shingle via the let-binding idiom);
+         signature (vectorized NumPy kernel, md5 computed once per
+         unique token — see ``_minhash_signatures``);
       2. explode 8 bands of 2 minhashes; shuffle ONLY on
          (band_id, band_signature);
       3. bucket self-join → candidate pairs (doc_a < doc_b);
@@ -253,10 +312,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides are differently-aliased plans, so without this every
     # md5/minhash expression executes twice (no ReusedExchange). The
     # checkpointed frame is tiny (doc_id + 16 bigints per row).
-    sigs = corpus.select(
-        "doc_id", _minhash_sig(F.col("text")).alias("sig")
-    )
-    sigs = materialize(sigs)
+    sigs = materialize(_minhash_signatures(corpus))
     bands = sigs.select(
         "doc_id",
         "sig",

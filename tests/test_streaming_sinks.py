@@ -235,7 +235,12 @@ def test_kafka_request_stream_schema_when_connector_present(spark):
     """Optional Kafka-connector smoke: the kafka source's fixed schema
     resolves without contacting a broker, so when the spark-sql-kafka
     jar is on the classpath this asserts our decode projection wires up;
-    without the jar (this sandbox) it skips rather than fails."""
+    without the jar (this sandbox has no network to fetch it) it skips
+    rather than fails. To run it for real, start the session with
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark
+    version>`` (or drop the jar plus its kafka-clients/commons-pool2
+    deps into ``$SPARK_HOME/jars``) — the connector version must match
+    the installed pyspark."""
     from sbs_suptech_etl_v2_spark.streaming.ingress import kafka_request_stream
 
     try:
@@ -252,3 +257,29 @@ def test_kafka_request_stream_schema_when_connector_present(spark):
         "period_month",
         "period_year",
     }
+
+
+def test_merge_metadata_delta_gate(spark, tmp_path):
+    # delta-spark is not bundled in this environment: the transactional
+    # strategy must fail fast with an actionable message, never fall
+    # back silently (a half-configured prod deploy should not quietly
+    # lose snapshot isolation)
+    updates = spark.createDataFrame(
+        [("r1", {"k": "v"})], "record_id string, metadata map<string,string>"
+    )
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark present; gate test targets its absence")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        merge_metadata(spark, str(tmp_path / "t"), updates, strategy="delta")
+
+
+def test_merge_metadata_rejects_unknown_strategy(spark, tmp_path):
+    updates = spark.createDataFrame(
+        [("r1", {"k": "v"})], "record_id string, metadata map<string,string>"
+    )
+    with pytest.raises(ValueError, match="unknown merge strategy"):
+        merge_metadata(spark, str(tmp_path / "t"), updates, strategy="iceberg")
