@@ -983,3 +983,251 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
+
+
+def small_quantity_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — scalar-subquery-per-group via join-back.
+
+    Revenue from line items whose quantity is below half their part's
+    average quantity, per brand. The correlated scalar subquery
+    (``WHERE l_quantity < 0.5 * (SELECT avg .. WHERE same part)``)
+    decorrelates into: per-part average (one shuffle on l_partkey with
+    map-side partial agg), joined back to lineitem on the SAME key —
+    AQE reuses the agg's partitioning so lineitem shuffles once, and
+    the per-part frame rides that exchange. The ``part`` dim join for
+    the brand label is broadcast (SKU catalogs are broadcast-sized even
+    at 100 TB fact scale). Averages divide exact decimal sums by
+    counts — bit-deterministic.
+    """
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(_dec(F.col("l_quantity"), 4)) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SMALL_QUANTITY_BRAND_REVENUE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN per_part USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY p_brand
+"""
+
+
+def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions — ntile/percent_rank (absent-op).
+
+    Deciles of customer account balance within each market segment,
+    summarized per (segment, decile). The window sorts each segment
+    once (one shuffle on the segment key); ties broken by c_custkey so
+    both engines assign identical ranks. Scale note: an exact global
+    rank needs the segment sort — at 100 TB prefer approx_percentile
+    buckets (q59's exact/approx split) unless true ranks are required;
+    segments here are few, so the guard is the summary (decile-sized
+    output), not the rank itself.
+    """
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.max("pr").alias("max_percent_rank"),
+    )
+
+
+ACCTBAL_DECILES_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile,
+         percent_rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS pr
+  FROM customer
+)
+SELECT c_mktsegment, decile,
+       COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       MAX(pr) AS max_percent_rank
+FROM ranked
+GROUP BY c_mktsegment, decile
+"""
+
+
+def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (absent-op): clicks within 10 min before a purchase.
+
+    The naive form joins on user_id alone and filters the time range —
+    quadratic in per-user event count. The scale-correct form buckets
+    time into interval-width buckets and equi-joins on (user_id,
+    bucket): each click lands in exactly ONE bucket, each purchase
+    probes its own and the previous bucket, so every qualifying click
+    is found exactly once and bucket size — not per-user history —
+    bounds the join fan-out. The range predicate lives in the join
+    condition (a left join keeps zero-click purchases). Epoch bucketing
+    is offset-invariant: both sides use the same epoch function, and
+    clicks in ``[p.ts - W, p.ts)`` always fall in bucket(p) or
+    bucket(p)-1 regardless of timezone offset.
+    """
+    window_s = 600
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        (F.unix_timestamp("ts") / window_s).cast("bigint").alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (F.unix_timestamp("ts") / window_s).cast("bigint").alias("p_bucket"),
+    )
+    probes = purchases.withColumn(
+        "bucket", F.explode(F.array(F.col("p_bucket") - 1, F.col("p_bucket")))
+    )
+    joined = probes.join(
+        clicks,
+        [
+            probes.p_user == clicks.c_user,
+            probes.bucket == clicks.bucket,
+            clicks.c_ts >= probes.p_ts - F.expr(f"INTERVAL {window_s} SECOND"),
+            clicks.c_ts < probes.p_ts,
+        ],
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("click_id").alias("clicks_10m")
+    )
+
+
+CLICK_PURCHASE_INTERVAL_JOIN_SQL = """
+SELECT p.event_id,
+       COUNT(c.event_id) AS clicks_10m
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (absent-op): order counts per priority across status columns.
+
+    Uses the native ``groupBy().pivot()`` operator WITH an explicit
+    value list — omitting it triggers a separate distinct-value job
+    before planning; naming the statuses keeps the plan single-pass
+    (one shuffle on the group key, pivot columns folded into the
+    aggregate). Missing combinations surface as NULL counts — coalesced
+    to 0 to match the SQL FILTER form.
+    """
+    orders = table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    zero = F.lit(0).cast("bigint")
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), zero).alias("n_f"),
+        F.coalesce(F.col("O"), zero).alias("n_o"),
+        F.coalesce(F.col("P"), zero).alias("n_p"),
+    )
+
+
+STATUS_PRIORITY_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def top_brand_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX aggregate (absent-op): best-revenue brand per part size.
+
+    Two-level aggregate: revenue per (size, brand) — one shuffle with
+    map-side combine — then ``max_by`` keyed on an exact (revenue,
+    brand) struct picks the winning brand per size. The struct key
+    makes ties deterministic (higher brand name wins) and the decimal
+    revenue keeps the comparison exact; the second aggregate runs on
+    the |sizes × brands|-bounded frame, never the fact table. The
+    oracle mirrors max_by with a rank-1 window — same winner by
+    construction.
+    """
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_size", "p_brand")
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("_rev"))
+    )
+    return (
+        per.groupBy("p_size")
+        .agg(
+            F.max_by(
+                "p_brand", F.struct(F.col("_rev"), F.col("p_brand"))
+            ).alias("top_brand"),
+            F.max(F.struct(F.col("_rev"), F.col("p_brand")))
+            .getField("_rev")
+            .cast("double")
+            .alias("top_revenue"),
+            F.count(F.lit(1)).alias("n_brands"),
+        )
+    )
+
+
+TOP_BRAND_PER_SIZE_SQL = """
+WITH per AS (
+  SELECT p_size, p_brand,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_size, p_brand
+),
+ranked AS (
+  SELECT p_size, p_brand, rev,
+         ROW_NUMBER() OVER (PARTITION BY p_size
+                            ORDER BY rev DESC, p_brand DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY p_size) AS n_brands
+  FROM per
+)
+SELECT p_size, p_brand AS top_brand,
+       CAST(rev AS DOUBLE) AS top_revenue,
+       n_brands
+FROM ranked WHERE rn = 1
+"""

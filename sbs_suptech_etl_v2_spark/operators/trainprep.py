@@ -1,0 +1,358 @@
+"""Training-data preparation operator family — [EXT] beyond SURVEY §2.
+
+The corpus-level verbs an LLM training-data pipeline runs between raw
+ingest and tokenization, each a declarative DataFrame plan over the
+``documents`` table (reference parity: the reference has no corpus
+surface at all — these extend the [EXT] mandate of SURVEY §2.11
+alongside dedup/similarity/textops):
+
+- **benchmark contamination check** (q61) — fraction of each training
+  document's k-shingles that also occur in a held-out benchmark set
+  (train/test decontamination). The benchmark shingle vocabulary is
+  small and fixed (eval suites are ~1e4 docs regardless of corpus
+  size), so it collapses to ONE broadcast row and the corpus side
+  stays map-only — no shuffle at any scale.
+- **repetition quality stats** (q62) — Gopher-style repetition gates:
+  top-token fraction, duplicated-token fraction, top-bigram fraction.
+  Pure per-row array math, shuffle-free.
+- **lexicon scrub** (q63) — the PII-redaction operator shape:
+  regex-match a term lexicon, count hits, emit redacted text. A real
+  deployment swaps the lexicon regex for email/phone/SSN patterns —
+  the plan (map-only ``regexp_count`` + ``regexp_replace``) is
+  identical.
+- **stratified hash sampling** (q64) — per-language deterministic
+  Bernoulli sampling via a portable md5-derived bucket: rebalances a
+  skewed language mix (downsample the dominant language) with zero
+  shuffles and exact reproducibility under any partitioning.
+- **sequence packing** (q65) — assign documents to ~fixed-token packs
+  per (lang, shard) via a running-sum window: the deterministic
+  contiguous-greedy approximation of training-batch packing. Sharding
+  bounds window-partition width so the sort never concentrates a
+  whole language on one task.
+
+All ratios divide exact integers (IEEE-identical in both engines); all
+hashes are the portable md5-derived 32-bit hash shared with the dedup
+family (`dedup._hash32`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.operators.dedup import (
+    _ORACLE_SHINGLE_HASHES,
+    _SQL_HASH32,
+    _hash32,
+    _let,
+    _shingle_hashes,
+    _words,
+)
+
+# -- q61 benchmark contamination ------------------------------------------
+BENCH_MOD = 19  # doc_id % 19 == 0 plays the held-out benchmark set
+CONTAMINATION_FLAG = 0.15  # flag docs sharing >= 15% of shingles
+
+# -- q62 repetition gates (thresholds sit inside the corpus distribution
+# so both keep outcomes occur — the gate is exercised, not vacuous)
+MAX_TOP_TOKEN_FRAC = 0.11
+MAX_DUP_TOKEN_FRAC = 0.85
+MAX_TOP_BIGRAM_FRAC = 0.06
+
+# -- q63 scrub lexicon (stands in for PII patterns; same operator shape)
+SCRUB_LEXICON = ("customer", "supplier", "order", "line", "key")
+_SCRUB_PATTERN = r"\b(" + "|".join(SCRUB_LEXICON) + r")\b"
+_SCRUB_TOKEN = "[REDACTED]"
+
+# -- q64 per-language sample rates (percent kept; downsample dominant en)
+SAMPLE_RATES = {"de": 40, "en": 15, "es": 40, "fr": 40, "zh": 40}
+_SAMPLE_SALT = "strat:"
+
+# -- q65 packing
+PACK_TOKENS = 512  # target tokens per pack
+PACK_SHARDS = 4  # deterministic shards per language
+_PACK_SALT = "pack:"
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] train/test decontamination — shingle overlap vs a benchmark.
+
+    Benchmark docs (``doc_id % BENCH_MOD == 0``) contribute ONE
+    aggregated row holding their distinct shingle-hash vocabulary; the
+    evaluation side cross-joins that single broadcast row and scores
+    itself with a per-row ``array_intersect`` — the corpus is scanned
+    once, map-only, no shuffle of the big side ever. At 100 TB the
+    benchmark vocabulary (a fixed eval suite) still fits comfortably in
+    a broadcast (~1e6 shingles × 8 B); were it to outgrow that, the
+    fallback is the explode + shingle-key join the MinHash family uses.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("hashes"))
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("hashes").alias("h"))
+        .agg(F.array_sort(F.collect_set("h")).alias("bench_hashes"))
+    )
+    frac = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        sh.where(F.col("doc_id") % BENCH_MOD != 0)
+        .crossJoin(F.broadcast(bench))
+        .select(
+            "doc_id",
+            F.size("hashes").cast("bigint").alias("n_shingles"),
+            F.size(F.array_intersect("hashes", "bench_hashes"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .withColumn("contamination_frac", frac)
+        .withColumn("flagged", frac >= CONTAMINATION_FLAG)
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_ORACLE_SHINGLE_HASHES},
+bench AS (
+  SELECT list_distinct(flatten(list(hashes))) AS bench_hashes
+  FROM shingle_hashed WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination_frac,
+       CAST(n_contaminated AS DOUBLE) / n_shingles >= {CONTAMINATION_FLAG}
+         AS flagged
+FROM (
+  SELECT s.doc_id,
+         CAST(len(s.hashes) AS BIGINT) AS n_shingles,
+         CAST(len(list_intersect(s.hashes, b.bench_hashes)) AS BIGINT)
+           AS n_contaminated
+  FROM shingle_hashed s, bench b
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+)
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher-style repetition quality gate, map-only.
+
+    Per document: top-token fraction, duplicated-token fraction
+    (tokens belonging to types occurring >= 2×), top-bigram fraction —
+    then a conjunctive keep flag. Everything is per-row array algebra
+    over the token list (token counts are computed once per distinct
+    type via the let-binding idiom); no shuffle, prunes to (doc_id,
+    text) at the scan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    zero = F.lit(0).cast("bigint")
+
+    def stats(ws):
+        cnts = F.transform(
+            F.array_distinct(ws),
+            lambda t: F.size(F.filter(ws, lambda x: x == t)).cast("bigint"),
+        )
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
+        )
+        top_bigram = _let(
+            bigrams,
+            lambda bg: F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda b: F.size(F.filter(bg, lambda x: x == b)).cast("bigint"),
+                )
+            ),
+        )
+        return _let(
+            cnts,
+            lambda cs: F.struct(
+                F.size(ws).cast("bigint").alias("n_tokens"),
+                F.array_max(cs).alias("top_token_n"),
+                F.aggregate(
+                    cs, zero, lambda a, c: a + F.when(c >= 2, c).otherwise(zero)
+                ).alias("dup_token_n"),
+                F.when(F.size(ws) >= 2, top_bigram).otherwise(zero).alias("top_bigram_n"),
+            ),
+        )
+
+    out = docs.select(
+        "doc_id", _let(_words(F.col("text")), stats).alias("s")
+    ).select("doc_id", "s.n_tokens", "s.top_token_n", "s.dup_token_n", "s.top_bigram_n")
+    ttf = F.col("top_token_n") / F.col("n_tokens")
+    dtf = F.col("dup_token_n") / F.col("n_tokens")
+    tbf = F.col("top_bigram_n") / (F.col("n_tokens") - 1)
+    return (
+        out.withColumn("top_token_frac", ttf)
+        .withColumn("dup_token_frac", dtf)
+        .withColumn("top_bigram_frac", tbf)
+        .withColumn(
+            "keep",
+            (ttf <= MAX_TOP_TOKEN_FRAC)
+            & (dtf <= MAX_DUP_TOKEN_FRAC)
+            & (tbf <= MAX_TOP_BIGRAM_FRAC),
+        )
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, ws,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         list_transform(list_distinct(ws),
+                        t -> CAST(len(list_filter(ws, x -> x = t)) AS BIGINT)) AS cnts,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         list_max(cnts) AS top_token_n,
+         COALESCE(list_sum(list_filter(cnts, x -> x >= 2)), 0) AS dup_token_n,
+         CASE WHEN n_tokens >= 2
+              THEN list_max(list_transform(list_distinct(bg),
+                     b -> CAST(len(list_filter(bg, x -> x = b)) AS BIGINT)))
+              ELSE 0 END AS top_bigram_n
+  FROM c
+)
+SELECT doc_id, n_tokens, top_token_n, dup_token_n, top_bigram_n,
+       CAST(top_token_n AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(dup_token_n AS DOUBLE) / n_tokens AS dup_token_frac,
+       CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
+       CAST(top_token_n AS DOUBLE) / n_tokens <= {MAX_TOP_TOKEN_FRAC}
+         AND CAST(dup_token_n AS DOUBLE) / n_tokens <= {MAX_DUP_TOKEN_FRAC}
+         AND CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1) <= {MAX_TOP_BIGRAM_FRAC}
+         AS keep
+FROM s
+"""
+
+
+def lexicon_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PII-scrub operator shape: lexicon regex -> count + redact.
+
+    Map-only ``regexp_count`` / ``regexp_replace`` over the text
+    column; the output carries the hit count and an md5 of the redacted
+    text (narrow row — the scrubbed text itself would be written to the
+    cleaned-corpus sink, not shuffled around). Swap ``_SCRUB_PATTERN``
+    for email/phone/ID patterns in production; \\b word boundaries
+    behave identically in Java regex and RE2 for ASCII text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.col("text"), _SCRUB_PATTERN, _SCRUB_TOKEN)
+    n_hits = F.regexp_count(F.col("text"), F.lit(_SCRUB_PATTERN)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_hits.alias("n_hits"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).withColumn("has_hits", F.col("n_hits") > 0)
+
+
+LEXICON_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS BIGINT) AS n_hits,
+       md5(regexp_replace(text, '{_SCRUB_PATTERN}', '{_SCRUB_TOKEN}', 'g')) AS redacted_md5,
+       len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) > 0 AS has_hits
+FROM documents
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic per-language Bernoulli sampling.
+
+    ``bucket = md5-hash(salt || doc_id) % 100``; a row survives when
+    its bucket falls under its language's keep-rate. Pure row-local
+    filter: reproducible under any partitioning or cluster size (no
+    RNG, no ``TABLESAMPLE`` — those are partition-layout-dependent),
+    pushdown-friendly, zero shuffles. This is how a 100 TB pipeline
+    rebalances a language mix without materializing intermediate
+    corpora.
+    """
+    docs = table(spark, sf_dir, "documents")
+    rate = F.element_at(
+        F.create_map(*[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]),
+        F.col("lang"),
+    )
+    bucket = (
+        _hash32(F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+) + " END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, bucket
+FROM (
+  SELECT doc_id, lang,
+         {_SQL_HASH32.format(x="'" + _SAMPLE_SALT + "' || CAST(doc_id AS VARCHAR)")}
+           % 100 AS bucket
+  FROM documents
+)
+WHERE bucket < {_RATE_CASE}
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] contiguous-greedy sequence packing into ~PACK_TOKENS packs.
+
+    Documents are sharded deterministically (md5 bucket) within each
+    language, ordered by doc_id, and cut into packs where the running
+    token total crosses the pack size: ``pack_id = (cumsum - tokens)
+    div PACK_TOKENS``. One window shuffle on (lang, shard) — the shard
+    key bounds partition width, so no single language concentrates on
+    one task at scale (tune PACK_SHARDS ~ cluster parallelism). The
+    pack summary reuses the same (lang, shard) grouping, so AQE plans
+    the groupBy on the window's existing partitioning.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.size(_words(F.col("text"))).cast("bigint")
+    shard = (
+        _hash32(F.concat(F.lit(_PACK_SALT), F.col("doc_id").cast("string")))
+        % PACK_SHARDS
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    staged = docs.select(
+        "doc_id", "lang", shard.alias("shard"), tokens.alias("tokens")
+    ).withColumn("cum_tokens", F.sum("tokens").over(w))
+    packed = staged.withColumn(
+        "pack_id", F.floor((F.col("cum_tokens") - F.col("tokens")) / PACK_TOKENS)
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         {_SQL_HASH32.format(x="'" + _PACK_SALT + "' || CAST(doc_id AS VARCHAR)")}
+           % {PACK_SHARDS} AS shard,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, shard, tokens,
+         SUM(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM staged
+)
+SELECT lang, shard, (cum_tokens - tokens) // {PACK_TOKENS} AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, shard, (cum_tokens - tokens) // {PACK_TOKENS}
+"""

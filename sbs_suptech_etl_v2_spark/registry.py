@@ -22,6 +22,7 @@ from sbs_suptech_etl_v2_spark.operators import documents as D
 from sbs_suptech_etl_v2_spark.operators import relational as R
 from sbs_suptech_etl_v2_spark.operators import similarity as X2
 from sbs_suptech_etl_v2_spark.operators import textops as X4
+from sbs_suptech_etl_v2_spark.operators import trainprep as X5
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -86,6 +87,16 @@ QUERIES: dict[str, QueryFn] = {
     "q58_salted_agg": R.salted_status_totals,
     "q59_percentiles": R.priority_price_percentiles,
     "q60_grouping_sets": R.status_priority_grouping_sets,
+    "q61_contamination_check": X5.contamination_check,
+    "q62_repetition_stats": X5.repetition_stats,
+    "q63_lexicon_scrub": X5.lexicon_scrub,
+    "q64_stratified_sample": X5.stratified_sample,
+    "q65_sequence_packing": X5.sequence_packing,
+    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
+    "q67_acctbal_deciles": R.acctbal_deciles,
+    "q68_interval_join": R.click_purchase_interval_join,
+    "q69_status_pivot": R.status_priority_pivot,
+    "q70_brand_argmax": R.top_brand_per_size,
 }
 
 ORACLE: dict[str, str] = {
@@ -150,4 +161,14 @@ ORACLE: dict[str, str] = {
     "q58_salted_agg": R.SALTED_STATUS_TOTALS_SQL,
     "q59_percentiles": R.PRIORITY_PRICE_PERCENTILES_SQL,
     "q60_grouping_sets": R.STATUS_PRIORITY_GROUPING_SETS_SQL,
+    "q61_contamination_check": X5.CONTAMINATION_CHECK_SQL,
+    "q62_repetition_stats": X5.REPETITION_STATS_SQL,
+    "q63_lexicon_scrub": X5.LEXICON_SCRUB_SQL,
+    "q64_stratified_sample": X5.STRATIFIED_SAMPLE_SQL,
+    "q65_sequence_packing": X5.SEQUENCE_PACKING_SQL,
+    "q66_small_qty_revenue": R.SMALL_QUANTITY_BRAND_REVENUE_SQL,
+    "q67_acctbal_deciles": R.ACCTBAL_DECILES_SQL,
+    "q68_interval_join": R.CLICK_PURCHASE_INTERVAL_JOIN_SQL,
+    "q69_status_pivot": R.STATUS_PRIORITY_PIVOT_SQL,
+    "q70_brand_argmax": R.TOP_BRAND_PER_SIZE_SQL,
 }
