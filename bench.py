@@ -36,12 +36,23 @@ def _warmup(spark, sf_dir: str) -> None:
     # JVM + shuffle + codegen + parquet footers
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     _materialize(li.groupBy("l_returnflag").agg(F.count(F.lit(1))))
-    # Python worker pool (mapInPandas queries otherwise pay fork cost once)
-    def _identity(batches):
+    # Python worker pool (mapInPandas queries otherwise pay fork cost
+    # once) — the kernels import numpy/pandas/hashlib, so warm those
+    # imports in every pooled worker too: with reuse=true the import
+    # cost otherwise lands in the first vectorized query's first run
+    # (32 workers × ~0.3 s, enough to poison a median of 3)
+    def _warm_kernel(batches):
+        import hashlib  # noqa: F401
+
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
         yield from batches
 
     _materialize(
-        spark.range(1000).withColumnRenamed("id", "x").mapInPandas(_identity, "x long")
+        spark.range(1000, numPartitions=int(spark.sparkContext.defaultParallelism))
+        .withColumnRenamed("id", "x")
+        .mapInPandas(_warm_kernel, "x long")
     )
 
 

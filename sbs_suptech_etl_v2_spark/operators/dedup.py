@@ -182,6 +182,63 @@ def _minhash_signatures(corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(kernel, "doc_id bigint, sig array<bigint>")
 
 
+def _shingle_sets(corpus: DataFrame) -> DataFrame:
+    """(doc_id, hashes array<bigint>) — DISTINCT k-shingle hashes per
+    corpus row, as an Arrow-batched ``mapInPandas`` NumPy kernel.
+
+    The vectorized twin of the ``_shingle_hashes`` expression (same
+    md5-derived token hashes, same ``((h1·31+h2)·31+h3) mod p``
+    composition, same whole-text fallback for short docs) for consumers
+    that need the shingle SET itself rather than a minhash of it — the
+    contamination check intersects these sets against a benchmark
+    vocabulary. Distinctness via a per-batch ``np.unique`` over
+    (doc, shingle) composite keys: shingle values < 2^31 pack beside
+    the batch-local doc index in one int64, so dedup is a single sort.
+    Plan: one scan → MapInPandas, no shuffle.
+    """
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        P = MERSENNE_P
+
+        def h32(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % P
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf["text"]
+            none_mask = texts.isna().to_numpy()
+            toks = [t.split(" ") if t is not None else [] for t in texts]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            flat = np.array([w for ws in toks for w in ws], dtype=object)
+            n = len(pdf)
+            out = [None] * n
+            has = lens >= SHINGLE_K
+            if flat.size and has.any():
+                inv, uniq = pd.factorize(flat)
+                uh = np.array([h32(u) for u in uniq], dtype=np.int64)
+                th = uh[inv]
+                doc_of = np.repeat(np.arange(n), lens)
+                sh = ((th[:-2] * 31 + th[1:-1]) * 31 + th[2:]) % P
+                valid = doc_of[:-2] == doc_of[2:]
+                keys = np.unique((doc_of[:-2][valid] << 31) | sh[valid])
+                key_docs = keys >> 31
+                key_vals = keys & ((1 << 31) - 1)
+                bounds = np.searchsorted(key_docs, np.arange(n + 1))
+                for d in np.nonzero(has)[0]:
+                    out[d] = [int(v) for v in key_vals[bounds[d] : bounds[d + 1]]]
+            for d in np.nonzero(~has & ~none_mask)[0]:
+                out[d] = [h32(texts.iloc[d])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hashes": out})
+
+    return corpus.mapInPandas(kernel, "doc_id bigint, hashes array<bigint>")
+
+
 def _variant_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ planted near-duplicates (every 4th doc, 80% prefix)."""
     base = docs.select("doc_id", "text")
