@@ -1231,3 +1231,51 @@ SELECT p_size, p_brand AS top_brand,
        n_brands
 FROM ranked WHERE rn = 1
 """
+
+
+def status_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (absent-op): wide per-status counts back to long rows.
+
+    Pivots order counts wide (q69's shape), then melts the three status
+    columns back to (priority, status, n) with the native ``unpivot``
+    operator — physically an Expand node (3 output rows per input, no
+    shuffle beyond the pivot aggregate). The round-trip is the point:
+    wide↔long reshaping both directions through declared operators,
+    names preserved exactly.
+    """
+    orders = table(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("bigint")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    wide = piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), zero).alias("n_f"),
+        F.coalesce(F.col("O"), zero).alias("n_o"),
+        F.coalesce(F.col("P"), zero).alias("n_p"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n_orders",
+    )
+
+
+STATUS_COUNTS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n_orders FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n_orders FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_p' AS status_col, n_p AS n_orders FROM wide
+"""

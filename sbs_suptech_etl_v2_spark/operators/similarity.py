@@ -580,3 +580,138 @@ SELECT vec_id, scale,
                    (acc, e) -> acc + e) / len(v) AS mean_abs_err
 FROM coded
 """
+
+
+KMEANS_SCALE = 10_000_000  # fixed-point quantum for order-independent sums
+
+
+def kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] one Lloyd step of spherical k-means over the embeddings.
+
+    The training loop behind a real IVF quantizer (q47 freezes its
+    centroids; this is the step that learns them): assign every vector
+    to its nearest centroid (|V|×K broadcast dots, argmax via
+    ``max_by`` — map-side combinable, ONE shuffle on vec_id-free
+    grouped keys), then recompute each centroid as the member mean and
+    report cluster size, L1 centroid shift, and a fixed-point centroid
+    checksum. Iterating = re-running with the new centroids; one step
+    is the oracle-checkable unit (the driver contract needs
+    deterministic output, and each step is a pure function of the
+    previous centroids).
+
+    Float determinism: elementwise means are summed in FIXED-POINT —
+    ``floor(u_i * 1e7)`` is exact on doubles and engine-identical, the
+    BIGINT sums are order-independent, and the final division is one
+    correctly-rounded IEEE op. A raw double SUM would vary with
+    partial-agg order; a decimal cast of a float rounds HALF_UP in
+    Spark vs HALF_EVEN in DuckDB (observed 1-ulp mismatch) — fixed
+    point sidesteps both.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
+        "vec_id", "u"
+    )
+    centroids = unit.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 3)
+        & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("uc"))
+    scored = unit.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "u", "cent_id", _dot(F.col("u"), F.col("uc")).alias("cscore")
+    )
+    # argmax assignment: max_by on (score, -cent_id) == the oracle's
+    # ROW_NUMBER(ORDER BY cscore DESC, cent_id) winner, but with map-side
+    # partial aggregation instead of a per-vector window sort
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cent_id"), F.col("u")),
+            F.struct(F.col("cscore"), (-F.col("cent_id")).alias("neg")),
+        ).alias("best")
+    ).select("vec_id", F.col("best.cent_id").alias("cent_id"), F.col("best.u").alias("u"))
+    longf = assigned.select(
+        "cent_id", F.posexplode("u").alias("dim0", "val")
+    ).select("cent_id", (F.col("dim0") + 1).alias("dim"), "val")
+    sums = longf.groupBy("cent_id", "dim").agg(
+        F.sum(F.floor(F.col("val") * KMEANS_SCALE)).alias("sum_scaled"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    new_means = sums.select(
+        "cent_id",
+        "dim",
+        "n_members",
+        (F.col("sum_scaled") / (F.col("n_members") * float(KMEANS_SCALE))).alias(
+            "mean_val"
+        ),
+    )
+    old_long = centroids.select(
+        "cent_id", F.posexplode("uc").alias("dim0", "old_val")
+    ).select("cent_id", (F.col("dim0") + 1).alias("dim"), "old_val")
+    return (
+        new_means.join(F.broadcast(old_long), ["cent_id", "dim"])
+        .groupBy("cent_id")
+        .agg(
+            F.max("n_members").alias("n_members"),
+            (
+                F.sum(
+                    F.floor(F.abs(F.col("mean_val") - F.col("old_val")) * KMEANS_SCALE)
+                )
+                / float(KMEANS_SCALE)
+            ).alias("shift_l1"),
+            F.sum(F.floor(F.col("mean_val") * KMEANS_SCALE)).alias("centroid_checksum"),
+        )
+    )
+
+
+KMEANS_UPDATE_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
+  FROM vecs
+),
+centroids AS (
+  SELECT vec_id AS cent_id, u AS uc FROM unit
+  WHERE vec_id % {CENTROID_STRIDE} = 3
+    AND vec_id < {CENTROID_STRIDE * IVF_K}
+),
+scored_cells AS (
+  SELECT n.vec_id, n.u, c.cent_id, {_sql_dot('n.u', 'c.uc')} AS cscore
+  FROM unit n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, u, cent_id FROM (
+    SELECT vec_id, u, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cent_id) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+longf AS (
+  SELECT a.cent_id, g.dim, a.u[g.dim] AS val
+  FROM assigned a CROSS JOIN generate_series(1, {DIM}) AS g(dim)
+),
+sums AS (
+  SELECT cent_id, dim,
+         CAST(SUM(CAST(floor(val * {KMEANS_SCALE}) AS BIGINT)) AS BIGINT)
+           AS sum_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM longf GROUP BY cent_id, dim
+),
+new_means AS (
+  SELECT cent_id, dim, n_members,
+         sum_scaled / (n_members * {KMEANS_SCALE}.0) AS mean_val
+  FROM sums
+),
+old_long AS (
+  SELECT c.cent_id, g.dim, c.uc[g.dim] AS old_val
+  FROM centroids c CROSS JOIN generate_series(1, {DIM}) AS g(dim)
+)
+SELECT m.cent_id,
+       MAX(m.n_members) AS n_members,
+       CAST(SUM(CAST(floor(abs(m.mean_val - o.old_val) * {KMEANS_SCALE}) AS BIGINT))
+            AS BIGINT) / {KMEANS_SCALE}.0 AS shift_l1,
+       CAST(SUM(CAST(floor(m.mean_val * {KMEANS_SCALE}) AS BIGINT)) AS BIGINT)
+         AS centroid_checksum
+FROM new_means m JOIN old_long o ON m.cent_id = o.cent_id AND m.dim = o.dim
+GROUP BY m.cent_id
+"""

@@ -97,6 +97,8 @@ QUERIES: dict[str, QueryFn] = {
     "q68_interval_join": R.click_purchase_interval_join,
     "q69_status_pivot": R.status_priority_pivot,
     "q70_brand_argmax": R.top_brand_per_size,
+    "q71_kmeans_update": X2.kmeans_update,
+    "q72_status_unpivot": R.status_counts_unpivot,
 }
 
 ORACLE: dict[str, str] = {
@@ -171,4 +173,6 @@ ORACLE: dict[str, str] = {
     "q68_interval_join": R.CLICK_PURCHASE_INTERVAL_JOIN_SQL,
     "q69_status_pivot": R.STATUS_PRIORITY_PIVOT_SQL,
     "q70_brand_argmax": R.TOP_BRAND_PER_SIZE_SQL,
+    "q71_kmeans_update": X2.KMEANS_UPDATE_SQL,
+    "q72_status_unpivot": R.STATUS_COUNTS_UNPIVOT_SQL,
 }
