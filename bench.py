@@ -71,15 +71,19 @@ def main() -> None:
     only = set(sys.argv[1:])
     names = [n for n in sorted(QUERIES) if not only or n in only]
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = QUERIES[name]
-        samples = []
-        for _ in range(RUNS):
+    # INTERLEAVED rounds: run the whole suite RUNS times and take the
+    # per-query median ACROSS rounds, rather than back-to-back repeats.
+    # Same work, same median-of-3 methodology (BASELINE.md), but a
+    # multi-second machine-noise episode (observed: a 0.8 s cube query
+    # reading 13 s for all 3 consecutive runs) now lands in at most one
+    # of a query's samples instead of all of them.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(RUNS):
+        for name in names:
             t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+            _materialize(QUERIES[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

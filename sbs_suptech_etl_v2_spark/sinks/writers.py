@@ -306,3 +306,61 @@ def stage_text_artifacts(df: DataFrame, record_id_col: str, content_col: str) ->
         format_text_key(F.col(record_id_col)).alias("s3_key"),
         F.col(content_col).alias("content"),
     )
+
+
+class IdempotentBatchSink:
+    """Exactly-once-in-effect wrapper for a ``foreachBatch`` callable.
+
+    Structured Streaming's replay contract is at-least-once: after a
+    restart the last uncommitted micro-batch re-runs with the SAME
+    ``batch_id``. Sinks whose writes are naturally idempotent (K2's
+    merge converges on re-run) need nothing; side-effecting sinks like
+    K3's notification send would duplicate. This wrapper consults an
+    epoch ledger before running the inner sink and marks the epoch
+    AFTER it succeeds:
+
+    - marker present  → the batch already committed; skip entirely.
+    - inner() raises  → no marker; the stream fails and the batch
+      replays (at-least-once preserved, nothing lost).
+    - crash between inner() and mark → the replay re-sends; the
+      duplicate window is exactly the inner sink's own non-atomicity,
+      which is Spark's documented floor for foreachBatch.
+
+    The default ledger is one empty ``epoch-{batch_id}`` file per
+    committed batch in ``ledger_dir`` — the directory must live on
+    storage shared with the driver (checkpoint-location-style); an
+    object-store deployment injects ``exists``/``mark`` callables
+    backed by put-if-absent instead.
+    """
+
+    def __init__(
+        self,
+        inner: Callable[[DataFrame, int], None],
+        ledger_dir: str,
+        exists: Callable[[int], bool] | None = None,
+        mark: Callable[[int], None] | None = None,
+    ) -> None:
+        self._inner = inner
+        if (exists is None) != (mark is None):
+            raise ValueError("inject exists and mark together, or neither")
+        if exists is None:
+            os.makedirs(ledger_dir, exist_ok=True)
+
+            def exists(batch_id: int) -> bool:
+                return os.path.exists(os.path.join(ledger_dir, f"epoch-{batch_id}"))
+
+            def mark(batch_id: int) -> None:
+                # 'x' mode: creation is the commit point — a concurrent
+                # duplicate marker is impossible, a crash mid-create
+                # leaves no marker (safe: replay re-runs the batch)
+                with open(os.path.join(ledger_dir, f"epoch-{batch_id}"), "x"):
+                    pass
+
+        self._exists = exists
+        self._mark = mark
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._exists(batch_id):
+            return
+        self._inner(batch_df, batch_id)
+        self._mark(batch_id)

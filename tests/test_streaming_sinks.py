@@ -283,3 +283,45 @@ def test_merge_metadata_rejects_unknown_strategy(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown merge strategy"):
         merge_metadata(spark, str(tmp_path / "t"), updates, strategy="iceberg")
+
+
+def test_idempotent_batch_sink_skips_replayed_epochs(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.sinks.writers import IdempotentBatchSink
+
+    calls = []
+
+    def inner(batch_df, batch_id):
+        calls.append((batch_id, batch_df.count()))
+
+    sink = IdempotentBatchSink(inner, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    sink(df, 0)
+    sink(df, 0)  # post-restart replay of the same epoch
+    sink(df, 1)
+    assert calls == [(0, 3), (1, 3)]
+
+
+def test_idempotent_batch_sink_failed_epoch_replays(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.sinks.writers import IdempotentBatchSink
+
+    attempts = []
+
+    def flaky(batch_df, batch_id):
+        attempts.append(batch_id)
+        if len(attempts) == 1:
+            raise RuntimeError("sink outage")
+
+    sink = IdempotentBatchSink(flaky, str(tmp_path / "ledger"))
+    df = spark.range(1)
+    with pytest.raises(RuntimeError):
+        sink(df, 7)
+    sink(df, 7)  # replay after failure must re-run, then commit
+    sink(df, 7)  # committed now — skipped
+    assert attempts == [7, 7]
+
+
+def test_idempotent_batch_sink_rejects_half_injection(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.sinks.writers import IdempotentBatchSink
+
+    with pytest.raises(ValueError, match="together"):
+        IdempotentBatchSink(lambda df, b: None, str(tmp_path), exists=lambda b: False)
