@@ -87,3 +87,81 @@ def streaming_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+class RunningTotalsProcessor:
+    """Spark 4.x ``StatefulProcessor`` — per-key running value totals.
+
+    The ``transformWithStateInPandas`` successor of the
+    ``applyInPandasWithState`` dedup above: arbitrary typed state
+    (ValueState/ListState/MapState, optional per-state TTL) instead of
+    one state tuple, explicit timers instead of a single timeout conf.
+    Each input batch per key emits the updated running (n_events,
+    total_value) — the streaming form of a grouped aggregate whose
+    state survives restarts via the checkpointed state store.
+
+    Declared as a plain class implementing the StatefulProcessor
+    protocol (init/handleInputRows/close) so the module imports even if
+    a future pyspark reshuffles the ABC; ``running_totals`` checks the
+    API at call time.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals", "n_events bigint, total_value double", self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        prev = self._state.get()
+        n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        return None
+
+    def close(self) -> None:
+        return None
+
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def running_totals(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user running (count, value-sum) via ``transformWithStateInPandas``.
+
+    ``stream`` must carry ``user_id`` and ``value`` columns. Output mode
+    Update: each micro-batch emits one refreshed row per active key.
+    ``ttl_ms`` expires idle keys' state (the state-store boundedness
+    knob — same 100 TB argument as the dedup TTL above).
+
+    Runtime dependency: the transformWithState Python runner speaks
+    protobuf to the JVM state server — environments without
+    ``google.protobuf`` fail at stream start (this sandbox: the test
+    auto-skips; ``streaming_dedup`` above covers the no-protobuf path
+    with the v1 state API).
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Processor(RunningTotalsProcessor, StatefulProcessor):
+        pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Processor(ttl_ms),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
