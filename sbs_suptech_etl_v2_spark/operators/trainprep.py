@@ -79,38 +79,43 @@ _PACK_SALT = "pack:"
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] train/test decontamination — shingle overlap vs a benchmark.
 
-    Benchmark docs (``doc_id % BENCH_MOD == 0``) contribute ONE
-    aggregated row holding their distinct shingle-hash vocabulary; the
-    evaluation side cross-joins that single broadcast row and scores
-    itself with a per-row ``array_intersect`` — the corpus is scanned
-    once, map-only, no shuffle of the big side ever. At 100 TB the
-    benchmark vocabulary (a fixed eval suite) still fits comfortably in
-    a broadcast (~1e6 shingles × 8 B); were it to outgrow that, the
-    fallback is the explode + shingle-key join the MinHash family uses.
+    Benchmark docs (``doc_id % BENCH_MOD == 0``) contribute their
+    distinct shingle vocabulary — a broadcast-sized frame at any corpus
+    scale (eval suites are fixed-size). The evaluation side explodes
+    its shingles, LEFT-joins the broadcast vocabulary as a hit marker,
+    and folds straight back to one row per document in a single
+    aggregation: ``n_shingles = count(*)``, ``n_contaminated =
+    count(marker)``. Shuffle volume is the per-document partial-agg
+    output (two counters per doc per map partition), never the shingle
+    stream — and there is no join-back, so nothing corpus-sized is ever
+    broadcast. Measured 2× faster than the per-row
+    ``array_intersect``-against-broadcast-vocabulary form it replaced
+    (each row paid a hash-set build over the full vocabulary).
 
     The shingle sets come from the vectorized NumPy kernel
     (``dedup._shingle_sets`` — the interpreted-HOF expression form was
-    the q61 hot spot) and are materialized ONCE: without the
-    checkpoint, the benchmark and evaluation branches each recompute
-    every md5 (two kernel passes over the corpus).
+    the q61 hot spot before that) and are materialized ONCE: the
+    benchmark and evaluation branches would otherwise each recompute
+    every md5. ``hashes`` is never empty (short docs get the whole-text
+    fallback hash), so the explode drops no documents.
     """
     docs = table(spark, sf_dir, "documents")
     sh = materialize(_shingle_sets(docs.select("doc_id", "text")))
-    bench = (
+    bench_keys = (
         sh.where(F.col("doc_id") % BENCH_MOD == 0)
         .select(F.explode("hashes").alias("h"))
-        .agg(F.array_sort(F.collect_set("h")).alias("bench_hashes"))
+        .distinct()
+        .withColumn("marker", F.lit(1))
     )
     frac = F.col("n_contaminated") / F.col("n_shingles")
     return (
         sh.where(F.col("doc_id") % BENCH_MOD != 0)
-        .crossJoin(F.broadcast(bench))
-        .select(
-            "doc_id",
-            F.size("hashes").cast("bigint").alias("n_shingles"),
-            F.size(F.array_intersect("hashes", "bench_hashes"))
-            .cast("bigint")
-            .alias("n_contaminated"),
+        .select("doc_id", F.explode("hashes").alias("h"))
+        .join(F.broadcast(bench_keys), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("marker").alias("n_contaminated"),
         )
         .withColumn("contamination_frac", frac)
         .withColumn("flagged", frac >= CONTAMINATION_FLAG)
