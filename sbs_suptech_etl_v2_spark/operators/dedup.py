@@ -732,3 +732,54 @@ SELECT doc_id,
          / (len(s_base) + len(s_var) - len(list_intersect(s_base, s_var))) AS jaccard
 FROM paired
 """
+
+
+LEV_PREFIX = 80  # edit distance is O(n*m): bound the compared prefix
+LEV_CLOSE = 8
+
+
+def variant_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] Levenshtein verification of near-dup candidate pairs.
+
+    The third verifier in the dedup toolbox (besides shingle-Jaccard
+    q23 and cosine q25): exact edit distance between each planted
+    variant and its base document, on a bounded prefix — O(n·m) per
+    pair means the PREFIX bound, not the corpus, is the cost knob;
+    pair volume comes from the id join (in production: from the LSH
+    candidate generator, never all-pairs). ``levenshtein`` is
+    unit-cost in both engines, so parity is exact.
+    """
+    corpus = _variant_corpus(table(spark, sf_dir, "documents"))
+    variants = corpus.where(F.col("doc_id") >= VARIANT_OFFSET).select(
+        (F.col("doc_id") - VARIANT_OFFSET).alias("base_id"),
+        F.substring("text", 1, LEV_PREFIX).alias("var_prefix"),
+    )
+    base = corpus.where(F.col("doc_id") < VARIANT_OFFSET).select(
+        F.col("doc_id").alias("base_id"),
+        F.substring("text", 1, LEV_PREFIX).alias("base_prefix"),
+    )
+    lev = F.levenshtein(F.col("base_prefix"), F.col("var_prefix")).cast("bigint")
+    return (
+        base.join(variants, "base_id")
+        .select("base_id", lev.alias("edit_distance"))
+        .withColumn("close_match", F.col("edit_distance") <= LEV_CLOSE)
+    )
+
+
+VARIANT_EDIT_DISTANCE_SQL = f"""
+WITH
+{_ORACLE_VARIANTS},
+variants AS (
+  SELECT doc_id - {VARIANT_OFFSET} AS base_id,
+         substr(text, 1, {LEV_PREFIX}) AS var_prefix
+  FROM corpus WHERE doc_id >= {VARIANT_OFFSET}
+),
+base AS (
+  SELECT doc_id AS base_id, substr(text, 1, {LEV_PREFIX}) AS base_prefix
+  FROM corpus WHERE doc_id < {VARIANT_OFFSET}
+)
+SELECT base_id,
+       CAST(levenshtein(base_prefix, var_prefix) AS BIGINT) AS edit_distance,
+       levenshtein(base_prefix, var_prefix) <= {LEV_CLOSE} AS close_match
+FROM base JOIN variants USING (base_id)
+"""

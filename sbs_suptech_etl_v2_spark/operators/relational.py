@@ -1279,3 +1279,43 @@ SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n_orders FROM wide
 UNION ALL
 SELECT o_orderpriority, 'n_p' AS status_col, n_p AS n_orders FROM wide
 """
+
+
+def order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function breadth — the calendar verbs an
+    analytics user expects day one (C-class extension; the reference's
+    only date logic is regex month parsing, C1-C3).
+
+    Map-only projection over orders: month end, quarter, ISO week,
+    ISO day-of-week, clamped month arithmetic, day difference from a
+    fixed anchor. Engine-parity notes baked into the choices: Spark
+    ``weekday()+1`` == DuckDB ``isodow`` (Spark's ``dayofweek`` is
+    Sunday-based), ``add_months`` clamps end-of-month exactly like
+    interval month addition, ``weekofyear`` is ISO in both.
+    """
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("bigint").alias("order_quarter"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.add_months(d, 2).alias("plus_two_months"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+ORDER_CALENDAR_SQL = """
+SELECT o_orderkey,
+       last_day(o_orderdate) AS month_end,
+       CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_two_months,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+         AS days_since_epoch_start
+FROM orders
+"""

@@ -99,6 +99,8 @@ QUERIES: dict[str, QueryFn] = {
     "q70_brand_argmax": R.top_brand_per_size,
     "q71_kmeans_update": X2.kmeans_update,
     "q72_status_unpivot": R.status_counts_unpivot,
+    "q73_order_calendar": R.order_calendar,
+    "q74_edit_distance": X1.variant_edit_distance,
 }
 
 ORACLE: dict[str, str] = {
@@ -175,4 +177,6 @@ ORACLE: dict[str, str] = {
     "q70_brand_argmax": R.TOP_BRAND_PER_SIZE_SQL,
     "q71_kmeans_update": X2.KMEANS_UPDATE_SQL,
     "q72_status_unpivot": R.STATUS_COUNTS_UNPIVOT_SQL,
+    "q73_order_calendar": R.ORDER_CALENDAR_SQL,
+    "q74_edit_distance": X1.VARIANT_EDIT_DISTANCE_SQL,
 }
