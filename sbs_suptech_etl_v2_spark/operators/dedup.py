@@ -536,6 +536,80 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_FIXPOINT_ROUNDS = 20  # safety valve; diameter of real dup graphs is tiny
+
+
+def neardup_clusters_fixpoint(
+    spark: SparkSession, sf_dir: str, max_rounds: int = MAX_FIXPOINT_ROUNDS
+) -> DataFrame:
+    """[EXT-1] near-dup clustering run to CONVERGENCE — the production
+    form of ``neardup_clusters``'s bounded loop.
+
+    Same propagation round (broadcast edge join + min-label fold), but
+    iterated until a fixpoint instead of a fixed count. Convergence
+    detection costs one tiny aggregate per round: labels only ever
+    DECREASE (``least``), so ``sum(label)`` is strictly monotonic until
+    the fixpoint — an unchanged sum proves an unchanged labeling, no
+    old-vs-new join needed. ``max_rounds`` is the runaway valve (a
+    path graph of length n needs ~log n doubling rounds; real dup
+    graphs are star-shaped and converge in 1-2).
+
+    Deterministic and identical to the bounded version whenever the
+    graph diameter <= the bound — the registry checks this path against
+    the SAME DuckDB oracle as q50.
+    """
+    pairs = materialize(minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    cached: list[DataFrame] = []
+    prev_sum = None
+    for _ in range(max_rounds):
+        neighbor_min = (
+            labels.join(F.broadcast(edges), edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(
+                F.broadcast(neighbor_min), labels.doc_id == neighbor_min.src, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        for old in cached:
+            old.unpersist()
+        cached = [labels]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    labels = materialize(labels, eager=True)
+    for old in cached:
+        old.unpersist()
+    return (
+        labels.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("label"))
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
 def _clusters_sql() -> str:
     steps = []
     prev = "labels0"

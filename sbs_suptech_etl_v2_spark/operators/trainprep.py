@@ -211,7 +211,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ttf = F.col("top_token_n") / F.col("n_tokens")
     dtf = F.col("dup_token_n") / F.col("n_tokens")
-    tbf = F.col("top_bigram_n") / (F.col("n_tokens") - 1)
+    # single-token docs have zero bigrams: define the fraction as 0.0
+    # rather than divide by zero (ANSI mode raises on n_tokens == 1)
+    tbf = F.when(
+        F.col("n_tokens") >= 2, F.col("top_bigram_n") / (F.col("n_tokens") - 1)
+    ).otherwise(F.lit(0.0))
     return (
         out.withColumn("top_token_frac", ttf)
         .withColumn("dup_token_frac", dtf)
@@ -247,10 +251,14 @@ s AS (
 SELECT doc_id, n_tokens, top_token_n, dup_token_n, top_bigram_n,
        CAST(top_token_n AS DOUBLE) / n_tokens AS top_token_frac,
        CAST(dup_token_n AS DOUBLE) / n_tokens AS dup_token_frac,
-       CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
+       CASE WHEN n_tokens >= 2
+            THEN CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1)
+            ELSE 0.0 END AS top_bigram_frac,
        CAST(top_token_n AS DOUBLE) / n_tokens <= {MAX_TOP_TOKEN_FRAC}
          AND CAST(dup_token_n AS DOUBLE) / n_tokens <= {MAX_DUP_TOKEN_FRAC}
-         AND CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1) <= {MAX_TOP_BIGRAM_FRAC}
+         AND CASE WHEN n_tokens >= 2
+                  THEN CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1)
+                  ELSE 0.0 END <= {MAX_TOP_BIGRAM_FRAC}
          AS keep
 FROM s
 """

@@ -101,6 +101,7 @@ QUERIES: dict[str, QueryFn] = {
     "q72_status_unpivot": R.status_counts_unpivot,
     "q73_order_calendar": R.order_calendar,
     "q74_edit_distance": X1.variant_edit_distance,
+    "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
 }
 
 ORACLE: dict[str, str] = {
@@ -179,4 +180,7 @@ ORACLE: dict[str, str] = {
     "q72_status_unpivot": R.STATUS_COUNTS_UNPIVOT_SQL,
     "q73_order_calendar": R.ORDER_CALENDAR_SQL,
     "q74_edit_distance": X1.VARIANT_EDIT_DISTANCE_SQL,
+    # fixpoint clustering converges to the bounded-round labeling on
+    # this corpus (diameter <= 2), so it shares q50's oracle
+    "q75_neardup_fixpoint": X1.NEARDUP_CLUSTERS_SQL,
 }
