@@ -1319,3 +1319,80 @@ SELECT o_orderkey,
          AS days_since_epoch_start
 FROM orders
 """
+
+
+PATH_TOP_K = 20
+
+
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized path analysis — the funnel query over event streams.
+
+    Composition of three declared capabilities: gaps-and-islands
+    sessionization (lag → new-session flag → running sum, the batch
+    twin of q46's session_window), an ORDERED string aggregation per
+    session (sort_array over (ts, event_id, type) structs — Spark has
+    no ordered string_agg, struct sort + transform + array_join is the
+    deterministic equivalent), and a top-k on path frequency
+    (TakeOrderedAndProject, unique path tie-break). Shuffles: one on
+    user_id for the session windows (reused by the per-session
+    aggregate — same key prefix), one bounded shuffle on the path key.
+    Epoch-second gap comparison is offset-invariant for any CONSTANT
+    session-zone offset; pin UTC (like q57) so a DST transition inside
+    the data range cannot shift one gap across the threshold.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    new_session = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sessions = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "session_id",
+        F.sum(new_session).over(w_user.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = sessions.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+SESSION_EVENT_PATHS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+"""

@@ -102,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "q73_order_calendar": R.order_calendar,
     "q74_edit_distance": X1.variant_edit_distance,
     "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
+    "q76_session_paths": R.session_event_paths,
 }
 
 ORACLE: dict[str, str] = {
@@ -183,4 +184,5 @@ ORACLE: dict[str, str] = {
     # fixpoint clustering converges to the bounded-round labeling on
     # this corpus (diameter <= 2), so it shares q50's oracle
     "q75_neardup_fixpoint": X1.NEARDUP_CLUSTERS_SQL,
+    "q76_session_paths": R.SESSION_EVENT_PATHS_SQL,
 }

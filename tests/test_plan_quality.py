@@ -194,3 +194,14 @@ def test_q70_argmax_second_agg_runs_on_bounded_frame(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q70_brand_argmax")
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_q76_session_paths_topk_and_session_shuffle_reuse(spark, sf_dir):
+    # top-20 must be a TakeOrderedAndProject (never a global sort of all
+    # paths), and the per-session aggregate must reuse the session
+    # window's user_id partitioning — shuffles: user_id window + path
+    # groupBy only
+    plan = _plan(spark, sf_dir, "q76_session_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
