@@ -77,12 +77,19 @@ def main() -> None:
     # multi-second machine-noise episode (observed: a 0.8 s cube query
     # reading 13 s for all 3 consecutive runs) now lands in at most one
     # of a query's samples instead of all of them.
+    import gc
+
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(RUNS):
         for name in names:
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            # drop the Python-side refs so Spark's ContextCleaner can
+            # reclaim this query's localCheckpoint blocks — without the
+            # nudge, dozens of checkpointed frames accumulate across the
+            # suite and later queries pay BlockManager spill churn
+            gc.collect()
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
