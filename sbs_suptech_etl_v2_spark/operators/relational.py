@@ -1396,3 +1396,41 @@ FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT {PATH_TOP_K}
 """
+
+
+def order_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lead — the §2.6 ranking trio not covered by
+    row_number (q03) and lag (q76).
+
+    Per customer: value-based ranks over order totals (rank leaves
+    gaps after ties, dense_rank does not — both are value-determined,
+    so ties cannot break determinism) and the days-to-next-order gap
+    via lead over the (date, orderkey) sequence. One shuffle on
+    o_custkey shared by both window specs (same partition key — one
+    Exchange, two Window passes).
+    """
+    orders = table(spark, sf_dir, "orders")
+    w_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w_seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_price).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w_price).cast("bigint").alias("price_dense_rank"),
+        F.datediff(F.lead("o_orderdate").over(w_seq), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_next_order"),
+    )
+
+
+ORDER_RANK_FUNCTIONS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w_price AS BIGINT) AS price_rank,
+       CAST(dense_rank() OVER w_price AS BIGINT) AS price_dense_rank,
+       CAST(datediff('day', o_orderdate,
+                     lead(o_orderdate) OVER w_seq) AS BIGINT)
+         AS days_to_next_order
+FROM orders
+WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+       w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

@@ -103,6 +103,7 @@ QUERIES: dict[str, QueryFn] = {
     "q74_edit_distance": X1.variant_edit_distance,
     "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
     "q76_session_paths": R.session_event_paths,
+    "q77_rank_functions": R.order_rank_functions,
 }
 
 ORACLE: dict[str, str] = {
@@ -185,4 +186,5 @@ ORACLE: dict[str, str] = {
     # this corpus (diameter <= 2), so it shares q50's oracle
     "q75_neardup_fixpoint": X1.NEARDUP_CLUSTERS_SQL,
     "q76_session_paths": R.SESSION_EVENT_PATHS_SQL,
+    "q77_rank_functions": R.ORDER_RANK_FUNCTIONS_SQL,
 }
