@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame
 _STRATEGIES = ("local", "reliable")
 _strategy: str = "local"
 _checkpoint_dir: Optional[str] = None
+# Dir last handed to sc.setCheckpointDir by this module. Spark appends a
+# random UUID subdirectory to whatever it is given, so the applied path
+# can never be recovered by comparing sc.getCheckpointDir() against the
+# user-supplied value — track it ourselves instead.
+_applied_dir: Optional[str] = None
 
 
 def set_checkpoint_strategy(strategy: str, checkpoint_dir: Optional[str] = None) -> None:
@@ -74,9 +79,11 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     durability decision is a deployment concern, not an operator one.
     """
     if _strategy == "reliable":
+        global _applied_dir
         sc = df.sparkSession.sparkContext
-        if _checkpoint_dir is not None and sc.getCheckpointDir() != _checkpoint_dir:
+        if _checkpoint_dir is not None and _applied_dir != _checkpoint_dir:
             sc.setCheckpointDir(_checkpoint_dir)
+            _applied_dir = _checkpoint_dir
         if sc.getCheckpointDir() is None:
             raise RuntimeError(
                 "reliable checkpoint strategy needs a checkpoint dir: pass it to "

@@ -35,9 +35,25 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
-def _row_salt(df: DataFrame, n_salts: int) -> Column:
-    """Content-derived salt in [0, n_salts): stable under repartitioning."""
-    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+def _row_salt(
+    df: DataFrame, n_salts: int, salt_cols: Sequence[str] | None = None
+) -> Column:
+    """Content-derived salt in [0, n_salts): stable under repartitioning.
+
+    Hashes ``salt_cols`` when given, else every hashable column —
+    Spark's ``hash`` rejects MapType (maps have no canonical order), so
+    map columns are excluded rather than failing the whole salted plan.
+    """
+    if salt_cols is None:
+        from pyspark.sql.types import MapType
+
+        salt_cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+        if not salt_cols:
+            raise ValueError(
+                "no hashable columns to salt on (all columns are map-typed); "
+                "pass salt_cols with a derived key, e.g. map_keys(...)"
+            )
+    return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts)).cast("int")
 
 # aggregate name -> (phase-1 partial, phase-2 combine)
 _REAGG = {
@@ -53,6 +69,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: Sequence[tuple[str, Column | str, str]],
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation: groupBy(keys+salt) → groupBy(keys).
 
@@ -67,7 +84,7 @@ def salted_agg(
     for _, _, fn in aggs:
         if fn not in _REAGG:
             raise ValueError(f"{fn!r} is not re-aggregatable; use plain groupBy")
-    salted = df.withColumn(SALT_COL, _row_salt(df, n_salts))
+    salted = df.withColumn(SALT_COL, _row_salt(df, n_salts, salt_cols))
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[
             _REAGG[fn][0](F.col(c) if isinstance(c, str) else c).alias(name)
@@ -85,6 +102,7 @@ def salted_join(
     on: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi join: scatter the big side, replicate the small.
 
@@ -102,7 +120,7 @@ def salted_join(
             "replicated small-side rows have no unique (key, salt) match, "
             "so right/full flavors duplicate unmatched small rows"
         )
-    big_salted = big.withColumn(SALT_COL, _row_salt(big, n_salts))
+    big_salted = big.withColumn(SALT_COL, _row_salt(big, n_salts, salt_cols))
     small_rep = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

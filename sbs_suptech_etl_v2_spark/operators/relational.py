@@ -22,7 +22,7 @@ Catalyst/AQE pick broadcast vs sort-merge joins; explicit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -821,6 +821,28 @@ ASOF LEFT JOIN (
 RANGE_FRAME_DAYS = 30
 
 
+def _epoch_seconds(c) -> Column:
+    """Zone-free epoch seconds of an NTZ timestamp, by field arithmetic.
+
+    ``unix_timestamp`` interprets the wall-clock value in the SESSION
+    timezone, so using it for epoch math either silently depends on the
+    caller's zone or forces the operator to mutate session conf (a
+    side effect that outlives the query — the plan executes lazily, so
+    save/restore around plan construction cannot work). Date + time
+    fields of a TIMESTAMP_NTZ are zone-independent; this is exactly
+    DuckDB's ``epoch(ts)`` for its (NTZ-semantics) TIMESTAMP type,
+    including pre-1970 values (negative day count + positive
+    seconds-of-day).
+    """
+    return (
+        F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("bigint")
+        * 86400
+        + F.hour(c).cast("bigint") * 3600
+        + F.minute(c).cast("bigint") * 60
+        + F.second(c).cast("bigint")
+    )
+
+
 def rolling_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window — SURVEY §2.6 frame-spec coverage beyond
     q10's ROWS frame: per customer, each order's trailing
@@ -835,14 +857,12 @@ def rolling_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key; decimal sums keep the rolling totals exact.
     """
     orders = table(spark, sf_dir, "orders")
-    # NTZ timestamps don't cast to long; unix_timestamp gives epoch
-    # seconds. The offset is NOT harmless under a DST session zone —
-    # a 3600 s shift can move an order across the exact 30-day bound
-    # vs the oracle's UTC epoch() — so pin UTC here rather than rely
-    # on session tuning (the driver builds its own vanilla session).
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts = F.unix_timestamp(F.col("o_orderdate"))
+    # NTZ timestamps don't cast to long; _epoch_seconds gives zone-free
+    # epoch seconds (a session-zone-interpreted epoch would shift an
+    # order across the exact 30-day bound under a DST zone, and pinning
+    # the session zone from inside an operator is a side effect on the
+    # caller's session).
+    ts = _epoch_seconds(F.col("o_orderdate"))
     w = (
         W.partitionBy("o_custkey")
         .orderBy(ts)
@@ -1104,13 +1124,13 @@ def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
         F.col("event_id").alias("click_id"),
-        (F.unix_timestamp("ts") / window_s).cast("bigint").alias("bucket"),
+        (_epoch_seconds(F.col("ts")) / window_s).cast("bigint").alias("bucket"),
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
-        (F.unix_timestamp("ts") / window_s).cast("bigint").alias("p_bucket"),
+        (_epoch_seconds(F.col("ts")) / window_s).cast("bigint").alias("p_bucket"),
     )
     probes = purchases.withColumn(
         "bucket", F.explode(F.array(F.col("p_bucket") - 1, F.col("p_bucket")))
@@ -1336,15 +1356,12 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject, unique path tie-break). Shuffles: one on
     user_id for the session windows (reused by the per-session
     aggregate — same key prefix), one bounded shuffle on the path key.
-    Epoch-second gap comparison is offset-invariant for any CONSTANT
-    session-zone offset; pin UTC (like q57) so a DST transition inside
-    the data range cannot shift one gap across the threshold.
+    Gap comparison uses zone-free epoch arithmetic (_epoch_seconds) so
+    no session-zone assumption — or mutation — is needed.
     """
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = table(spark, sf_dir, "events")
     w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    gap_s = _epoch_seconds(F.col("ts")) - _epoch_seconds(F.lag("ts").over(w_user))
     new_session = F.when(
         gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1
     ).otherwise(0)

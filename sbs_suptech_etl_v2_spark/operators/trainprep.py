@@ -182,6 +182,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            null_text = pdf["text"].isna().to_numpy()
             toks = [t.split(" ") if t is not None else [] for t in pdf["text"]]
             lens = np.array([len(t) for t in toks], dtype=np.int64)
             flat = np.array([w for ws in toks for w in ws], dtype=object)
@@ -194,13 +195,22 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             bg = (inv[:-1].astype(np.int64) << 32 | inv[1:]) [valid]
             bg_ids, _ = pd.factorize(bg)
             bg_tops, _ = seg_stats(bg_ids.astype(np.int64), doc_of[:-1][valid], n)
+            # NULL text propagates NULL counters (str_split(NULL) is a
+            # NULL list oracle-side) — a 0 here would divide by zero in
+            # the fraction expressions under ANSI mode
+            def masked(vals):
+                return pd.array(
+                    [None if isnull else int(v) for v, isnull in zip(vals, null_text)],
+                    dtype="Int64",
+                )
+
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_tokens": lens,
-                    "top_token_n": tops,
-                    "dup_token_n": dups,
-                    "top_bigram_n": bg_tops,
+                    "n_tokens": masked(lens),
+                    "top_token_n": masked(tops),
+                    "dup_token_n": masked(dups),
+                    "top_bigram_n": masked(bg_tops),
                 }
             )
 
@@ -209,13 +219,20 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_tokens bigint, top_token_n bigint, "
         "dup_token_n bigint, top_bigram_n bigint",
     )
-    ttf = F.col("top_token_n") / F.col("n_tokens")
-    dtf = F.col("dup_token_n") / F.col("n_tokens")
+    # n_tokens >= 1 guard: NULL-text rows carry NULL counters and must
+    # yield NULL fractions, never a divide-by-zero under ANSI mode
+    ttf = F.when(
+        F.col("n_tokens") >= 1, F.col("top_token_n") / F.col("n_tokens")
+    )
+    dtf = F.when(
+        F.col("n_tokens") >= 1, F.col("dup_token_n") / F.col("n_tokens")
+    )
     # single-token docs have zero bigrams: define the fraction as 0.0
     # rather than divide by zero (ANSI mode raises on n_tokens == 1)
-    tbf = F.when(
-        F.col("n_tokens") >= 2, F.col("top_bigram_n") / (F.col("n_tokens") - 1)
-    ).otherwise(F.lit(0.0))
+    tbf = (
+        F.when(F.col("n_tokens") >= 2, F.col("top_bigram_n") / (F.col("n_tokens") - 1))
+        .when(F.col("n_tokens").isNotNull(), F.lit(0.0))
+    )
     return (
         out.withColumn("top_token_frac", ttf)
         .withColumn("dup_token_frac", dtf)
@@ -241,10 +258,13 @@ WITH c AS (
 s AS (
   SELECT doc_id, n_tokens,
          list_max(cnts) AS top_token_n,
-         COALESCE(list_sum(list_filter(cnts, x -> x >= 2)), 0) AS dup_token_n,
+         CASE WHEN ws IS NULL THEN NULL
+              ELSE COALESCE(list_sum(list_filter(cnts, x -> x >= 2)), 0)
+              END AS dup_token_n,
          CASE WHEN n_tokens >= 2
               THEN list_max(list_transform(list_distinct(bg),
                      b -> CAST(len(list_filter(bg, x -> x = b)) AS BIGINT)))
+              WHEN n_tokens IS NULL THEN NULL
               ELSE 0 END AS top_bigram_n
   FROM c
 )
@@ -253,11 +273,13 @@ SELECT doc_id, n_tokens, top_token_n, dup_token_n, top_bigram_n,
        CAST(dup_token_n AS DOUBLE) / n_tokens AS dup_token_frac,
        CASE WHEN n_tokens >= 2
             THEN CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1)
+            WHEN n_tokens IS NULL THEN NULL
             ELSE 0.0 END AS top_bigram_frac,
        CAST(top_token_n AS DOUBLE) / n_tokens <= {MAX_TOP_TOKEN_FRAC}
          AND CAST(dup_token_n AS DOUBLE) / n_tokens <= {MAX_DUP_TOKEN_FRAC}
          AND CASE WHEN n_tokens >= 2
                   THEN CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1)
+                  WHEN n_tokens IS NULL THEN NULL
                   ELSE 0.0 END <= {MAX_TOP_BIGRAM_FRAC}
          AS keep
 FROM s

@@ -294,7 +294,12 @@ class NotificationBatchWriter:
             self._spool_dir = None
 
     def __del__(self) -> None:  # best-effort: tests should call close()
-        self.close()
+        try:
+            self.close()
+        except Exception:
+            # interpreter shutdown may have cleared shutil/os module
+            # globals — cleanup at GC time is best-effort only
+            pass
 
 
 def stage_text_artifacts(df: DataFrame, record_id_col: str, content_col: str) -> DataFrame:

@@ -93,3 +93,25 @@ def test_salt_is_repartition_invariant(spark, sf_dir):
         map(tuple, salted_agg(orders.repartition(5), ["o_orderstatus"], aggs).collect())
     )
     assert sorted((r[0], r[1]) for r in salted) == plain
+
+
+def test_salted_agg_skips_map_columns(spark):
+    # Spark's hash() rejects MapType; the salt must exclude map columns
+    # instead of failing the whole salted plan (metadata tables here are
+    # map-typed)
+    df = spark.createDataFrame(
+        [("a", {"k": "1"}, 10), ("a", {"k": "2"}, 5), ("b", {}, 7)],
+        "key string, meta map<string,string>, v int",
+    )
+    out = salted_agg(df, ["key"], [("total", "v", "sum")], n_salts=4)
+    assert sorted(map(tuple, out.collect())) == [("a", 15), ("b", 7)]
+
+
+def test_row_salt_all_map_columns_needs_explicit_cols(spark):
+    import pytest
+
+    from sbs_suptech_etl_v2_spark.functions.skew import _row_salt
+
+    df = spark.createDataFrame([({"k": "1"},)], "meta map<string,string>")
+    with pytest.raises(ValueError, match="map-typed"):
+        _row_salt(df, 4)
