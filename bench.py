@@ -106,7 +106,17 @@ def main() -> None:
         "runs_per_query": RUNS,
         "aggregation": "median",
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # the driver artifact keeps only a tail of stdout, which has
+    # truncated per-query maps in past rounds — persist the full JSON
+    # beside the repo so totals stay auditable
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

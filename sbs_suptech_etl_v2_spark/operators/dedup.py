@@ -445,6 +445,93 @@ WHERE len(list_filter(range({N_HASHES}), i -> sa.sig[i+1] = sb.sig[i+1])) / {N_H
 CLUSTER_ITERATIONS = 2
 
 
+def _bidirectional_edges(pairs: DataFrame) -> DataFrame:
+    """Undirected pair list -> directed edge list with both orientations."""
+    return pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+
+def _initial_labels(edges: DataFrame) -> DataFrame:
+    """Each edge-touched node starts labeled with its own id.
+
+    Propagation runs over edge-touched nodes ONLY: a doc in no pair
+    keeps its own label and can never reach cluster_size > 1, so the
+    corpus-sized id set never enters the iteration — at 100 TB the
+    whole clustering runs on edge-bounded frames (src of the
+    bidirectional edge list covers every endpoint).
+    """
+    return (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+
+
+def _propagate_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One min-label propagation round over a (checkpointed) edge list.
+
+    The edge list is tiny and lineage-cut -> broadcast it in both
+    joins, so the node-sized labels side never shuffles in a round.
+    """
+    neighbor_min = (
+        labels.join(F.broadcast(edges), edges.dst == labels.doc_id)
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return (
+        # neighbor_min is bounded by the edge count -> broadcast;
+        # the labels side stays narrow through every round
+        labels.join(
+            F.broadcast(neighbor_min), labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+    )
+
+
+def _pointer_jump(labels: DataFrame) -> DataFrame:
+    """label(u) <- label(label(u)) — one pointer-jumping step.
+
+    Min-label propagation alone needs O(diameter) rounds: a long-path
+    component (the 100 TB worry for chain-shaped duplicate families)
+    moves its min label one hop per round. Composing each round with a
+    pointer jump halves the remaining path every round — O(log
+    diameter) total — at the cost of one node-sized self-join per
+    round (shuffle on the label key; the frame is edge-bounded, never
+    corpus-sized). Safe to interleave with propagation: label values
+    are always ids of nodes in the same component and only decrease
+    (label(x) <= x inductively), so the monotone sum(label) convergence
+    probe still proves a fixpoint.
+    """
+    mapping = labels.select(
+        F.col("doc_id").alias("m_doc"), F.col("label").alias("m_label")
+    )
+    return labels.join(mapping, labels.label == mapping.m_doc, "left").select(
+        "doc_id", F.coalesce("m_label", "label").alias("label")
+    )
+
+
+def _nontrivial_clusters(labels: DataFrame) -> DataFrame:
+    """Cluster sizes via one count window on the label key — a single
+    shuffle (vs groupBy + join-back = two stages); per-label groups are
+    cluster-sized (bounded by the edge graph), so no skew risk."""
+    return (
+        labels.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("label"))
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-1] near-dup clustering — label propagation over the pair graph.
 
@@ -467,41 +554,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reliable storage-backed checkpoint) is injectable via
     # checkpointing.set_checkpoint_strategy — see checkpointing.py
     pairs = materialize(minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"))
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-
-    # propagate labels over edge-touched nodes ONLY: a doc in no pair
-    # keeps its own label and can never reach cluster_size > 1, so the
-    # corpus-sized id set never enters the iteration — at 100 TB the
-    # whole clustering runs on edge-bounded frames (src of the
-    # bidirectional edge list covers every endpoint)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-    )
+    edges = _bidirectional_edges(pairs)
+    labels = _initial_labels(edges)
     for _ in range(CLUSTER_ITERATIONS):
-        neighbor_min = (
-            # edge list is checkpointed and tiny -> broadcast it, so the
-            # corpus-sized labels side never shuffles in this join
-            labels.join(F.broadcast(edges), edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            # neighbor_min is bounded by the edge count -> broadcast;
-            # the labels side stays narrow through every round
-            labels.join(
-                F.broadcast(neighbor_min), labels.doc_id == neighbor_min.src, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
+        labels = _propagate_min_label(labels, edges)
     # the bounded unroll is a PURE plan: each round references the
     # previous labels twice, so lineage branches 2^rounds ways — but
     # every branch bottoms out at the CHECKPOINTED edge list, so the
@@ -510,27 +566,17 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaced (measured ~0.5 s/query). The fixpoint variant below,
     # whose round count is unbounded, keeps per-round persistence.
     labels = materialize(labels, eager=True)
-    # cluster sizes via one count window on the label key — a single
-    # shuffle (vs groupBy + join-back = two stages); per-label groups
-    # are cluster-sized (bounded by the edge graph), so no skew risk
-    return (
-        labels.withColumn(
-            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("label"))
-        )
-        .filter(F.col("cluster_size") > 1)
-        .select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
-        )
-    )
+    return _nontrivial_clusters(labels)
 
 
 MAX_FIXPOINT_ROUNDS = 20  # safety valve; diameter of real dup graphs is tiny
 
 
 def neardup_clusters_fixpoint(
-    spark: SparkSession, sf_dir: str, max_rounds: int = MAX_FIXPOINT_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int = MAX_FIXPOINT_ROUNDS,
+    pointer_doubling: bool = False,
 ) -> DataFrame:
     """[EXT-1] near-dup clustering run to CONVERGENCE — the production
     form of ``neardup_clusters``'s bounded loop.
@@ -541,63 +587,60 @@ def neardup_clusters_fixpoint(
     DECREASE (``least``), so ``sum(label)`` is strictly monotonic until
     the fixpoint — an unchanged sum proves an unchanged labeling, no
     old-vs-new join needed. ``max_rounds`` is the runaway valve (a
-    path graph of length n needs ~log n doubling rounds; real dup
+    path graph of length n needs ~n propagation rounds; real dup
     graphs are star-shaped and converge in 1-2).
+
+    The loop is SEEDED with the bounded ``CLUSTER_ITERATIONS``-round
+    pure-plan unroll (q50's plan): duplicate graphs with diameter <=
+    the seed — the overwhelmingly common case — pay one materialize
+    plus two tiny sum probes total, instead of a persist + probe action
+    per round. Extra propagation rounds past the fixpoint cannot change
+    any label (``least`` is idempotent), so seeding never changes the
+    result, only the action count.
+
+    ``pointer_doubling=True`` composes every probe round with a
+    ``_pointer_jump`` step — the large-diameter production posture
+    (O(log diameter) rounds instead of O(diameter); see
+    ``_pointer_jump``). Identical results either way — the flag trades
+    a per-round self-join for fewer rounds, worth it exactly when
+    components are chain-shaped rather than star-shaped.
 
     Deterministic and identical to the bounded version whenever the
     graph diameter <= the bound — the registry checks this path against
     the SAME DuckDB oracle as q50.
     """
     pairs = materialize(minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"))
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-    )
+    edges = _bidirectional_edges(pairs)
+    labels = _initial_labels(edges)
+    seed_rounds = min(CLUSTER_ITERATIONS, max_rounds)
+    for _ in range(seed_rounds):
+        labels = _propagate_min_label(labels, edges)
+    labels = materialize(labels, eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     cached: list[DataFrame] = []
-    prev_sum = None
-    for _ in range(max_rounds):
-        neighbor_min = (
-            labels.join(F.broadcast(edges), edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(
-                F.broadcast(neighbor_min), labels.doc_id == neighbor_min.src, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
+    for _ in range(seed_rounds, max_rounds):
+        step = _propagate_min_label(labels, edges)
+        round_frames = []
+        if pointer_doubling:
+            # the jump self-joins its input — persist it so the
+            # propagation round computes once, not twice
+            step = step.persist()
+            round_frames.append(step)
+            step = _pointer_jump(step)
+        labels = step.persist()
+        round_frames.append(labels)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         for old in cached:
             old.unpersist()
-        cached = [labels]
+        cached = round_frames
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    labels = materialize(labels, eager=True)
-    for old in cached:
-        old.unpersist()
-    return (
-        labels.withColumn(
-            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("label"))
-        )
-        .filter(F.col("cluster_size") > 1)
-        .select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
-        )
-    )
+    if cached:
+        labels = materialize(labels, eager=True)
+        for old in cached:
+            old.unpersist()
+    return _nontrivial_clusters(labels)
 
 
 def _clusters_sql() -> str:

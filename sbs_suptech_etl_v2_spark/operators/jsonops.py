@@ -134,6 +134,68 @@ def notification_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def notification_ids_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 sibling — content-derived message ids in UUID format.
+
+    The production form (q43) mirrors the reference's ``uuid.uuid4()``
+    per notification (workflow_orchestator.py:154) and is inherently
+    un-hashable by the oracle. This variant derives the id from the
+    notification's identity — md5(recordId:sessionId) formatted as an
+    8-4-4-4-12 UUID string — so retries produce the SAME id (an
+    idempotency upgrade over uuid4 for an at-least-once sink) and the
+    driver can hash-check the full row. Same row set as q43.
+    """
+    orders = table(spark, sf_dir, "orders")
+    ok = orders.filter(
+        (F.col("o_totalprice") > 5000)
+        & (F.col("o_orderkey") % 7 != 0)
+        & (F.col("o_orderkey") % 11 != 0)
+    )
+    digest = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    # let-binding idiom: materialize the digest once per row —
+    # CollapseProject would otherwise inline the md5 into all five
+    # substrings (5x the hash work)
+    message_id = F.get(
+        F.transform(
+            F.array(digest),
+            lambda h: F.concat_ws(
+                "-",
+                h.substr(1, 8),
+                h.substr(9, 4),
+                h.substr(13, 4),
+                h.substr(17, 4),
+                h.substr(21, 12),
+            ),
+        ),
+        0,
+    )
+    return ok.select(
+        message_id.alias("message_id"),
+        F.col("o_orderkey").cast("string").alias("recordId"),
+        F.col("o_custkey").cast("string").alias("sessionId"),
+    )
+
+
+NOTIFICATION_IDS_DETERMINISTIC_SQL = """
+SELECT concat_ws('-', substr(h, 1, 8), substr(h, 9, 4), substr(h, 13, 4),
+                 substr(h, 17, 4), substr(h, 21, 12)) AS message_id,
+       recordId, sessionId
+FROM (
+  SELECT md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)) AS h,
+         CAST(o_orderkey AS VARCHAR) AS recordId,
+         CAST(o_custkey AS VARCHAR) AS sessionId
+  FROM orders
+  WHERE o_totalprice > 5000 AND o_orderkey % 7 != 0 AND o_orderkey % 11 != 0
+)
+"""
+
+
 def request_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 — camelCase JSON request decode + snake_case rename.
 

@@ -104,6 +104,7 @@ QUERIES: dict[str, QueryFn] = {
     "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
     "q76_session_paths": R.session_event_paths,
     "q77_rank_functions": R.order_rank_functions,
+    "q78_notification_ids_det": J.notification_ids_deterministic,
 }
 
 ORACLE: dict[str, str] = {
@@ -187,4 +188,7 @@ ORACLE: dict[str, str] = {
     "q75_neardup_fixpoint": X1.NEARDUP_CLUSTERS_SQL,
     "q76_session_paths": R.SESSION_EVENT_PATHS_SQL,
     "q77_rank_functions": R.ORDER_RANK_FUNCTIONS_SQL,
+    # q78 is q43's hash-checkable sibling: same row set, deterministic
+    # content-derived id (md5 of recordId:sessionId in UUID format)
+    "q78_notification_ids_det": J.NOTIFICATION_IDS_DETERMINISTIC_SQL,
 }

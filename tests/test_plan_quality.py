@@ -196,6 +196,28 @@ def test_q70_argmax_second_agg_runs_on_bounded_frame(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
 
 
+def test_q75_fixpoint_shares_q50_checkpoint_shape(spark, sf_dir):
+    # the seeded fixpoint must return the same final-stage plan family
+    # as q50: a single count-window over checkpointed labels — the
+    # propagation rounds run eagerly behind the checkpoints and must
+    # never leak recomputation into the returned plan
+    plan = _plan(spark, sf_dir, "q75_neardup_fixpoint")
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+def test_q71_kmeans_centroids_broadcast_and_bounded_shuffles(spark, sf_dir):
+    # the |V|xK scoring stage must broadcast the fixed-K centroid side
+    # (corpus never shuffles for assignment); the only data-sized
+    # exchanges are the two aggregations (assignment argmax, dim sums)
+    # plus the final K-sized regroup (counts doubled: tree + detail)
+    plan = _plan(spark, sf_dir, "q71_kmeans_update")
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast cross join, K rows
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 6
+
+
 def test_q76_session_paths_topk_and_session_shuffle_reuse(spark, sf_dir):
     # top-20 must be a TakeOrderedAndProject (never a global sort of all
     # paths), and the per-session aggregate must reuse the session

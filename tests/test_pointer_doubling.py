@@ -1,0 +1,71 @@
+"""Pointer-doubling (pointer-jumping) fixpoint clustering.
+
+Two claims: (1) composing propagation with a pointer jump converges in
+O(log diameter) rounds where plain min-label propagation needs
+O(diameter) — shown on a synthetic chain component, the shape that
+stalls propagation at scale; (2) the ``pointer_doubling`` flag does not
+change the operator's result on the real corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sbs_suptech_etl_v2_spark.operators.dedup import (
+    _bidirectional_edges,
+    _initial_labels,
+    _pointer_jump,
+    _propagate_min_label,
+    neardup_clusters,
+    neardup_clusters_fixpoint,
+)
+
+CHAIN_N = 17  # diameter 16: propagation needs 16 rounds, doubling ~5
+
+
+def _chain_edges(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(CHAIN_N - 1)], "doc_a bigint, doc_b bigint"
+    )
+    return _bidirectional_edges(pairs)
+
+
+def _labels_after(edges, rounds, jump):
+    labels = _initial_labels(edges)
+    for _ in range(rounds):
+        labels = _propagate_min_label(labels, edges)
+        if jump:
+            labels = _pointer_jump(labels)
+        # cut lineage each round — the pure unroll would branch 2^rounds
+        labels = labels.localCheckpoint(eager=True)
+    return {r["doc_id"]: r["label"] for r in labels.collect()}
+
+
+def test_doubling_converges_in_log_rounds_where_propagation_does_not(spark):
+    edges = _chain_edges(spark)
+    converged = {i: 0 for i in range(CHAIN_N)}
+    # 5 rounds: propagate+jump >= 3-hops-per-round reach -> converged
+    assert _labels_after(edges, 5, jump=True) == converged
+    # plain propagation moves the min one hop per round: after 5 rounds
+    # the chain's far end still carries a non-min label
+    assert _labels_after(edges, 5, jump=False) != converged
+    assert _labels_after(edges, CHAIN_N - 1, jump=False) == converged
+
+
+def test_pointer_doubling_flag_is_result_invariant(spark, sf_dir):
+    base = neardup_clusters(spark, sf_dir)
+    doubled = neardup_clusters_fixpoint(spark, sf_dir, pointer_doubling=True)
+    key = ["doc_id", "cluster_id", "cluster_size"]
+    assert sorted(map(tuple, base.select(*key).collect())) == sorted(
+        map(tuple, doubled.select(*key).collect())
+    )
+
+
+def test_jump_is_label_monotone(spark):
+    # label(label(u)) <= label(u): the convergence probe's monotonicity
+    # argument depends on this
+    edges = _chain_edges(spark)
+    labels = _propagate_min_label(_initial_labels(edges), edges).localCheckpoint()
+    before = {r["doc_id"]: r["label"] for r in labels.collect()}
+    after = {r["doc_id"]: r["label"] for r in _pointer_jump(labels).collect()}
+    assert all(after[d] <= before[d] for d in before)
