@@ -31,18 +31,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table as a DataFrame.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's reader
-    rejects; read nanos as long and truncate to microseconds — the same
-    truncation DuckDB applies, so oracle comparisons stay exact. The
-    ``nanosAsLong`` conf is owned by ``session.get_spark``; the set here
-    is an idempotent fallback for driver-built vanilla sessions (the
-    driver harness constructs its own SparkSession).
+    ``events.parquet`` carries TIMESTAMP(NANOS). Depending on the Spark
+    build, the scan either rejects it unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (ts arrives as a
+    nanosecond ``long``) or reads it natively as ``timestamp_ntz``
+    (micro-truncated). Branch on the schema actually read so both
+    behaviors land on the same micro-truncated TIMESTAMP_NTZ column —
+    the truncation DuckDB applies, so oracle comparisons stay exact.
+    The conf set is an idempotent fallback for driver-built vanilla
+    sessions (the driver harness constructs its own SparkSession).
     """
     if name == "events":
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
