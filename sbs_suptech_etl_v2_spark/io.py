@@ -51,6 +51,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Ensure ``df`` is partitioned at least ``defaultParallelism``-wide
+    before a CPU-heavy stage (Python kernel, interpreted HOF chain,
+    external-call fan-out).
+
+    The test parquet files are single-row-group, so Spark's scan yields
+    ONE partition per file and everything downstream of the scan runs on
+    one core of 32 unless a shuffle intervenes. On a production lake the
+    input arrives with >= cores partitions and this is a no-op — the
+    partition-count probe makes the repartition conditional, so no
+    shuffle is ever added at scale. When it does fire, the shuffled
+    frame is the narrow kernel input (ids + text / vectors), never wide
+    intermediate state.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Read several tables at once: ``li, ords = load(spark, d, "lineitem", "orders")``."""
     return tuple(table(spark, sf_dir, n) for n in names)

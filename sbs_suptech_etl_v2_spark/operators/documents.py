@@ -32,7 +32,7 @@ from sbs_suptech_etl_v2_spark.functions.scalars import (
     refine_year,
     stringify_map_values,
 )
-from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.io import spread, table
 
 # Spanish month literals used to synthesize folder names (mixed case to
 # exercise C2's lower(trim(...)) normalization).
@@ -293,7 +293,7 @@ def pages_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators. Ref: extract_async_helper.py:48-58,
     workflow_orchestator.py:79-93.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
     )

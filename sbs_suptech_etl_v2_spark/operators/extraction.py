@@ -27,7 +27,7 @@ from typing import TYPE_CHECKING, Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.ports.transformer import (
     FakeTransformer,
     bounded_map,
@@ -93,7 +93,10 @@ def extract_structured(
                 out.insert(i, k, pdf[k].values)
             yield out
 
-    return docs.mapInPandas(run, out_schema)
+    # fan the external-call batches across every core: the port
+    # wraps a remote service, so width = throughput (and on the
+    # single-row-group test files the scan arrives 1-partition)
+    return spread(docs).mapInPandas(run, out_schema)
 
 
 def _lpad2(c: Column) -> Column:

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.checkpointing import materialize
 from sbs_suptech_etl_v2_spark.operators.dedup import _let
 
@@ -118,7 +118,7 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast and shuffle-join on the bucket key instead.
     """
     emb = table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    vecs = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
     queries = vecs.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0)
         & (F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES)
@@ -218,7 +218,7 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan shape. Unit vectors make each candidate a single dot.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    base = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
     # materialize the banded frame once: queries and candidates are two
     # aliased reads of it, and without this each side re-runs the
     # normalization + all plane dots (the q21 self-join lesson)
@@ -301,7 +301,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q41) with the bucket id replaced by a learned cell id.
     """
     emb = table(spark, sf_dir, "embeddings")
-    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
+    unit = _unit(spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))).select(
         "vec_id", "u"
     )
     centroids = unit.filter(
@@ -428,7 +428,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
         _variant_vec(F.col("v"), variant_signs).alias("v"),
     )
-    corpus = base.unionByName(variants)
+    corpus = spread(base.unionByName(variants))
     # one materialization feeds both self-join sides (see q41 note)
     banded = materialize(_banded(_unit(corpus)))
     a = banded.select(
@@ -552,7 +552,7 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return emb.mapInPandas(
+    return spread(emb).mapInPandas(
         kernel,
         "vec_id bigint, scale double, code_checksum bigint, mean_abs_err double",
     )
@@ -608,7 +608,7 @@ def kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     point sidesteps both.
     """
     emb = table(spark, sf_dir, "embeddings")
-    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
+    unit = _unit(spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))).select(
         "vec_id", "u"
     )
     centroids = unit.filter(

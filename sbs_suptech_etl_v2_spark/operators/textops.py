@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.operators.dedup import (
     _ORACLE_SHINGLE_HASHES,
     _hash32,
@@ -329,7 +329,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     all. Usable directly as the exact-dedup key at 100 TB (constant
     size per row regardless of document length). Map-only plan.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     sketch = _let(
         F.array_sort(_shingle_hashes(F.col("text"))),
         lambda hs: F.array_join(

@@ -42,7 +42,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.checkpointing import materialize
-from sbs_suptech_etl_v2_spark.io import table
+from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.operators.dedup import (
     _ORACLE_SHINGLE_HASHES,
     _SQL_HASH32,
@@ -214,7 +214,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    out = docs.select("doc_id", "text").mapInPandas(
+    out = spread(docs.select("doc_id", "text")).mapInPandas(
         kernel,
         "doc_id bigint, n_tokens bigint, top_token_n bigint, "
         "dup_token_n bigint, top_bigram_n bigint",

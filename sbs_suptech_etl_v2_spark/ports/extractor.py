@@ -155,4 +155,8 @@ def extract_blocks(docs: DataFrame, content_col: str = "content") -> DataFrame:
                 rows.extend(port.extract_pipeline(int(doc_id), bytes(payload)))
             yield pd.DataFrame(rows, columns=["doc_id", "page_no", "line_no", "block_type", "text"])
 
-    return docs.mapInPandas(run, BLOCKS_SCHEMA)
+    from sbs_suptech_etl_v2_spark.io import spread
+
+    # OCR fan-out wants maximum width (remote-call throughput);
+    # single-row-group test scans otherwise arrive 1-partition
+    return spread(docs).mapInPandas(run, BLOCKS_SCHEMA)

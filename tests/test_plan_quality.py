@@ -74,12 +74,26 @@ def test_q57_range_frame_shuffles_once(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
+def _keyed_exchanges(plan: str) -> int:
+    # io.spread may add a round-robin redistribution when the scan
+    # arrives narrower than the core count (single-row-group test
+    # files); a *keyed* Exchange (hash / range / single-partition)
+    # would mean the stage grew a real data-dependent shuffle. The
+    # partitioning spec appears once per physical exchange, in the
+    # formatted detail section's Arguments line.
+    return sum(
+        plan.count(k)
+        for k in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
 def test_q22_simhash_is_single_pass_vectorized(spark, sf_dir):
     # round-4 rewrite: the interpreted HOF Project became a NumPy
-    # MapInPandas — plan must stay one scan -> MapInPandas, no shuffle
+    # MapInPandas — plan must stay one scan -> MapInPandas with no
+    # keyed shuffle (spread's conditional round-robin is allowed)
     plan = _plan(spark, sf_dir, "q22_simhash_signatures")
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    assert _keyed_exchanges(plan) == 0
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "source" not in read_schema  # column pruning through mapInPandas
 
@@ -87,7 +101,7 @@ def test_q22_simhash_is_single_pass_vectorized(spark, sf_dir):
 def test_q51_quantize_is_single_pass_vectorized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q51_quantize_embeddings")
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    assert _keyed_exchanges(plan) == 0
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "label" not in read_schema
 
@@ -146,7 +160,7 @@ def test_q61_contamination_scores_without_shuffling_corpus(spark, sf_dir):
 def test_q62_repetition_stats_is_map_only_vectorized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q62_repetition_stats")
     assert "MapInPandas" in plan  # NumPy kernel, not interpreted HOFs
-    assert "Exchange" not in plan
+    assert _keyed_exchanges(plan) == 0
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "source" not in read_schema  # prunes to doc_id + text
 
@@ -215,7 +229,10 @@ def test_q71_kmeans_centroids_broadcast_and_bounded_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q71_kmeans_update")
     assert "BroadcastNestedLoopJoin" in plan  # broadcast cross join, K rows
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 6
+    # three keyed shuffles: argmax regroup (vec_id), dim sums
+    # (cent_id, dim), final centroid regroup (cent_id); spread's
+    # round-robin redistribution is not keyed and not counted
+    assert _keyed_exchanges(plan) <= 3
 
 
 def test_q76_session_paths_topk_and_session_shuffle_reuse(spark, sf_dir):
