@@ -248,7 +248,7 @@ def _shingle_sets(corpus: DataFrame) -> DataFrame:
                 out[d] = [h32(texts.iloc[d])]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "hashes": out})
 
-    return spread(corpus).mapInPandas(kernel, "doc_id bigint, hashes array<bigint>")
+    return corpus.mapInPandas(kernel, "doc_id bigint, hashes array<bigint>")
 
 
 def _variant_corpus(docs: DataFrame) -> DataFrame:
@@ -901,4 +901,153 @@ SELECT base_id,
        CAST(levenshtein(base_prefix, var_prefix) AS BIGINT) AS edit_distance,
        levenshtein(base_prefix, var_prefix) <= {LEV_CLOSE} AS close_match
 FROM base JOIN variants USING (base_id)
+"""
+
+
+# -- q79 chunk-level dedup ------------------------------------------------
+CHUNK_TOKENS = 10  # tokens per dedup chunk (line-level dedup granularity)
+
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] chunk-level (line-level) exact dedup statistics.
+
+    The sub-document dedup pass of large-scale corpus prep (the
+    "repeated boilerplate line" remover): cut every document into
+    consecutive {CHUNK_TOKENS}-token chunks, count how many documents
+    each distinct chunk appears in, and report per-document how much of
+    its content is corpus-duplicated. A cleaning pass would drop or
+    rewrite chunks with doc_freq >= 2; this query materializes the
+    decision inputs (chunk counts + duplication ratio).
+
+    Scale shape: explode to one row per chunk, ONE shuffle on the chunk
+    key for the doc-frequency aggregate, shuffle join back on the same
+    key (co-partitioned — AQE may broadcast the frequency side at small
+    scale), then a per-doc regroup. No all-pairs anything; the chunk
+    key's cardinality is corpus-bounded and uniform (md5), so no skew.
+    The trailing sub-{CHUNK_TOKENS}-token remainder carries no full
+    chunk and is excluded by construction — docs shorter than one chunk
+    drop out (they have no dedupable unit).
+    """
+    docs = table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            _let(
+                _words(F.col("text")),
+                # sequence(0, -1) would DESCEND in Spark — guard the
+                # sub-chunk-length docs to an empty chunk list instead
+                lambda ws: F.when(
+                    F.size(ws) >= CHUNK_TOKENS,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.floor(F.size(ws) / CHUNK_TOKENS).cast("int") - 1
+                        ),
+                        lambda i: F.md5(
+                            F.array_join(
+                                F.slice(ws, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("chunk_md5"),
+    )
+    freq = chunks.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("chunk_docs")
+    )
+    return (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("chunk_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup_chunks") / F.col("n_chunks").cast("double")
+        )
+    )
+
+
+CHUNK_DEDUP_STATS_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, i*{CHUNK_TOKENS}+1, i*{CHUNK_TOKENS}+{CHUNK_TOKENS}), ' ')) AS chunk_md5
+  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       unnest(range(len(ws) // {CHUNK_TOKENS})) AS t(i)
+),
+freq AS (
+  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS chunk_docs
+  FROM chunks GROUP BY chunk_md5
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN chunk_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN chunk_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM chunks JOIN freq USING (chunk_md5)
+GROUP BY doc_id
+"""
+
+
+def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] shingle containment — subset-duplication verifier.
+
+    Containment C(A in B) = |S_A ∩ S_B| / |S_A| is the asymmetric
+    companion to Jaccard (q23): a document pasted INSIDE a larger one
+    scores near 1.0 on containment while its Jaccard can fall
+    arbitrarily low — the metric sub-document dedup decisions use.
+    Computed per planted (variant, base) pair with per-row set ops;
+    pair volume comes from the id join (production: the LSH candidate
+    generator). The planted variants are 80% prefixes, so containment
+    of the variant in its base is ~1.0 while q23's Jaccard is ~0.8.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    pairs = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        _shingle_hashes(F.col("text")).alias("s_base"),
+        _shingle_hashes(
+            _let(
+                _words(F.col("text")),
+                lambda ws: F.array_join(
+                    F.slice(
+                        ws,
+                        1,
+                        F.greatest(
+                            F.lit(SHINGLE_K),
+                            F.floor(F.size(ws) * VARIANT_KEEP).cast("int"),
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("s_var"),
+    )
+    inter = F.size(F.array_intersect("s_base", "s_var"))
+    return pairs.select(
+        "doc_id",
+        (F.col("doc_id") + VARIANT_OFFSET).alias("variant_id"),
+        F.size("s_var").cast("bigint").alias("n_var_shingles"),
+        inter.cast("bigint").alias("n_contained"),
+        (inter / F.size("s_var")).alias("containment"),
+    ).withColumn("is_subset_dup", F.col("containment") >= 0.9)
+
+
+SHINGLE_CONTAINMENT_SQL = f"""
+WITH {_ORACLE_VARIANTS},
+{_ORACLE_SHINGLE_HASHES},
+paired AS (
+  SELECT b.doc_id, b.hashes AS s_base, v.hashes AS s_var
+  FROM shingle_hashed b
+  JOIN shingle_hashed v ON v.doc_id = b.doc_id + {VARIANT_OFFSET}
+  WHERE b.doc_id % 4 = 0 AND b.doc_id < {VARIANT_OFFSET}
+)
+SELECT doc_id,
+       doc_id + {VARIANT_OFFSET} AS variant_id,
+       CAST(len(s_var) AS BIGINT) AS n_var_shingles,
+       CAST(len(list_intersect(s_base, s_var)) AS BIGINT) AS n_contained,
+       CAST(len(list_intersect(s_base, s_var)) AS DOUBLE) / len(s_var) AS containment,
+       CAST(len(list_intersect(s_base, s_var)) AS DOUBLE) / len(s_var) >= 0.9
+         AS is_subset_dup
+FROM paired
 """

@@ -1451,3 +1451,115 @@ FROM orders
 WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
        w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+def order_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — cume_dist / percent_rank /
+    nth_value / first_value / last_value (SURVEY §2.8 absent-op
+    breadth; completes the window family beyond rank/lead (q77),
+    ntile (q67), ROWS (q10) and RANGE (q57) frames).
+
+    One window partitioning (o_orderpriority, ordered by
+    (o_totalprice, o_orderkey) — the unique tie-break keeps every
+    distribution value deterministic) serves all five functions, so
+    the physical plan is ONE hash exchange + ONE sort; the frame
+    variants (running for nth_value, whole-partition for last_value)
+    reuse the sorted partition. Scale: priority cardinality is 5 —
+    coarse partitions, but each window group streams; no global sort.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.percent_rank().over(w).alias("price_percent_rank"),
+        F.nth_value("o_orderkey", 3).over(w_run).alias("third_cheapest_so_far"),
+        F.first_value("o_orderkey").over(w_all).alias("cheapest_in_priority"),
+        F.last_value("o_orderkey").over(w_all).alias("priciest_in_priority"),
+    )
+
+
+ORDER_DISTRIBUTION_WINDOWS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       cume_dist() OVER w AS price_cume_dist,
+       percent_rank() OVER w AS price_percent_rank,
+       nth_value(o_orderkey, 3) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS third_cheapest_so_far,
+       first_value(o_orderkey) OVER w_all AS cheapest_in_priority,
+       last_value(o_orderkey) OVER w_all AS priciest_in_priority
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+       w_all AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# thresholds chosen inside the account-balance distribution so BOTH
+# one-sided outcomes occur: some nations have premium customers but no
+# flush suppliers and vice versa — the full outer join's null-extension
+# paths are genuinely exercised, not vacuous.
+PREMIUM_CUST_BAL = 9700.0
+FLUSH_SUPP_BAL = 5000.0
+
+
+def nation_presence_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconcile (SURVEY §2.6 absent-op breadth — the
+    one outer-join flavor no other query exercises).
+
+    Two independently-aggregated per-nation frames (premium customers,
+    flush suppliers) reconciled with a full outer join: nations present
+    on either side survive, missing sides null-extend, and the
+    presence flag trichotomizes (both / cust_only / supp_only). Plan:
+    two partial-agg shuffles on nationkey, then the outer join
+    co-locates on the same key — with AQE the small aggregated sides
+    hash-join without an extra exchange. At 100 TB the aggregates are
+    nation-bounded (tiny); the pattern generalizes to any two
+    fact-derived rollups reconciled on a shared dimension key.
+    """
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    c = (
+        cust.filter(F.col("c_acctbal") > PREMIUM_CUST_BAL)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_premium_cust"))
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") > FLUSH_SUPP_BAL)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_flush_supp"))
+    )
+    joined = c.join(s, "nationkey", "full_outer")
+    return joined.select(
+        "nationkey",
+        F.coalesce("n_premium_cust", F.lit(0)).alias("n_premium_cust"),
+        F.coalesce("n_flush_supp", F.lit(0)).alias("n_flush_supp"),
+        F.when(F.col("n_premium_cust").isNotNull() & F.col("n_flush_supp").isNotNull(), "both")
+        .when(F.col("n_premium_cust").isNotNull(), "cust_only")
+        .otherwise("supp_only")
+        .alias("presence"),
+    )
+
+
+NATION_PRESENCE_RECONCILE_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_premium_cust
+  FROM customer WHERE c_acctbal > {PREMIUM_CUST_BAL}
+  GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_flush_supp
+  FROM supplier WHERE s_acctbal > {FLUSH_SUPP_BAL}
+  GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_premium_cust, 0) AS n_premium_cust,
+       COALESCE(n_flush_supp, 0) AS n_flush_supp,
+       CASE WHEN n_premium_cust IS NOT NULL AND n_flush_supp IS NOT NULL THEN 'both'
+            WHEN n_premium_cust IS NOT NULL THEN 'cust_only'
+            ELSE 'supp_only' END AS presence
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""

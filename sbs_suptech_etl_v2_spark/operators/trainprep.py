@@ -416,3 +416,138 @@ SELECT lang, shard, (cum_tokens - tokens) // {PACK_TOKENS} AS pack_id,
 FROM packed
 GROUP BY lang, shard, (cum_tokens - tokens) // {PACK_TOKENS}
 """
+
+
+# -- q80 typed PII redaction ----------------------------------------------
+# The corpus is synthetic and PII-free, so both engines INJECT the same
+# deterministic entities per row before scrubbing — the operator under
+# test is the typed multi-pattern redactor, not the generator.
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] typed PII redaction — per-class counts + cleaned checksum.
+
+    The production scrub pass over a web corpus: one regex per entity
+    class (email, phone here; SSN/IBAN/address patterns drop in the
+    same way), per-class hit counts for the cleaning report, class
+    tokens substituted in place, and a checksum of the cleaned text
+    (the cleaned corpus itself would stream to the output sink — only
+    narrow audit rows flow on). Map-only: no shuffle at any scale.
+    Patterns stay in the ASCII subset where Java regex (Spark) and RE2
+    (DuckDB) agree.
+    """
+    docs = table(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = docs.select("doc_id", enriched.alias("pii_text"))
+    n_emails = F.size(F.regexp_extract_all("pii_text", F.lit(_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("pii_text", F.lit(_PHONE_RE), F.lit(0)))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("pii_text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        F.md5(cleaned).alias("clean_md5"),
+        (~cleaned.rlike(_EMAIL_RE) & ~cleaned.rlike(_PHONE_RE)).alias("is_clean"),
+    )
+
+
+PII_REDACTION_SQL = f"""
+WITH with_pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, pii_text,
+         regexp_replace(regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+  FROM with_pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(clean_text) AS clean_md5,
+       NOT regexp_matches(clean_text, '{_EMAIL_RE}')
+         AND NOT regexp_matches(clean_text, '{_PHONE_RE}') AS is_clean
+FROM cleaned
+"""
+
+
+# -- q81 source-mixture accounting ----------------------------------------
+# Per-language keep weights (percent) for corpus rebalancing: upsample
+# nothing, keep most English, thin the rest — the mixture a pretraining
+# run would request. Deterministic md5-bucket Bernoulli per row.
+MIX_WEIGHTS = {"en": 90, "de": 60, "fr": 50, "es": 40, "zh": 25}
+_MIX_SALT = "mix:"
+
+
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] mixture-weighting accounting — the per-(lang, source)
+    ledger of a corpus rebalance.
+
+    Applies the deterministic per-language Bernoulli keep (same
+    row-local md5-bucket device as q64 — reproducible under any
+    partitioning) and aggregates the BEFORE/AFTER ledger per
+    (lang, source): document and character budgets in, kept counts
+    out. This is the table a data-mixing run reports to decide whether
+    realized rates track requested weights. ONE shuffle (the
+    (lang, source) regroup with map-side partial aggregation); the
+    filter itself never shuffles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    weight = F.element_at(
+        F.create_map(*[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]),
+        F.col("lang"),
+    )
+    bucket = (
+        _hash32(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))) % 100
+    )
+    kept = bucket < weight
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_in"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .withColumn("realized_rate", F.col("n_kept") / F.col("n_docs").cast("double"))
+    )
+
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS.items())
+) + " END"
+
+SOURCE_MIXTURE_SQL = f"""
+WITH flagged AS (
+  SELECT lang, source, n_chars,
+         {_SQL_HASH32.format(x="'" + _MIX_SALT + "' || CAST(doc_id AS VARCHAR)")}
+           % 100 < {_MIX_CASE} AS kept
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_in,
+       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
+FROM flagged
+GROUP BY lang, source
+"""
