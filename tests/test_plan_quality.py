@@ -244,3 +244,32 @@ def test_q76_session_paths_topk_and_session_shuffle_reuse(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_q79_chunk_dedup_shuffles_on_chunk_key_only(spark, sf_dir):
+    # explode -> doc-frequency agg -> join back: every data-sized
+    # shuffle keys on chunk_md5 (uniform md5 -> no skew) or the final
+    # doc_id regroup; never a nested-loop pair product
+    plan = _plan(spark, sf_dir, "q79_chunk_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "chunk_md5" in plan
+
+
+def test_q82_distribution_windows_share_one_sort(spark, sf_dir):
+    # five window functions over one (priority, price) ordering: ONE
+    # keyed exchange + one Window stack — a second sort/exchange means
+    # a frame variant stopped sharing the partitioning
+    plan = _plan(spark, sf_dir, "q82_distribution_windows")
+    assert _keyed_exchanges(plan) <= 1
+    assert plan.count("Sort") <= 4  # tree + detail for <= 2 sort nodes
+
+
+def test_q83_presence_is_full_outer_on_aggregated_sides(spark, sf_dir):
+    # both inputs aggregate BEFORE the join (partial-agg pushes work
+    # map-side); the reconcile itself is a real FullOuter join
+    plan = _plan(spark, sf_dir, "q83_nation_presence")
+    assert "FullOuter" in plan
+    # the join consumes aggregated frames: aggregates appear below it
+    join_pos = plan.index("FullOuter")
+    assert "HashAggregate" in plan[join_pos:]
