@@ -349,3 +349,57 @@ SELECT doc_id,
          '-') AS fingerprint
 FROM shingle_hashed
 """
+
+
+# -- q85 corpus length histogram ------------------------------------------
+HIST_WIDTH = 50  # chars per bucket
+HIST_BUCKETS = 12  # clamp to [0, 600); overflow folds into the top bucket
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] per-language document-length histogram.
+
+    The corpus-profile table every dataset card carries: fixed-width
+    char-length buckets (overflow clamped into the top bucket so the
+    bucket count is schema-stable no matter what outliers arrive),
+    per-(lang, bucket) counts, and each bucket's share of its
+    language. One partial-agg shuffle on (lang, bucket) plus a
+    lang-partitioned window for the share — bucket cardinality is
+    fixed at {HIST_BUCKETS}, so the second pass is bounded regardless
+    of corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / HIST_WIDTH), F.lit(HIST_BUCKETS - 1)
+    ).cast("int")
+    counts = (
+        docs.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return counts.select(
+        "lang",
+        "bucket",
+        (F.col("bucket") * HIST_WIDTH).cast("bigint").alias("bucket_lo"),
+        "n_docs",
+        (
+            F.col("n_docs")
+            / F.sum("n_docs").over(W.partitionBy("lang")).cast("double")
+        ).alias("lang_share"),
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(least(n_chars // {HIST_WIDTH}, {HIST_BUCKETS - 1}) AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT lang, bucket,
+       CAST(bucket * {HIST_WIDTH} AS BIGINT) AS bucket_lo,
+       n_docs,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang) AS lang_share
+FROM counts
+"""
