@@ -575,9 +575,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every branch bottoms out at the CHECKPOINTED edge list, so the
     # worst case is 2^{CLUSTER_ITERATIONS} (= 4) scans of that tiny
     # frame, cheaper than the per-round persist+count actions this
-    # replaced (measured ~0.5 s/query). The fixpoint variant below,
-    # whose round count is unbounded, keeps per-round persistence.
-    labels = materialize(labels, eager=True)
+    # replaced (measured ~0.5 s/query). The count window consumes the
+    # unroll exactly once, so no further materialize is needed — the
+    # whole clustering is ONE job on top of the two checkpoints. The
+    # fixpoint variant below, whose round count is unbounded, keeps
+    # per-round persistence.
     return _nontrivial_clusters(labels)
 
 
