@@ -715,3 +715,141 @@ SELECT m.cent_id,
 FROM new_means m JOIN old_long o ON m.cent_id = o.cent_id AND m.dim = o.dim
 GROUP BY m.cent_id
 """
+
+
+# -- q86 product quantization ---------------------------------------------
+PQ_M = 8  # subspaces (64-dim vector -> 8 subvectors of 8 dims)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16  # codewords per subspace
+PQ_STRIDE = 113  # vec_id % stride == 5 -> codebook donor (deterministic)
+
+
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] product quantization — the trillion-row embedding store.
+
+    The third classic ANN storage path beside sign-LSH (q25/q41) and
+    IVF (q47): split each vector into {PQ_M} subvectors, quantize each
+    subvector to its nearest of {PQ_K} codewords, store {PQ_M} 4-bit
+    codes (128x smaller than float32 here). The codebook is a
+    deterministic strided pick of corpus subvectors (production trains
+    per-subspace k-means offline — q71 is that training step); the
+    operator under test is the ASSIGNMENT plan: explode to
+    (vec, subspace) rows, broadcast-join the {PQ_M}×{PQ_K} codebook,
+    argmin via ``min_by`` with map-side partial aggregation (never a
+    window over the candidate fan-out), then regroup codes in subspace
+    order. Two bounded shuffles on (vec_id[, m]); the fan-out frame
+    is rows × {PQ_M} × {PQ_K} but only scalars wide.
+
+    Float determinism: squared-distance folds are sequential and
+    dimension-ordered (both engines run the identical IEEE op
+    sequence); the reported quantization error sums subspace SSEs in
+    fixed-point (order-free BIGINT), same device as q71.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
+    sub = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("m", "subvec"),
+    )
+    codebook = (
+        vecs.filter(
+            (F.col("vec_id") % PQ_STRIDE == 5)
+            & (F.col("vec_id") < PQ_STRIDE * PQ_K)
+        )
+        .select(
+            ((F.col("vec_id") - 5) / PQ_STRIDE).cast("int").alias("j"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda m: F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB),
+                )
+            ).alias("m", "codeword"),
+        )
+    )
+    # UNROLLED squared distance: PQ_SUB is a compile-time constant, so
+    # the fold flattens to scalar arithmetic that stays inside
+    # whole-stage codegen (an aggregate/zip_with HOF would run as an
+    # interpreted Project — 9x slower, the q51 lesson). Left-to-right
+    # addition matches the oracle's sequential list_reduce exactly.
+    def _term(i: int) -> Column:
+        d = F.get(F.col("subvec"), i) - F.get(F.col("codeword"), i)
+        return d * d
+
+    sq = _term(0)
+    for _i in range(1, PQ_SUB):
+        sq = sq + _term(_i)
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id", "m", F.col("j"), sq.alias("sqdist")
+    )
+    assigned = scored.groupBy("vec_id", "m").agg(
+        F.min_by(
+            F.struct(F.col("j"), F.col("sqdist")),
+            # unique argmin: distance first, then codeword id
+            F.struct(F.col("sqdist"), F.col("j")),
+        ).alias("best")
+    )
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("m"), F.col("best.j").alias("j")))
+                    ),
+                    lambda s: s.j.cast("string"),
+                ),
+                "-",
+            ).alias("pq_code"),
+            F.sum(F.floor(F.col("best.sqdist") * 10000000.0)).alias("sse_fp"),
+        )
+        .select(
+            "vec_id",
+            "pq_code",
+            (F.col("sse_fp") / 10000000.0).alias("quant_sse"),
+        )
+    )
+
+
+PQ_QUANTIZE_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS subvec
+  FROM vecs, unnest(range({PQ_M})) AS tm(m)
+),
+codebook AS (
+  SELECT CAST((vec_id - 5) // {PQ_STRIDE} AS INTEGER) AS j,
+         CAST(m AS INTEGER) AS m,
+         list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS codeword
+  FROM vecs, unnest(range({PQ_M})) AS tm(m)
+  WHERE vec_id % {PQ_STRIDE} = 5 AND vec_id < {PQ_STRIDE * PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.j,
+         list_reduce(list_transform(range(1, {PQ_SUB} + 1),
+           i -> (s.subvec[i] - c.codeword[i]) * (s.subvec[i] - c.codeword[i])),
+           (acc, x) -> acc + x) AS sqdist
+  FROM sub s JOIN codebook c USING (m)
+),
+assigned AS (
+  SELECT vec_id, m, j, sqdist
+  FROM (
+    SELECT vec_id, m, j, sqdist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sqdist, j) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       array_to_string(list_transform(
+         list_sort(list({{'m': m, 'j': j}})), r -> CAST(r.j AS VARCHAR)), '-') AS pq_code,
+       SUM(floor(sqdist * 10000000.0)) / 10000000.0 AS quant_sse
+FROM assigned
+GROUP BY vec_id
+"""
