@@ -129,12 +129,18 @@ def synthesize_blocks(docs: DataFrame) -> DataFrame:
     )
 
 
-def page_closure(blocks: DataFrame, depth: int = CLOSURE_DEPTH) -> DataFrame:
+def page_closure(
+    blocks: DataFrame, depth: int = CLOSURE_DEPTH, dedup: bool = True
+) -> DataFrame:
     """A5 — reachable block ids per PAGE root via iterated edge joins.
 
     Returns ``(doc_id, page_no, bid)`` distinct rows: every block id
     reachable from each PAGE block. ``depth`` bounds the unrolled joins
     (DAG height, not data size); each step is a hash join on block_id.
+    ``dedup=False`` skips the closing ``distinct`` — sound exactly when
+    the block graph is a TREE (every block one parent), which Textract
+    output is: depth-d frontiers are then disjoint, so the union is
+    already duplicate-free and the closure saves a full shuffle.
     """
     edges = blocks.select(
         F.col("block_id").alias("src"), F.explode("child_ids").alias("dst")
@@ -153,7 +159,7 @@ def page_closure(blocks: DataFrame, depth: int = CLOSURE_DEPTH) -> DataFrame:
             .select("doc_id", "page_no", F.col("dst").alias("bid"))
         )
         reach = reach.unionByName(frontier)
-    return reach.distinct()
+    return reach.distinct() if dedup else reach
 
 
 def blocks_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +178,7 @@ def blocks_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # In production blocks arrive as a real table, so this checkpoint
     # models the scan; with a persisted source table it is a no-op.
     blocks = materialize(synthesize_blocks(docs))
-    reach = page_closure(blocks)
+    reach = page_closure(blocks, dedup=False)
     line_blocks = blocks.filter(F.col("block_type") == "LINE").select(
         F.col("block_id"), F.col("line_no"), F.col("text")
     )

@@ -173,7 +173,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df rolls up from tf — (doc, token) is already distinct there, so
+    # COUNT(*) per token == COUNT(DISTINCT doc_id) over the raw token
+    # stream, and the corpus is exploded/shuffled ONCE instead of twice
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n_))
