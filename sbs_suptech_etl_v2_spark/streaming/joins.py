@@ -26,6 +26,7 @@ def clicks_before_purchase(
     clicks: DataFrame,
     max_gap: str = "1 hour",
     lateness: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked interval join: purchase ⋈ clicks within ``max_gap``.
 
@@ -36,6 +37,14 @@ def clicks_before_purchase(
     window closes). Watermarks on BOTH sides are required for Spark to
     age out join state; the join condition's time bounds tell the
     engine exactly how long a click row can still match.
+
+    ``how="left_outer"`` additionally emits each UNMATCHED purchase
+    null-extended — the attribution-report form ("purchases with no
+    prior touchpoint"). Outer results are inherently watermark-delayed:
+    a purchase can only be declared click-less once the click-side
+    watermark has passed its whole look-back interval, so rows flush on
+    the trigger AFTER the watermark moves — streaming-correct behavior,
+    pinned by the test.
     """
     p = purchases.withWatermark("ts", lateness).select(
         F.col("user_id").alias("p_user_id"),
@@ -56,6 +65,7 @@ def clicks_before_purchase(
             click_ts >= purchase_ts - INTERVAL {max_gap}
             """
         ),
+        how,
     ).select(
         F.col("p_user_id").alias("user_id"),
         "purchase_event_id",

@@ -99,3 +99,70 @@ def test_interval_join_matches_batch_and_recovers_asof(spark, tmp_path):
     assert {(r["purchase_event_id"], r["click_event_id"]) for r in asof.collect()} == {
         (900, 101)
     }
+
+
+def test_left_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_path):
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purchases"
+    ckpt = tmp_path / "ckpt_outer"
+    out_dir = tmp_path / "out_outer"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+
+    _write(
+        clicks_dir / "c0.json",
+        [
+            ("2024-01-01 10:30:00", 1, 101),  # in-window for purchase 900
+            ("2024-01-01 09:00:00", 2, 102),  # outside 901's 1h look-back
+        ],
+    )
+    _write(
+        purch_dir / "p0.json",
+        [
+            ("2024-01-01 10:45:00", 1, 900),  # matched
+            ("2024-01-01 10:30:00", 2, 901),  # unmatched -> null-extended
+        ],
+    )
+    # flush batch: far-future rows push BOTH watermarks past 901's whole
+    # look-back interval so its outer row can be declared click-less
+    _write(clicks_dir / "c1.json", [("2024-01-02 12:00:00", 9, 199)])
+    _write(purch_dir / "p1.json", [("2024-01-02 12:00:00", 9, 999)])
+
+    def read_stream(d):
+        # one file per micro-batch: the outer row flushes on the trigger
+        # AFTER the flush rows advance the watermark, so there must BE
+        # a later trigger — availableNow alone would fold everything
+        # into one batch and the unmatched row would stay in state
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+
+    joined = clicks_before_purchase(
+        read_stream(purch_dir),
+        read_stream(clicks_dir),
+        max_gap="1 hour",
+        lateness="1 minute",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", str(out_dir))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(str(out_dir)).collect()
+    got = sorted(
+        ((r["purchase_event_id"], r["click_event_id"]) for r in rows), key=str
+    )
+    # 900 matched; 901 emitted null-extended; the flush purchase 999 may
+    # still sit in state (its own interval has not aged out) — accept
+    # either, but 900 and 901 MUST both be present
+    pairs = dict(got)
+    assert pairs.get(900) == 101
+    assert 901 in pairs and pairs[901] is None
