@@ -165,3 +165,31 @@ def running_totals(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """First-occurrence-wins dedup with WATERMARK-bounded state — the
+    built-in Spark form of ``streaming_dedup``.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until
+    the event-time watermark passes its first occurrence plus the
+    allowed lateness, so state is bounded by (keys arriving within one
+    lateness window) instead of every key ever seen. This is the
+    declarative production default; the ``applyInPandasWithState``
+    variant above remains for semantics the built-in cannot express
+    (custom emit payloads, processing-time TTL, per-key side state).
+
+    Guarantee: duplicates arriving within ``lateness`` of the first
+    occurrence are dropped exactly; duplicates farther apart than the
+    watermark gap MAY be re-emitted (state already aged out) — the
+    standard at-least-once-dedup contract of bounded-state dedup at
+    100 TB stream scale.
+    """
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -70,3 +70,41 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
     # so only the per-key cardinality is asserted)
     assert sorted(by_key) == ["r1", "r2", "r3"]
     assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_dedup_within_watermark_drops_in_window_duplicates(spark, tmp_path):
+    import json as _json
+
+    from sbs_suptech_etl_v2_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = tmp_path / "wmdedup_src"
+    ckpt = tmp_path / "wmdedup_ckpt"
+    out = tmp_path / "wmdedup_out"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 10:00:00", "k": "a", "n": 1},
+        {"ts": "2024-01-01 10:00:30", "k": "a", "n": 2},  # dup within window
+        {"ts": "2024-01-01 10:01:00", "k": "b", "n": 3},
+        {"ts": "2024-01-01 10:01:30", "k": "b", "n": 4},  # dup within window
+        {"ts": "2024-01-01 10:02:00", "k": "c", "n": 5},
+    ]
+    with open(src / "batch0.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("ts timestamp, k string, n long").json(str(src))
+    deduped = streaming_dedup_within_watermark(stream, ["k"], lateness="5 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", str(out))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["n"]) for r in spark.read.parquet(str(out)).collect())
+    # first occurrence of each key survives, in-window duplicates drop
+    assert got == [("a", 1), ("b", 3), ("c", 5)]
