@@ -279,3 +279,18 @@ def test_q83_presence_is_full_outer_on_aggregated_sides(spark, sf_dir):
     # the join consumes aggregated frames: aggregates appear below it
     join_pos = plan.index("FullOuter")
     assert "HashAggregate" in plan[join_pos:]
+
+
+def test_q86_pq_codebook_broadcasts_and_argmax_is_aggregate(spark, sf_dir):
+    # the M x K codebook rides a broadcast; the argmin over the
+    # candidate fan-out is a min_by hash aggregate (map-side partial),
+    # never a window sort over rows x M x K; scan prunes to
+    # (vec_id, embedding)
+    plan = _plan(spark, sf_dir, "q86_pq_quantize")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert _keyed_exchanges(plan) <= 2
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "label" not in read_schema
