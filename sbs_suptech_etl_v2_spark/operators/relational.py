@@ -1563,3 +1563,76 @@ SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
             ELSE 'supp_only' END AS presence
 FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
+
+
+SK_PARTITIONS = 8  # range partitions for the surrogate-key sort
+
+
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global sequence ids WITHOUT a global sort (§2.8 absent-op:
+    the scale form of ``ROW_NUMBER() OVER (ORDER BY ...)``).
+
+    A single-partition window over 100 TB is the canonical anti-plan.
+    The distributed recipe: range-repartition on the order key (range
+    partition i holds strictly smaller keys than i+1), sort within
+    partitions, then global_id = (rows in earlier partitions) + local
+    position. Local positions come free from
+    ``monotonically_increasing_id`` — after the sort it counts rows
+    from 0 consecutively inside each partition — and the per-partition
+    offsets are a TINY aggregate (one row per partition) cumulated by
+    a single-partition window that is bounded by the partition count,
+    not the data. The only data-sized movements are the range exchange
+    and the in-partition sorts.
+
+    Determinism: the sampled range boundaries vary run to run, but the
+    emitted (key -> id) mapping is invariant — partition order follows
+    key order whatever the cut points, and the sort key includes the
+    unique o_orderkey tie-breaker. The oracle checks the mapping with
+    a plain ROW_NUMBER.
+    """
+    orders = table(spark, sf_dir, "orders")
+    sorted_rows = (
+        orders.select("o_orderkey", "o_orderdate")
+        .repartitionByRange(SK_PARTITIONS, "o_orderdate", "o_orderkey")
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
+    )
+    # mid = (pid << 33) + local_row within each task after the sort
+    local = sorted_rows.withColumn(
+        "local_row", F.col("mid") - (F.col("pid").cast("bigint") * (1 << 33))
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("offset") + F.col("local_row") + 1).alias("seq_id"),
+        )
+    )
+
+
+SURROGATE_KEYS_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS seq_id
+FROM orders
+"""

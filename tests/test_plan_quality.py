@@ -294,3 +294,16 @@ def test_q86_pq_codebook_broadcasts_and_argmax_is_aggregate(spark, sf_dir):
     assert _keyed_exchanges(plan) <= 2
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "label" not in read_schema
+
+
+def test_q87_surrogate_keys_avoid_global_sort(spark, sf_dir):
+    # the data path is range-exchange + in-partition sort; the ONLY
+    # single-partition stage is the partition-count cumsum (one row per
+    # range partition), and offsets ride a broadcast join back. A
+    # SinglePartition sort of the data itself is the anti-plan this
+    # operator exists to avoid.
+    plan = _plan(spark, sf_dir, "q87_surrogate_keys")
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+    # tree + detail for the one tiny offsets window only
+    assert plan.count("SinglePartition") <= 2
