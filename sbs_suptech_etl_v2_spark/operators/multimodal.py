@@ -40,6 +40,7 @@ from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
@@ -333,4 +334,105 @@ SELECT doc_id,
             AS BIGINT) AS byte_sum,
        CAST(coalesce(list_max(c), 0) AS INTEGER) AS peak_byte
 FROM codes
+"""
+
+
+# -- q88 scene segmentation ------------------------------------------------
+SCENE_HASH_MOD = 1000  # per-frame fake feature range
+SCENE_CUT = 800  # |feature delta| above this starts a new scene
+
+
+def scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-3] video scene segmentation — frame deltas → shot boundaries
+    → per-scene rollup.
+
+    The video-pipeline verb after frame sampling (q39): a per-frame
+    feature (here the portable md5-derived int of the frame bytes — the
+    production codec would emit a perceptual hash or embedding through
+    the same column), successive-frame delta via ``lag`` over the
+    frame order, a boundary flag where the delta exceeds the cut
+    threshold, scene ids as the running boundary count, and one rollup
+    per (video, scene). Plan: frames fan out map-side (transform +
+    substring — the corpus is ASCII so char slicing == byte slicing,
+    matching the q39 kernel), then BOTH windows (lag, running sum) and
+    the final rollup share the one doc_id exchange — frame counts per
+    video are payload-bounded, so the window groups stay small at any
+    corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    frames = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.length("text") / float(FRAME_BYTES)).cast("int"),
+                    ),
+                    lambda i: F.substring(
+                        F.col("text"), (i - 1) * FRAME_BYTES + 1, FRAME_BYTES
+                    ),
+                ),
+                lambda fr: fr.isNotNull(),
+            )
+        ).alias("idx", "frame"),
+    ).select(
+        "doc_id",
+        (F.col("idx") + 1).alias("frame_no"),
+        (
+            F.conv(F.substring(F.md5("frame"), 1, 8), 16, 10).cast("bigint")
+            % SCENE_HASH_MOD
+        ).alias("feat"),
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    flagged = frames.withColumn(
+        "boundary",
+        (
+            F.abs(F.col("feat") - F.lag("feat").over(w)) > SCENE_CUT
+        ).cast("int"),
+    ).withColumn(
+        "scene_id",
+        F.coalesce(
+            F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, 0)), F.lit(0)
+        ),
+    )
+    return flagged.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_no").cast("int").alias("first_frame"),
+        F.max("frame_no").cast("int").alias("last_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("feat").cast("bigint").alias("feat_sum"),
+    )
+
+
+SCENE_SEGMENTS_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+         CAST(('0x' || substr(md5(
+           substr(text, (i - 1) * {FRAME_BYTES} + 1, {FRAME_BYTES})), 1, 8))
+           AS BIGINT) % {SCENE_HASH_MOD} AS feat
+  FROM documents,
+       unnest(generate_series(
+         1, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT)))
+         AS t(i)
+),
+flagged AS (
+  SELECT doc_id, frame_no, feat,
+         CAST(abs(feat - lag(feat) OVER w) > {SCENE_CUT} AS INTEGER) AS boundary
+  FROM frames
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+),
+scened AS (
+  SELECT doc_id, frame_no, feat,
+         COALESCE(SUM(boundary) OVER (
+           PARTITION BY doc_id ORDER BY frame_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS scene_id
+  FROM flagged
+)
+SELECT doc_id, scene_id,
+       CAST(MIN(frame_no) AS INTEGER) AS first_frame,
+       CAST(MAX(frame_no) AS INTEGER) AS last_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(feat) AS BIGINT) AS feat_sum
+FROM scened
+GROUP BY doc_id, scene_id
 """
