@@ -630,9 +630,9 @@ def neardup_clusters_fixpoint(
     for _ in range(seed_rounds):
         labels = _propagate_min_label(labels, edges)
     labels = materialize(labels, eager=True)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum: int | None = None  # fused into the first probe below
     cached: list[DataFrame] = []
-    for _ in range(seed_rounds, max_rounds):
+    for round_no in range(seed_rounds, max_rounds):
         step = _propagate_min_label(labels, edges)
         round_frames = []
         if pointer_doubling:
@@ -641,9 +641,29 @@ def neardup_clusters_fixpoint(
             step = step.persist()
             round_frames.append(step)
             step = _pointer_jump(step)
+        prev_frame = labels
         labels = step.persist()
         round_frames.append(labels)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if prev_sum is None:
+            # FIRST probe: collect the pre-round and post-round sums in
+            # ONE job (a union of two 1-row aggregates) — the common
+            # converged-after-seed case then pays a single probe action
+            # instead of two. The post-round branch also populates the
+            # persisted step as a side effect.
+            both = (
+                prev_frame.agg(F.sum("label").alias("s"))
+                .select(F.lit(0).alias("r"), "s")
+                .unionByName(
+                    labels.agg(F.sum("label").alias("s")).select(
+                        F.lit(1).alias("r"), "s"
+                    )
+                )
+                .collect()
+            )
+            sums = {row["r"]: row["s"] for row in both}
+            prev_sum, cur_sum = sums[0], sums[1]
+        else:
+            cur_sum = labels.agg(F.sum("label")).first()[0]
         for old in cached:
             old.unpersist()
         cached = round_frames
