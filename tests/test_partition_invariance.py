@@ -1,0 +1,53 @@
+"""Partition invariance — results must not depend on the shuffle layout.
+
+On a real cluster the partition count is an ops knob, not a semantic
+input: the same query must produce byte-identical results at 3 and at
+8 shuffle partitions. The queries picked here are exactly the ones
+whose HISTORY tempts layout dependence: salted aggregation (salt must
+be row-stable), deterministic sampling (md5 buckets, not TABLESAMPLE),
+surrogate keys (ids derived from range-partition offsets), fixed-point
+k-means means, minhash pair mining through a checkpoint, and the
+bucketed cogroup kernel.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sbs_suptech_etl_v2_spark.registry import QUERIES
+
+QUERIES_UNDER_TEST = [
+    "q58_salted_agg",
+    "q64_stratified_sample",
+    "q87_surrogate_keys",
+    "q71_kmeans_update",
+    "q21_minhash_neardup",
+    "q89_cogroup_attribution",
+]
+
+
+def _rows(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    cols = sorted(df.columns)
+
+    def canon(v):
+        if isinstance(v, float):
+            return "NULL" if math.isnan(v) else "%.17g" % v
+        return str(v)
+
+    return sorted(tuple(canon(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_results_identical_across_shuffle_layouts(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        at3 = _rows(spark, sf_dir, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at8 = _rows(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert at3 == at8
