@@ -33,7 +33,7 @@ from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 
-_STRATEGIES = ("local", "reliable")
+_STRATEGIES = ("local", "reliable", "none")
 _strategy: str = "local"
 _checkpoint_dir: Optional[str] = None
 # Dir last handed to sc.setCheckpointDir by this module. Spark appends a
@@ -90,4 +90,9 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
                 "set_checkpoint_strategy(...) or call sc.setCheckpointDir(...)"
             )
         return df.checkpoint(eager=eager)
+    if _strategy == "none":
+        # No lineage cut: accept recomputation. Used by plan-inspection
+        # tests to see through the checkpoint, and by deployments that
+        # prefer recompute-on-failure over materialization cost.
+        return df
     return df.localCheckpoint(eager=eager)

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sbs_suptech_etl_v2_spark.checkpointing import materialize
 from sbs_suptech_etl_v2_spark.io import load, table
 
 
@@ -1591,7 +1592,13 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain ROW_NUMBER.
     """
     orders = table(spark, sf_dir, "orders")
-    sorted_rows = (
+    # materialize(): the offsets aggregate and the data side both
+    # consume this frame. Range boundaries come from non-deterministic
+    # sampling, so the two branches MUST see the same physical layout;
+    # cutting lineage here makes that explicit instead of relying on
+    # Spark's exchange-reuse planning the sampled shuffle exactly once
+    # (which spark.sql.exchange.reuse=false would silently break).
+    sorted_rows = materialize(
         orders.select("o_orderkey", "o_orderdate")
         .repartitionByRange(SK_PARTITIONS, "o_orderdate", "o_orderkey")
         .sortWithinPartitions("o_orderdate", "o_orderkey")
@@ -1640,7 +1647,6 @@ FROM orders
 
 COGROUP_WINDOW_S = 600  # look-back for the cogrouped attribution
 COGROUP_BUCKETS = 64  # users per kernel call: amortizes per-group overhead
-_TS_SHIFT = 1 << 34  # composite (user, ts) sort key; epoch seconds < 2^34
 
 
 def cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,12 +1662,21 @@ def cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id would pay one Python call per user (measured 4 s at sf0.1
     for ~5k users — per-call overhead, not compute). Bucketing packs
     ~users/{COGROUP_BUCKETS} users per call and the kernel stays
-    vectorized ACROSS users via composite (user << 34 | epoch) sort
-    keys — one np.searchsorted pass computes every purchase's
-    look-back click count and nearest-click gap, with other users'
-    rows falling outside each probe range by construction. This is the
-    production shape for high-cardinality cogroups; per-purchase
-    semantics are identical and oracle-checked against plain SQL.
+    vectorized ACROSS users with a merged-rank pass: clicks and the
+    two probe points per purchase (window start, purchase instant)
+    are lexsorted together on (user, ts_us, probe-before-click); a
+    cumulative click count then yields, for every probe, the number
+    of clicks lexicographically before it, and the difference of the
+    two probes is exactly the per-user in-window count — other users'
+    clicks cancel because both probes share the purchase's user. No
+    composite integer key exists, so arbitrary int64 user ids and
+    microsecond timestamps are safe (no overflow), and the window
+    comparisons happen at full microsecond precision, matching the
+    oracle's ``c_ts >= p_ts - 600s AND c_ts < p_ts`` exactly. The
+    reported gap truncates both instants to seconds to match DuckDB's
+    ``date_diff('second', ...)`` boundary-count semantics. This is
+    the production shape for high-cardinality cogroups; per-purchase
+    semantics are oracle-checked against plain SQL.
     """
     ev = table(spark, sf_dir, "events")
     bucket = F.pmod(F.hash("user_id"), F.lit(COGROUP_BUCKETS)).alias("bucket")
@@ -1673,53 +1688,85 @@ def cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
     )
 
-    def kernel(cl: "pd.DataFrame", pu: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
-        import pandas as pd
-
-        if len(pu) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series(dtype="int64"),
-                    "purchase_id": pd.Series(dtype="int64"),
-                    "n_clicks_before": pd.Series(dtype="int64"),
-                    "nearest_click_gap_s": pd.Series(dtype="float64"),
-                }
-            )
-
-        def _epoch(col: "pd.Series") -> "np.ndarray":
-            return col.to_numpy(dtype="datetime64[us]").astype("int64") // 1_000_000
-
-        p_user = pu["user_id"].to_numpy(dtype="int64")
-        p_ts = _epoch(pu["p_ts"])
-        p_key = p_user * _TS_SHIFT + p_ts
-        if len(cl):
-            ck = np.sort(cl["user_id"].to_numpy(dtype="int64") * _TS_SHIFT + _epoch(cl["c_ts"]))
-        else:
-            ck = np.empty(0, dtype="int64")
-        lo = np.searchsorted(ck, p_key - COGROUP_WINDOW_S, side="left")
-        hi = np.searchsorted(ck, p_key, side="left")  # clicks strictly before
-        n = (hi - lo).astype("int64")
-        gap = np.where(
-            n > 0, (p_key - ck[np.maximum(hi - 1, 0)]).astype("float64"), np.nan
-        )
-        return pd.DataFrame(
-            {
-                "user_id": p_user,
-                "purchase_id": pu["purchase_id"].to_numpy(),
-                "n_clicks_before": n,
-                "nearest_click_gap_s": gap,
-            }
-        )
-
     return (
         clicks.groupBy("bucket")
         .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(
-            kernel,
+            _attribution_kernel,
             "user_id bigint, purchase_id bigint, n_clicks_before bigint, "
             "nearest_click_gap_s double",
         )
+    )
+
+
+def _attribution_kernel(cl: "pd.DataFrame", pu: "pd.DataFrame") -> "pd.DataFrame":
+    """Vectorized per-bucket attribution over aligned click/purchase frames.
+
+    Merged-rank formulation: sort clicks and probe points together on
+    (user, ts_us) with probes ordering before clicks at exact ties, so
+    a running click count gives strict ``clicks < probe`` ranks. For a
+    purchase, rank(p_ts) - rank(p_ts - W) = clicks in [p_ts-W, p_ts)
+    for that user (earlier users' clicks appear in both ranks and
+    cancel). Safe for any int64 user_id and any timestamp — there is
+    no composite key to overflow — and correct for empty click sets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(pu) == 0:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "purchase_id": pd.Series(dtype="int64"),
+                "n_clicks_before": pd.Series(dtype="int64"),
+                "nearest_click_gap_s": pd.Series(dtype="float64"),
+            }
+        )
+
+    def _us(col: "pd.Series") -> "np.ndarray":
+        return col.to_numpy(dtype="datetime64[us]").astype("int64")
+
+    p_user = pu["user_id"].to_numpy(dtype="int64")
+    p_ts = _us(pu["p_ts"])
+    n_p = len(pu)
+    n_c = len(cl)
+    if n_c:
+        c_user = cl["user_id"].to_numpy(dtype="int64")
+        c_ts = _us(cl["c_ts"])
+        c_order = np.lexsort((c_ts, c_user))
+        c_user_s = c_user[c_order]
+        c_ts_s = c_ts[c_order]
+        w_us = COGROUP_WINDOW_S * 1_000_000
+        users = np.concatenate([c_user_s, p_user, p_user])
+        times = np.concatenate([c_ts_s, p_ts - w_us, p_ts])
+        isclick = np.concatenate(
+            [np.ones(n_c, dtype=np.int8), np.zeros(2 * n_p, dtype=np.int8)]
+        )
+        order = np.lexsort((isclick, times, users))
+        clicks_before = np.cumsum(isclick[order]) - isclick[order]
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order))
+        lo = clicks_before[pos[n_c : n_c + n_p]]
+        hi = clicks_before[pos[n_c + n_p :]]
+        n = (hi - lo).astype("int64")
+        gap = np.full(n_p, np.nan)
+        m = n > 0
+        if m.any():
+            # DuckDB date_diff('second') counts second boundaries: truncate
+            # both instants to seconds before differencing.
+            gap[m] = (
+                p_ts[m] // 1_000_000 - c_ts_s[hi[m] - 1] // 1_000_000
+            ).astype("float64")
+    else:
+        n = np.zeros(n_p, dtype="int64")
+        gap = np.full(n_p, np.nan)
+    return pd.DataFrame(
+        {
+            "user_id": p_user,
+            "purchase_id": pu["purchase_id"].to_numpy(),
+            "n_clicks_before": n,
+            "nearest_click_gap_s": gap,
+        }
     )
 
 

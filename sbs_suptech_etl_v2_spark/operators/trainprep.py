@@ -509,9 +509,15 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter itself never shuffles.
     """
     docs = table(spark, sf_dir, "documents")
-    weight = F.element_at(
-        F.create_map(*[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]),
-        F.col("lang"),
+    # Unknown languages carry weight 0 (drop), not NULL: a NULL weight
+    # would make `kept` NULL and SUM over the all-NULL column NULL,
+    # diverging from the oracle's CASE ... ELSE 0 contract.
+    weight = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]),
+            F.col("lang"),
+        ),
+        F.lit(0),
     )
     bucket = (
         _hash32(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))) % 100
@@ -533,7 +539,7 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_CASE = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS.items())
-) + " END"
+) + " ELSE 0 END"
 
 SOURCE_MIXTURE_SQL = f"""
 WITH flagged AS (

@@ -14,6 +14,7 @@ import io
 
 import pytest
 
+from sbs_suptech_etl_v2_spark.checkpointing import checkpoint_strategy
 from sbs_suptech_etl_v2_spark.registry import QUERIES
 
 
@@ -301,9 +302,41 @@ def test_q87_surrogate_keys_avoid_global_sort(spark, sf_dir):
     # single-partition stage is the partition-count cumsum (one row per
     # range partition), and offsets ride a broadcast join back. A
     # SinglePartition sort of the data itself is the anti-plan this
-    # operator exists to avoid.
+    # operator exists to avoid. The sorted frame is materialized before
+    # fan-out (sampled range boundaries + mid must be shared, not
+    # reuse-dependent), so the default plan bottoms at an ExistingRDD;
+    # the "none" strategy sees through the checkpoint to pin the
+    # range-exchange shape itself.
     plan = _plan(spark, sf_dir, "q87_surrogate_keys")
-    assert "rangepartitioning" in plan
+    assert "ExistingRDD" in plan  # materialized sorted frame, both branches
     assert "BroadcastHashJoin" in plan
     # tree + detail for the one tiny offsets window only
     assert plan.count("SinglePartition") <= 2
+    with checkpoint_strategy("none"):
+        full = _plan(spark, sf_dir, "q87_surrogate_keys")
+    assert "rangepartitioning" in full
+    assert full.count("SinglePartition") <= 2
+
+
+def test_monotonic_id_bit_layout(spark):
+    # q87's local_row derivation assumes Spark's documented
+    # monotonically_increasing_id layout: (partition_id << 33) + row
+    # index within the partition, counting consecutively from 0. Pin it
+    # so an upstream change fails loudly here, not as silent wrong ids.
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 1000)
+        .repartition(7)
+        .select(
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
+    )
+    rows = df.groupBy("pid").agg(
+        F.min(F.col("mid") - (F.col("pid").cast("bigint") * (1 << 33))).alias("lo"),
+        F.max(F.col("mid") - (F.col("pid").cast("bigint") * (1 << 33))).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    for r in rows:
+        assert r.lo == 0 and r.hi == r.n - 1, r
