@@ -27,9 +27,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped catalog cache: ``spark.read.parquet`` re-reads the
+# footer (schema discovery) through py4j on EVERY call — measured
+# ~0.2-0.3 s of pure driver-side latency per query build when a query
+# touches 2-4 tables. A real warehouse caches table metadata in its
+# catalog; this dict is that catalog for the path-addressed test lake.
+# Keyed by (applicationId, path, file mtime) so a new session or a
+# rewritten file never sees a stale plan; DataFrames are immutable so
+# sharing one logical plan across queries is safe.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table as a DataFrame.
+    """Read one test table as a DataFrame (catalog-cached per session).
 
     ``events.parquet`` carries TIMESTAMP(NANOS). Depending on the Spark
     build, the scan either rejects it unless
@@ -41,14 +51,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The conf set is an idempotent fallback for driver-built vanilla
     sessions (the driver harness constructs its own SparkSession).
     """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(path)
+    if len(_TABLE_CACHE) > 256:  # bound growth across many test sessions
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -66,7 +89,18 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     intermediate state.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # the probe converts the plan to an RDD (a full physical-planning
+    # round trip, ~50-100 ms driver-side); memoize it on the DataFrame
+    # object — table() returns session-cached frames, so repeated
+    # queries over the same table pay the probe once
+    nparts = getattr(df, "_sg_nparts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        try:
+            df._sg_nparts = nparts
+        except AttributeError:
+            pass
+    if nparts >= target:
         return df
     return df.repartition(target)
 

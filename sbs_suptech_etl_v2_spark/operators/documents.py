@@ -286,14 +286,22 @@ def pages_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distributed explode pattern the reference performs per Textract
     page (one row per page, then per-document re-aggregation with
     page-order preserved): posexplode word positions → page rows →
-    ``sort_array(collect_list(struct(page_no, ...)))`` concat. Two
-    shuffles by construction — q16_pages_concat is the shuffle-free
-    production form; this query exists to exercise G2 (list-concat
-    accumulation) and A7/A8 (fan-out + re-parenting) as real physical
-    operators. Ref: extract_async_helper.py:48-58,
-    workflow_orchestator.py:79-93.
+    ``sort_array(collect_list(struct(page_no, ...)))`` concat —
+    q16_pages_concat is the shuffle-free production form; this query
+    exists to exercise G2 (list-concat accumulation) and A7/A8
+    (fan-out + re-parenting) as real physical operators. Ref:
+    extract_async_helper.py:48-58, workflow_orchestator.py:79-93.
+
+    ONE shuffle, placed before the fan-out: repartitioning by doc_id
+    ahead of the explode moves each document's raw text over the wire
+    exactly once, and hashpartitioning(doc_id) satisfies the clustering
+    requirement of BOTH downstream aggregates ((doc_id, page_no) is a
+    superset of the partition key), so the page agg and the document
+    rollup run exchange-free where the naive plan shuffles exploded
+    per-word structs twice — the difference between ~1× and ~3× text
+    bytes on the wire at 100 TB.
     """
-    docs = spread(table(spark, sf_dir, "documents"))
+    docs = spread(table(spark, sf_dir, "documents")).repartition("doc_id")
     words = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
     )

@@ -318,6 +318,18 @@ def test_q87_surrogate_keys_avoid_global_sort(spark, sf_dir):
     assert full.count("SinglePartition") <= 2
 
 
+def test_q19_pages_explode_single_preexplode_shuffle(spark, sf_dir):
+    # round-6 rewrite: repartition(doc_id) BEFORE the word fan-out, so
+    # raw text crosses the wire once and hashpartitioning(doc_id)
+    # satisfies both the (doc_id, page_no) page agg and the doc_id
+    # rollup — the naive plan shuffled exploded per-word structs twice.
+    # spread()'s conditional round-robin may precede it; what must not
+    # appear is a SECOND keyed exchange above the explode.
+    plan = _plan(spark, sf_dir, "q19_pages_explode")
+    assert _keyed_exchanges(plan) <= 1  # naive plan carried two
+    assert "Generate" in plan  # the explode fan-out is still physical
+
+
 def test_q88_scene_segments_share_one_doc_exchange(spark, sf_dir):
     # frames fan out map-side (posexplode of a transform — no join, no
     # shuffle to build them); then the lag window, the running-sum
