@@ -166,11 +166,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ``n AS (SELECT COUNT(*) ...)`` scalar subquery) — no
     driver-side action during plan construction, and the count rides
     the same job as the rest of the query.
-    Scale: the document side shuffles once on (doc_id, token); the df
-    dimension is tiny at any corpus size, so the join is broadcast.
+    Scale: ONE document-level shuffle, placed before the explode —
+    hashpartitioning(doc_id) satisfies the (doc_id, token) tf agg AND
+    the per-doc ranking window, so raw text crosses the wire once and
+    neither the exploded token stream nor the scored rows ever
+    re-shuffle; the only other exchange is the vocabulary-sized df
+    rollup, which broadcasts back.
     """
-    docs = table(spark, sf_dir, "documents")
-    n_ = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    docs_raw = table(spark, sf_dir, "documents")
+    # the 1-row corpus count must not inherit the doc_id repartition —
+    # it would grow a pointless pre-count exchange
+    n_ = docs_raw.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    docs = docs_raw.repartition("doc_id")
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # df rolls up from tf — (doc, token) is already distinct there, so
