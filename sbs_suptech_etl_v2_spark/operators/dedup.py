@@ -624,32 +624,81 @@ def neardup_clusters_fixpoint(
     the SAME DuckDB oracle as q50.
     """
     pairs = materialize(minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"))
+    return _fixpoint_clusters_from_pairs(pairs, max_rounds, pointer_doubling)
+
+
+def _fixpoint_clusters_from_pairs(
+    pairs: DataFrame, max_rounds: int, pointer_doubling: bool
+) -> DataFrame:
+    """Fixpoint label propagation over an already-materialized pair list.
+
+    Split out so tests can drive the convergence loop with adversarial
+    graphs (long chains that do NOT converge inside the seed) through
+    the exact production path.
+    """
     edges = _bidirectional_edges(pairs)
     labels = _initial_labels(edges)
     seed_rounds = min(CLUSTER_ITERATIONS, max_rounds)
     for _ in range(seed_rounds):
         labels = _propagate_min_label(labels, edges)
-    labels = materialize(labels, eager=True)
-    prev_sum: int | None = None  # fused into the first probe below
-    cached: list[DataFrame] = []
-    for round_no in range(seed_rounds, max_rounds):
+    if seed_rounds >= max_rounds:
+        return _nontrivial_clusters(labels)
+    # FIRST probe on PURE plans — no materialize, no persist: the seed
+    # unroll and its one-round extension both bottom out at the
+    # checkpointed edge list (q50's trick), so summing both labelings
+    # in one union job costs a handful of scans of a tiny frame
+    # instead of an eager checkpoint job + a persist-populating job.
+    # Graphs whose diameter <= the seed — the overwhelmingly common
+    # case — therefore pay exactly ONE action between the pairs
+    # checkpoint and the output. The pointer-doubling posture skips
+    # this shortcut: its jump self-joins the step, which would square
+    # the branch count of a pure-plan probe.
+    if not pointer_doubling:
         step = _propagate_min_label(labels, edges)
-        round_frames = []
+        both = (
+            labels.agg(F.sum("label").alias("s"))
+            .select(F.lit(0).alias("r"), "s")
+            .unionByName(
+                step.agg(F.sum("label").alias("s")).select(F.lit(1).alias("r"), "s")
+            )
+            .collect()
+        )
+        sums = {row["r"]: row["s"] for row in both}
+        if sums[0] == sums[1]:
+            return _nontrivial_clusters(labels)
+        # not converged: flatten the extended unroll and loop from
+        # round seed+1 with the classic persist-per-round protocol
+        labels = materialize(step, eager=True)
+        prev_sum: int | None = sums[1]
+        start_round = seed_rounds + 1
+    else:
+        labels = materialize(labels, eager=True)
+        prev_sum = None  # fused into the first probe below
+        start_round = seed_rounds
+    for round_no in range(start_round, max_rounds):
+        step = _propagate_min_label(labels, edges)
         if pointer_doubling:
-            # the jump self-joins its input — persist it so the
-            # propagation round computes once, not twice
-            step = step.persist()
-            round_frames.append(step)
+            # the jump self-joins its input — cut lineage so the
+            # propagation round computes once and both jump references
+            # share the checkpointed blocks
+            step = materialize(step, eager=False)
             step = _pointer_jump(step)
         prev_frame = labels
-        labels = step.persist()
-        round_frames.append(labels)
+        # LAZY lineage cut per round (not .persist()): a persisted frame
+        # keeps its full logical plan, so the round-over-round plan tree
+        # doubled every iteration — planning went exponential and OOMed
+        # the driver on chain graphs with diameter ≳ 12 (caught by
+        # tests/test_pointer_doubling.py::test_fixpoint_loop_converges_
+        # past_the_seed). localCheckpoint truncates the plan itself;
+        # the probe action below materializes it, and the blocks are
+        # reclaimed by the ContextCleaner when the frame goes out of
+        # scope — no persist/unpersist bookkeeping.
+        labels = materialize(step, eager=False)
         if prev_sum is None:
             # FIRST probe: collect the pre-round and post-round sums in
             # ONE job (a union of two 1-row aggregates) — the common
             # converged-after-seed case then pays a single probe action
-            # instead of two. The post-round branch also populates the
-            # persisted step as a side effect.
+            # instead of two.
             both = (
                 prev_frame.agg(F.sum("label").alias("s"))
                 .select(F.lit(0).alias("r"), "s")
@@ -664,16 +713,9 @@ def neardup_clusters_fixpoint(
             prev_sum, cur_sum = sums[0], sums[1]
         else:
             cur_sum = labels.agg(F.sum("label")).first()[0]
-        for old in cached:
-            old.unpersist()
-        cached = round_frames
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    if cached:
-        labels = materialize(labels, eager=True)
-        for old in cached:
-            old.unpersist()
     return _nontrivial_clusters(labels)
 
 

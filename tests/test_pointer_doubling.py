@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.operators.dedup import (
     _bidirectional_edges,
+    _fixpoint_clusters_from_pairs,
     _initial_labels,
     _pointer_jump,
     _propagate_min_label,
@@ -59,6 +60,41 @@ def test_pointer_doubling_flag_is_result_invariant(spark, sf_dir):
     assert sorted(map(tuple, base.select(*key).collect())) == sorted(
         map(tuple, doubled.select(*key).collect())
     )
+
+
+def test_fixpoint_loop_converges_past_the_seed(spark):
+    # the round-6 pure-plan first probe short-circuits graphs that
+    # converge inside the seed; this chain does NOT (diameter 16 >>
+    # seed 2), so the test drives the full persist-per-round loop —
+    # both with and without pointer doubling — through the exact
+    # production path and checks the final labeling is the component
+    # minimum everywhere
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(CHAIN_N - 1)], "doc_a bigint, doc_b bigint"
+    ).localCheckpoint(eager=True)
+    expect = sorted((i, 0, CHAIN_N) for i in range(CHAIN_N))
+    for doubling in (False, True):
+        got = sorted(
+            map(
+                tuple,
+                _fixpoint_clusters_from_pairs(pairs, 25, doubling)
+                .select("doc_id", "cluster_id", "cluster_size")
+                .collect(),
+            )
+        )
+        assert got == expect, f"pointer_doubling={doubling}"
+
+
+def test_fixpoint_respects_max_rounds_valve(spark):
+    # max_rounds below the chain diameter must still return a valid
+    # (partial) labeling without hanging: every label is within the
+    # component and monotone <= doc_id
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(CHAIN_N - 1)], "doc_a bigint, doc_b bigint"
+    ).localCheckpoint(eager=True)
+    rows = _fixpoint_clusters_from_pairs(pairs, 4, False).collect()
+    assert rows  # chain stays one (partial) cluster family
+    assert all(r["cluster_id"] <= r["doc_id"] for r in rows)
 
 
 def test_jump_is_label_monotone(spark):
