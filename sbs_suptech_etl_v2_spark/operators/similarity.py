@@ -497,6 +497,128 @@ SELECT vec_a, vec_b, cosine FROM pairs
 ANN_BUCKETED_TOPK_SQL = _ann_sql()
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] recall@k audit — exact vs LSH-bucketed top-k, per query.
+
+    The evaluation every ANN deployment ships with: for a FIXED query
+    sample (capped at {MAX_BF_QUERIES}, so the audit's brute-force leg
+    stays constant-cost no matter how large the corpus grows), compute
+    the exact top-{ANN_TOP_K} by brute force AND the production
+    LSH-bucketed top-{ANN_TOP_K} (q41's plan), then score
+    recall@{ANN_TOP_K} = |exact ∩ approx| / k per query. This is how
+    the bucket width / band count of the ANN index gets tuned before a
+    100 TB build: re-run the audit, read the recall distribution.
+
+    Plan: one materialized unit frame feeds BOTH legs (the exact leg
+    broadcasts the fixed query sample against it; the approx leg
+    derives the banded frame from it), so normalization runs once; the
+    legs join on (query_id, cand_id) and one bounded-cardinality
+    groupBy emits per-query recall.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
+    unit = materialize(_unit(base))
+    sample = (F.col("vec_id") % QUERY_STRIDE == 0) & (
+        F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES
+    )
+    queries = unit.filter(sample).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("uq")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    exact = (
+        unit.select(F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "cand_id")
+    )
+    banded = materialize(_banded(unit))
+    qb = banded.filter(sample).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
+    )
+    cb = banded.select(
+        F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"), "band", "bucket"
+    )
+    approx = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score"))
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "cand_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("k")).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_AUDIT_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
+  FROM vecs
+),
+queries AS (
+  SELECT vec_id AS query_id, u AS uq FROM unit
+  WHERE vec_id % {QUERY_STRIDE} = 0
+    AND vec_id < {QUERY_STRIDE * MAX_BF_QUERIES}
+),
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_dot('q.uq', 'c.u')} DESC, c.vec_id) AS rank
+    FROM queries q JOIN unit c ON c.vec_id <> q.query_id
+  ) WHERE rank <= {ANN_TOP_K}
+),
+banded AS (
+{_BANDED_UNION}
+),
+approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+    FROM (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_sql_dot('q.u', 'c.u')} AS score
+      FROM banded q JOIN banded c
+        ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+        AND q.vec_id < {QUERY_STRIDE * MAX_BF_QUERIES}
+    )
+  ) WHERE rank <= {ANN_TOP_K}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-2] int8 scalar quantization — embedding storage at 100 TB.
 

@@ -413,3 +413,84 @@ SELECT lang, bucket,
        CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang) AS lang_share
 FROM counts
 """
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] unigram LM quality score — per-doc corpus surprisal.
+
+    The CCNet/Gopher-style quality gate: score each document by the
+    cross-entropy of its tokens under the corpus unigram model
+    (production swaps in a KenLM n-gram model through the same plan —
+    the vocabulary dimension just grows context columns). High
+    nats-per-token means rare-token soup (OCR noise, gibberish); low
+    means boilerplate — both tails get filtered before training.
+
+    Plan: one document-level shuffle placed before the explode (q28's
+    shape — the tf aggregate and the final per-doc rollup share the
+    hashpartitioning(doc_id)); the unigram counts roll up from tf on
+    the vocabulary key and broadcast back (at web scale, where the
+    vocab outgrows the broadcast threshold, drop the hint and AQE
+    falls back to a vocab-keyed shuffle join — the plan is otherwise
+    unchanged). Float determinism: per-(doc, token) surprisal
+    contributions are rounded to DECIMAL(28,10) before the per-doc
+    SUM — decimal addition is exact and order-free, and a 1-ulp libm
+    difference in ln (≈1e-15 at these magnitudes) is far below the
+    1e-10 quantum, so Spark and DuckDB sums match bit-for-bit.
+    """
+    docs_raw = table(spark, sf_dir, "documents")
+    docs = docs_raw.repartition("doc_id")
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    contrib = (
+        tf.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(
+                    F.col("total").cast("double") / F.col("cnt").cast("double")
+                )
+            )
+            .cast("decimal(28,10)")
+            .alias("contrib"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum("contrib").cast("double").alias("surprisal_nats"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_nats",
+        (F.col("surprisal_nats") / F.col("n_tokens")).alias("nats_per_token"),
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+vocab AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(tf.tf * ln(CAST(n.total AS DOUBLE) / CAST(vocab.cnt AS DOUBLE))
+              AS DECIMAL(28,10)) AS contrib
+  FROM tf JOIN vocab USING (token), n
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(contrib) AS DOUBLE) AS surprisal_nats,
+       CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS nats_per_token
+FROM contrib
+GROUP BY doc_id
+"""

@@ -38,7 +38,11 @@ QUERIES: dict[str, QueryFn] = {
     # their green rows in the r02-r05 archives. Numeric order carries
     # no semantic meaning anywhere in the engine; ORACLE stays sorted
     # for readability and tests iterate the full dict either way.
+    # Round-6 additions (q90/q91) lead the prefix — new queries go
+    # FIRST so their initial driver verdict lands the same round.
     # ------------------------------------------------------------------
+    "q90_ann_recall_audit": X2.ann_recall_audit,
+    "q91_unigram_surprisal": X4.unigram_surprisal,
     "q51_quantize_embeddings": X2.quantize_embeddings,
     "q52_status_cube": R.order_status_cube,
     "q53_approx_distinct": R.segment_distinct_customers,
@@ -227,4 +231,6 @@ ORACLE: dict[str, str] = {
     "q87_surrogate_keys": R.SURROGATE_KEYS_SQL,
     "q88_scene_segments": X3.SCENE_SEGMENTS_SQL,
     "q89_cogroup_attribution": R.COGROUP_ATTRIBUTION_SQL,
+    "q90_ann_recall_audit": X2.ANN_RECALL_AUDIT_SQL,
+    "q91_unigram_surprisal": X4.UNIGRAM_SURPRISAL_SQL,
 }

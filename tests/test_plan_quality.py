@@ -364,6 +364,32 @@ def test_q89_cogroup_shuffles_once_per_side_on_buckets(spark, sf_dir):
     assert "pmod" in plan and "64" in plan
 
 
+def test_q90_recall_audit_shares_unit_frame_and_broadcasts_queries(spark, sf_dir):
+    # both audit legs must bottom at the ONE materialized unit frame
+    # (ExistingRDD), the exact leg's fixed query sample rides a
+    # broadcast nested-loop join (corpus never shuffles for scoring),
+    # and no unbounded exchange appears — the only keyed shuffles are
+    # the band-bucket join, the two per-query windows and the final
+    # bounded groupBy
+    plan = _plan(spark, sf_dir, "q90_ann_recall_audit")
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # exact leg, fixed queries
+    assert "SinglePartition" not in plan
+
+
+def test_q91_surprisal_rides_one_doc_shuffle(spark, sf_dir):
+    # q28's shape: repartition(doc_id) before the explode, tf agg and
+    # per-doc rollup inherit it; vocab rolls up + broadcasts back. A
+    # second doc-keyed exchange means the sharing broke.
+    plan = _plan(spark, sf_dir, "q91_unigram_surprisal")
+    assert "BroadcastHashJoin" in plan  # vocab joins back broadcast
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema  # column pruning: doc_id + text only
+    # keyed exchanges: doc repartition (reused by both branches at
+    # runtime), vocab rollup, 1-row total agg — never more
+    assert _keyed_exchanges(plan) <= 6
+
+
 def test_monotonic_id_bit_layout(spark):
     # q87's local_row derivation assumes Spark's documented
     # monotonically_increasing_id layout: (partition_id << 33) + row
