@@ -763,6 +763,56 @@ WHERE s.cluster_size > 1
 NEARDUP_CLUSTERS_SQL = _clusters_sql()
 
 
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-1] the DEDUPLICATED corpus — the operational endpoint of the
+    whole near-dup family.
+
+    q21 mines candidate pairs, q50 clusters them; this operator
+    actually applies the result: every near-dup cluster collapses to
+    its canonical (min-id) member, singletons pass through untouched.
+    Output is one row per SURVIVING document with its keep reason —
+    'unique' (in no cluster) or 'canonical' (elected representative);
+    the dropped rows are exactly the cluster members with
+    doc_id != cluster_id. This is the frame a training-data pipeline
+    writes back to the lake as the deduped corpus.
+
+    Plan: the cluster map is edge-bounded (never corpus-sized), so it
+    rides ONE broadcast left join against the corpus — the corpus
+    itself neither shuffles nor re-scans, and the filter
+    (no cluster row OR canonical) evaluates map-side. Cost on top of
+    q50 is a broadcast and a narrow projection.
+    """
+    corpus = _variant_corpus(table(spark, sf_dir, "documents"))
+    clusters = neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    joined = corpus.join(F.broadcast(clusters), "doc_id", "left")
+    return (
+        joined.filter(
+            F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
+        )
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+            .otherwise(F.lit("canonical"))
+            .alias("status"),
+        )
+    )
+
+
+DEDUP_KEEP_CANONICAL_SQL = f"""
+WITH {_ORACLE_VARIANTS},
+clusters AS (
+  SELECT doc_id, cluster_id FROM ({NEARDUP_CLUSTERS_SQL})
+)
+SELECT c.doc_id,
+       CAST(length(c.text) AS BIGINT) AS n_chars,
+       CASE WHEN cl.doc_id IS NULL THEN 'unique' ELSE 'canonical' END AS status
+FROM corpus c
+LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+WHERE cl.doc_id IS NULL OR cl.cluster_id = c.doc_id
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-1] SimHash — 32-bit near-dup signature per document.
 

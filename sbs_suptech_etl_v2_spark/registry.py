@@ -43,6 +43,7 @@ QUERIES: dict[str, QueryFn] = {
     # ------------------------------------------------------------------
     "q90_ann_recall_audit": X2.ann_recall_audit,
     "q91_unigram_surprisal": X4.unigram_surprisal,
+    "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
     "q51_quantize_embeddings": X2.quantize_embeddings,
     "q52_status_cube": R.order_status_cube,
     "q53_approx_distinct": R.segment_distinct_customers,
@@ -233,4 +234,5 @@ ORACLE: dict[str, str] = {
     "q89_cogroup_attribution": R.COGROUP_ATTRIBUTION_SQL,
     "q90_ann_recall_audit": X2.ANN_RECALL_AUDIT_SQL,
     "q91_unigram_surprisal": X4.UNIGRAM_SURPRISAL_SQL,
+    "q92_dedup_keep_canonical": X1.DEDUP_KEEP_CANONICAL_SQL,
 }

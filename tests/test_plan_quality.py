@@ -390,6 +390,16 @@ def test_q91_surprisal_rides_one_doc_shuffle(spark, sf_dir):
     assert _keyed_exchanges(plan) <= 6
 
 
+def test_q92_keep_canonical_broadcasts_cluster_map(spark, sf_dir):
+    # the corpus must pay ONLY a broadcast left join on top of q50's
+    # guarded internals: the (edge-bounded) cluster map broadcasts, the
+    # corpus leg never grows a keyed exchange of its own
+    plan = _plan(spark, sf_dir, "q92_dedup_keep_canonical")
+    assert "BroadcastHashJoin" in plan
+    assert _keyed_exchanges(plan) <= 8  # q50's bound, unchanged
+    assert "SinglePartition" not in plan
+
+
 def test_monotonic_id_bit_layout(spark):
     # q87's local_row derivation assumes Spark's documented
     # monotonically_increasing_id layout: (partition_id << 33) + row
