@@ -25,6 +25,12 @@ QUERIES_UNDER_TEST = [
     "q71_kmeans_update",
     "q21_minhash_neardup",
     "q89_cogroup_attribution",
+    # round 6: decimal-quantized surprisal sums (order-free by
+    # construction — this pins it), the two-leg recall audit join, and
+    # the cluster-map broadcast behind the canonical keeper
+    "q91_unigram_surprisal",
+    "q90_ann_recall_audit",
+    "q92_dedup_keep_canonical",
 ]
 
 
