@@ -358,6 +358,106 @@ WHERE rn = 1
 """
 
 
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_id, band_sig) — the banded-LSH index rows for a
+    signature frame: {N_BANDS} rows per document, one per band, keyed by
+    the band's concatenated minhash pair. This is both the self-join
+    input of ``minhash_neardup`` and the PERSISTED layout of the
+    incremental index (``write_minhash_index``)."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda j: F.concat_ws(
+                    "_",
+                    F.get(F.col("sig"), j * BAND_ROWS),
+                    F.get(F.col("sig"), j * BAND_ROWS + 1),
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
+def _est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Matching-component fraction of two MinHash signatures."""
+    return (
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+        )
+        / F.lit(float(N_HASHES))
+    )
+
+
+def write_minhash_index(corpus: DataFrame, path: str) -> None:
+    """Persist the banded-LSH signature index for a corpus.
+
+    The incremental-dedup posture at 100 TB: the lake's corpus is
+    signed ONCE and its (doc_id, sig, band_id, band_sig) rows live as a
+    partitioned parquet index; each arriving batch signs only itself
+    and probes the index (``incremental_neardup``) instead of re-mining
+    the whole lake. Partitioned by band_id so a band-restricted probe
+    prunes at the directory level; within a band, rows cluster by
+    band_sig at write time so the join's shuffle reads stay dense.
+    """
+    (
+        _band_frame(_minhash_signatures(corpus))
+        .repartition("band_id", "band_sig")
+        .sortWithinPartitions("band_sig")
+        .write.partitionBy("band_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_neardup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Near-dup pairs for an ARRIVING batch against a persisted index
+    (plus within-batch pairs) — no corpus re-mining.
+
+    ``index`` is a read of ``write_minhash_index`` output. The batch is
+    signed and banded once (materialized — it feeds the index probe AND
+    the within-batch self-join), then:
+      - batch × index: band-key equi-join against the persisted rows —
+        shuffle volume is the BATCH's bands plus the matching index
+        cells, never the corpus;
+      - batch × batch: the usual self-join on the tiny batch frame.
+    Both candidate sets verify by full-signature agreement ≥ 0.5, like
+    the batch miner. Output: (doc_a, doc_b, est_jaccard) with doc_a
+    from the new batch; cross-pair doc_b is the indexed document.
+    Union with the index's own historical pairs reproduces exactly the
+    full-batch ``minhash_neardup`` result — pinned by
+    ``tests/test_incremental_dedup.py``.
+    """
+    nb = materialize(_band_frame(_minhash_signatures(new_docs)))
+    a = nb.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band_id", "band_sig",
+    )
+    old = index.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band_id", "band_sig",
+    )
+    cross = (
+        a.join(old, ["band_id", "band_sig"])
+        .select("doc_a", "doc_b", _est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
+    )
+    b = nb.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band_id", "band_sig",
+    )
+    within = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", _est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
+    )
+    return (
+        cross.unionByName(within)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-1] MinHash + banded LSH near-duplicate pair mining.
 
@@ -381,36 +481,14 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides are differently-aliased plans, so without this every
     # md5/minhash expression executes twice (no ReusedExchange). The
     # checkpointed frame is tiny (doc_id + 16 bigints per row).
-    sigs = materialize(_minhash_signatures(corpus))
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda j: F.concat_ws(
-                    "_",
-                    F.get(F.col("sig"), j * BAND_ROWS),
-                    F.get(F.col("sig"), j * BAND_ROWS + 1),
-                ),
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    bands = _band_frame(materialize(_minhash_signatures(corpus)))
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_sig"
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_sig"
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(N_HASHES))
-    )
+    est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
     # verify before dedup: the threshold kills almost all candidates, so
     # the duplicate-pair dedup shuffles a few scalar rows instead of
     # signature arrays (multi-band duplicates recompute est — rare)
