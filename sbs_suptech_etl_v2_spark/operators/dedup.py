@@ -411,7 +411,9 @@ def write_minhash_index(corpus: DataFrame, path: str) -> None:
     )
 
 
-def incremental_neardup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
+def incremental_neardup(
+    new_docs: DataFrame, index: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs for an ARRIVING batch against a persisted index
     (plus within-batch pairs) — no corpus re-mining.
 
@@ -428,8 +430,14 @@ def incremental_neardup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
     Union with the index's own historical pairs reproduces exactly the
     full-batch ``minhash_neardup`` result — pinned by
     ``tests/test_incremental_dedup.py``.
+
+    ``bands`` lets a caller that ALSO appends the batch to the index
+    (the streaming ingest path below) sign the batch once and share the
+    materialized frame.
     """
-    nb = materialize(_band_frame(_minhash_signatures(new_docs)))
+    nb = bands if bands is not None else materialize(
+        _band_frame(_minhash_signatures(new_docs))
+    )
     a = nb.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
         "band_id", "band_sig",
@@ -456,6 +464,64 @@ def incremental_neardup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def incremental_dedup_batch_fn(index_path: str, pairs_out_dir: str):
+    """``foreachBatch`` factory — streaming near-dup dedup AT INGEST.
+
+    Each micro-batch of documents (``doc_id``, ``text``) is signed
+    once, probed against everything ingested before it, and then added
+    to the index, so a duplicate is flagged in the same trigger that
+    ingests it:
+
+      1. band the batch (one materialized frame — shared by the probe
+         and the index append);
+      2. ``incremental_neardup`` against the persisted index → pairs
+         (batch × history ∪ batch × batch);
+      3. write pairs to ``{pairs_out_dir}/ingest_batch={id}``;
+      4. append the batch's band rows to
+         ``{index_path}/ingest_batch={id}`` (band-partitioned inside).
+
+    REPLAY SAFETY without a ledger: both writes land in the batch's own
+    ``ingest_batch={id}`` directory with mode=overwrite, so Structured
+    Streaming's at-least-once replay of an uncommitted epoch overwrites
+    its own partition instead of duplicating rows — the composition is
+    idempotent by layout. Readers see the growing index/pair set as one
+    partitioned parquet tree (``spark.read.parquet(index_path)``).
+    Wrap with ``IdempotentBatchSink`` only if the inner writes must not
+    even re-run (e.g. metered object-store puts).
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        bands = materialize(_band_frame(_minhash_signatures(batch_df)))
+        have_history = os.path.isdir(index_path) and any(
+            d.startswith("ingest_batch=") for d in os.listdir(index_path)
+        )
+        if have_history:
+            index = spark.read.parquet(index_path).select(
+                "doc_id", "sig", "band_id", "band_sig"
+            )
+            pairs = incremental_neardup(batch_df, index, bands=bands)
+        else:
+            empty = spark.createDataFrame(
+                [], "doc_id bigint, sig array<bigint>, band_id int, band_sig string"
+            )
+            pairs = incremental_neardup(batch_df, empty, bands=bands)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_out_dir}/ingest_batch={batch_id}"
+        )
+        (
+            bands.repartition("band_id", "band_sig")
+            .sortWithinPartitions("band_sig")
+            .write.partitionBy("band_id")
+            .mode("overwrite")
+            .parquet(f"{index_path}/ingest_batch={batch_id}")
+        )
+
+    return fn
 
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
