@@ -91,8 +91,25 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
             )
         return df.checkpoint(eager=eager)
     if _strategy == "none":
-        # No lineage cut: accept recomputation. Used by plan-inspection
-        # tests to see through the checkpoint, and by deployments that
-        # prefer recompute-on-failure over materialization cost.
+        # No lineage cut: accept recomputation. PLAN-INSPECTION ONLY —
+        # the plan-quality tests use it to see through checkpoints to
+        # the underlying exchange shapes. It is NOT a deployment
+        # posture: operators whose structure depends on the cut
+        # (iterative loops would otherwise double their plan per round;
+        # multi-consumer sampled layouts would depend on exchange
+        # reuse) either force a local cut regardless (see
+        # _fixpoint_clusters_from_pairs) or may silently degrade.
         return df
+    return df.localCheckpoint(eager=eager)
+
+
+def materialize_required(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage cut that CANNOT be disabled — for call sites where the
+    cut is a correctness/boundedness requirement, not an optimization
+    (e.g. per-round truncation in iterative loops, where skipping it
+    doubles the logical plan every round until the driver OOMs).
+    Honors the ``reliable`` strategy; treats ``none`` as ``local``.
+    """
+    if _strategy == "reliable":
+        return materialize(df, eager=eager)
     return df.localCheckpoint(eager=eager)

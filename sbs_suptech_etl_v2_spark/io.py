@@ -68,8 +68,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
-    if len(_TABLE_CACHE) > 256:  # bound growth across many test sessions
-        _TABLE_CACHE.clear()
+    if len(_TABLE_CACHE) > 256:
+        # bound growth across many test sessions: evict DEAD sessions'
+        # entries (stopped SparkSessions pin py4j-backed plans forever
+        # otherwise) and keep the live session's hot entries — a full
+        # clear() would force footer re-reads for every current table
+        app = key[0]
+        for k in [k for k in _TABLE_CACHE if k[0] != app]:
+            del _TABLE_CACHE[k]
     _TABLE_CACHE[key] = df
     return df
 

@@ -41,7 +41,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import spread, table
-from sbs_suptech_etl_v2_spark.checkpointing import materialize
+from sbs_suptech_etl_v2_spark.checkpointing import materialize, materialize_required
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 N_HASHES = 16
@@ -425,10 +425,13 @@ def incremental_neardup(
         cells, never the corpus;
       - batch × batch: the usual self-join on the tiny batch frame.
     Both candidate sets verify by full-signature agreement ≥ 0.5, like
-    the batch miner. Output: (doc_a, doc_b, est_jaccard) with doc_a
-    from the new batch; cross-pair doc_b is the indexed document.
-    Union with the index's own historical pairs reproduces exactly the
-    full-batch ``minhash_neardup`` result — pinned by
+    the batch miner. Output: (doc_a, doc_b, est_jaccard) NORMALIZED to
+    doc_a < doc_b — a doc_id present on both sides (an upsert
+    re-ingest, or an epoch replay probing its own rows) would otherwise
+    emit a (x, x) self-pair and both orientations of a true pair, so
+    self-pairs are dropped and orientation is canonicalized before the
+    pair dedup. Union with the index's own historical pairs reproduces
+    exactly the full-batch ``minhash_neardup`` result — pinned by
     ``tests/test_incremental_dedup.py``.
 
     ``bands`` lets a caller that ALSO appends the batch to the index
@@ -448,6 +451,10 @@ def incremental_neardup(
     )
     cross = (
         a.join(old, ["band_id", "band_sig"])
+        # self-guard: the same doc_id on both sides (upsert re-ingest,
+        # or a replayed epoch probing its own indexed rows) must not
+        # produce an (x, x) pair
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", _est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
     )
     b = nb.select(
@@ -462,6 +469,14 @@ def incremental_neardup(
     return (
         cross.unionByName(within)
         .filter(F.col("est_jaccard") >= 0.5)
+        # canonical orientation BEFORE the pair dedup: a cross pair
+        # arrives (new, old), so when both endpoints were re-ingested
+        # the same pair would otherwise survive in both orientations
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "est_jaccard",
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -486,10 +501,15 @@ def incremental_dedup_batch_fn(index_path: str, pairs_out_dir: str):
     ``ingest_batch={id}`` directory with mode=overwrite, so Structured
     Streaming's at-least-once replay of an uncommitted epoch overwrites
     its own partition instead of duplicating rows — the composition is
-    idempotent by layout. Readers see the growing index/pair set as one
-    partitioned parquet tree (``spark.read.parquet(index_path)``).
-    Wrap with ``IdempotentBatchSink`` only if the inner writes must not
-    even re-run (e.g. metered object-store puts).
+    idempotent by layout. The probe additionally reads ONLY strictly
+    earlier epochs (``ingest_batch < batch_id``): a replayed epoch that
+    already appended its rows before the crash would otherwise probe
+    its own indexed copy and emit a corrupted pair set (self-pairs at
+    est 1.0, within-batch pairs doubled) into the overwrite. Readers
+    see the growing index/pair set as one partitioned parquet tree
+    (``spark.read.parquet(index_path)``). Wrap with
+    ``IdempotentBatchSink`` only if the inner writes must not even
+    re-run (e.g. metered object-store puts).
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -501,8 +521,12 @@ def incremental_dedup_batch_fn(index_path: str, pairs_out_dir: str):
             d.startswith("ingest_batch=") for d in os.listdir(index_path)
         )
         if have_history:
-            index = spark.read.parquet(index_path).select(
-                "doc_id", "sig", "band_id", "band_sig"
+            index = (
+                spark.read.parquet(index_path)
+                # partition-pruned: a replayed epoch must not probe the
+                # rows it appended itself before the crash
+                .filter(F.col("ingest_batch") < batch_id)
+                .select("doc_id", "sig", "band_id", "band_sig")
             )
             pairs = incremental_neardup(batch_df, index, bands=bands)
         else:
@@ -825,7 +849,7 @@ def _fixpoint_clusters_from_pairs(
             # the jump self-joins its input — cut lineage so the
             # propagation round computes once and both jump references
             # share the checkpointed blocks
-            step = materialize(step, eager=False)
+            step = materialize_required(step, eager=False)
             step = _pointer_jump(step)
         prev_frame = labels
         # LAZY lineage cut per round (not .persist()): a persisted frame
@@ -837,7 +861,7 @@ def _fixpoint_clusters_from_pairs(
         # the probe action below materializes it, and the blocks are
         # reclaimed by the ContextCleaner when the frame goes out of
         # scope — no persist/unpersist bookkeeping.
-        labels = materialize(step, eager=False)
+        labels = materialize_required(step, eager=False)
         if prev_sum is None:
             # FIRST probe: collect the pre-round and post-round sums in
             # ONE job (a union of two 1-row aggregates) — the common

@@ -32,7 +32,7 @@ from sbs_suptech_etl_v2_spark.functions.scalars import (
     refine_year,
     stringify_map_values,
 )
-from sbs_suptech_etl_v2_spark.io import spread, table
+from sbs_suptech_etl_v2_spark.io import table
 
 # Spanish month literals used to synthesize folder names (mixed case to
 # exercise C2's lower(trim(...)) normalization).
@@ -301,7 +301,10 @@ def pages_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word structs twice — the difference between ~1× and ~3× text
     bytes on the wire at 100 TB.
     """
-    docs = spread(table(spark, sf_dir, "documents")).repartition("doc_id")
+    # no spread() here: the hash repartition below collapses any
+    # round-robin redistribution anyway (CollapseRepartition), so the
+    # spread would contribute only its planning-probe latency
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
     words = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
     )

@@ -83,7 +83,10 @@ QUERIES: dict[str, QueryFn] = {
     "q87_surrogate_keys": R.surrogate_keys,
     "q88_scene_segments": X3.scene_segments,
     "q89_cogroup_attribution": R.cogroup_attribution,
-    # -- slots 40-50: most-recently-touched of q01-q50 -----------------
+    # -- prefix slots 43-50: most-recently-touched of q01-q50 ----------
+    # (q90-q92 took three slots, so only EIGHT of the round-5 eleven
+    # still fit; q47/q49/q50 moved below — they keep their green rows
+    # in the r02-r05 archives like the rest of q01-q50)
     "q01_pricing_summary": R.pricing_summary,
     "q06_revenue_by_nation": R.revenue_by_nation,
     "q19_pages_explode": D.pages_explode,
@@ -92,10 +95,10 @@ QUERIES: dict[str, QueryFn] = {
     "q25_embedding_neardup": X2.embedding_neardup,
     "q28_tfidf_top_terms": X4.tfidf_top_terms,
     "q34_blocks_page_text": B.blocks_page_text,
+    # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
     "q47_ivf_topk": X2.ivf_topk,
     "q49_promo_revenue": R.promo_revenue_share,
     "q50_neardup_clusters": X1.neardup_clusters,
-    # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
     "q04_semi_join_open_orders": R.customers_with_open_orders,

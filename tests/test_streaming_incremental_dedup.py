@@ -78,14 +78,46 @@ def test_streaming_ingest_dedup_equals_batch_miner(spark, sf_dir, tmp_path):
     )
 
 
-def test_epoch_replay_does_not_duplicate_index_rows(spark, sf_dir, tmp_path):
+def test_epoch_replay_is_idempotent_in_rows_and_pair_content(spark, sf_dir, tmp_path):
+    # the dangerous replay: the epoch CRASHED AFTER its index append,
+    # so the re-run probes an index that already contains its own rows.
+    # Row counts AND the pair content must come out identical — the
+    # first version of this operator passed a count-only check while
+    # emitting (x, x) self-pairs at est 1.0 on exactly this path.
     corpus = _variant_corpus(table(spark, sf_dir, "documents")).limit(50)
     index_path = str(tmp_path / "index")
     pairs_dir = str(tmp_path / "pairs")
     fn = incremental_dedup_batch_fn(index_path, pairs_dir)
     fn(corpus, 0)
-    before = spark.read.parquet(index_path).count()
+    index_before = spark.read.parquet(index_path).count()
+    pairs_before = _pairset(spark.read.parquet(pairs_dir))
     fn(corpus, 0)  # at-least-once replay of the same epoch
-    after = spark.read.parquet(index_path).count()
-    assert before == after
+    assert spark.read.parquet(index_path).count() == index_before
+    pairs_after = _pairset(spark.read.parquet(pairs_dir))
+    assert pairs_after == pairs_before
+    assert all(a != b for a, b, _ in pairs_after)  # no self-pairs ever
     assert spark.read.parquet(pairs_dir).select("ingest_batch").distinct().count() == 1
+
+
+def test_upsert_reingest_emits_no_self_pairs_or_mirrored_pairs(spark, sf_dir, tmp_path):
+    # a lake re-ingests documents whose doc_ids are ALREADY indexed
+    # (upsert pipelines do this constantly): the probe must not pair a
+    # document with its own indexed copy, and a true pair whose both
+    # endpoints were re-ingested must appear once, not once per
+    # orientation
+    from sbs_suptech_etl_v2_spark.operators.dedup import (
+        incremental_neardup,
+        write_minhash_index,
+    )
+
+    corpus = _variant_corpus(table(spark, sf_dir, "documents"))
+    index_path = str(tmp_path / "index")
+    write_minhash_index(corpus, index_path)
+    reingested = incremental_neardup(corpus, spark.read.parquet(index_path))
+    got = sorted((r.doc_a, r.doc_b) for r in reingested.collect())
+    assert all(a < b for a, b in got)  # canonical orientation, no (x, x)
+    assert len(got) == len(set(got))  # no orientation duplicates
+    want = sorted(
+        (r.doc_a, r.doc_b) for r in minhash_neardup(spark, sf_dir).collect()
+    )
+    assert got == want  # exactly the true pair set, nothing else
