@@ -44,6 +44,7 @@ QUERIES: dict[str, QueryFn] = {
     "q90_ann_recall_audit": X2.ann_recall_audit,
     "q91_unigram_surprisal": X4.unigram_surprisal,
     "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
+    "q93_semantic_dedup": X2.semantic_dedup,
     "q51_quantize_embeddings": X2.quantize_embeddings,
     "q52_status_cube": R.order_status_cube,
     "q53_approx_distinct": R.segment_distinct_customers,
@@ -83,10 +84,10 @@ QUERIES: dict[str, QueryFn] = {
     "q87_surrogate_keys": R.surrogate_keys,
     "q88_scene_segments": X3.scene_segments,
     "q89_cogroup_attribution": R.cogroup_attribution,
-    # -- prefix slots 43-50: most-recently-touched of q01-q50 ----------
-    # (q90-q92 took three slots, so only EIGHT of the round-5 eleven
-    # still fit; q47/q49/q50 moved below — they keep their green rows
-    # in the r02-r05 archives like the rest of q01-q50)
+    # -- prefix slots 44-50: most-recently-touched of q01-q50 ----------
+    # (q90-q93 took four slots, so only SEVEN of the round-5 eleven
+    # still fit; q34/q47/q49/q50 moved below — they keep their green
+    # rows in the r02-r05 archives like the rest of q01-q50)
     "q01_pricing_summary": R.pricing_summary,
     "q06_revenue_by_nation": R.revenue_by_nation,
     "q19_pages_explode": D.pages_explode,
@@ -94,8 +95,8 @@ QUERIES: dict[str, QueryFn] = {
     "q24_topk_cosine": X2.topk_cosine,
     "q25_embedding_neardup": X2.embedding_neardup,
     "q28_tfidf_top_terms": X4.tfidf_top_terms,
-    "q34_blocks_page_text": B.blocks_page_text,
     # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
+    "q34_blocks_page_text": B.blocks_page_text,
     "q47_ivf_topk": X2.ivf_topk,
     "q49_promo_revenue": R.promo_revenue_share,
     "q50_neardup_clusters": X1.neardup_clusters,
@@ -238,4 +239,5 @@ ORACLE: dict[str, str] = {
     "q90_ann_recall_audit": X2.ANN_RECALL_AUDIT_SQL,
     "q91_unigram_surprisal": X4.UNIGRAM_SURPRISAL_SQL,
     "q92_dedup_keep_canonical": X1.DEDUP_KEEP_CANONICAL_SQL,
+    "q93_semantic_dedup": X2.SEMANTIC_DEDUP_SQL,
 }

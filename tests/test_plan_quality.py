@@ -400,6 +400,19 @@ def test_q92_keep_canonical_broadcasts_cluster_map(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_q93_semantic_dedup_shares_q50_plan_family(spark, sf_dir):
+    # SemDeDup clustering must inherit q50's guarded shape: one count
+    # window over edge-bounded broadcast-join branches bottoming at the
+    # checkpointed LSH pair list — never an all-pairs product, never a
+    # corpus-sized iteration frame
+    plan = _plan(spark, sf_dir, "q93_semantic_dedup")
+    assert "ExistingRDD" in plan  # checkpointed pair list at every leaf
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    assert _keyed_exchanges(plan) <= 8
+
+
 def test_monotonic_id_bit_layout(spark):
     # q87's local_row derivation assumes Spark's documented
     # monotonically_increasing_id layout: (partition_id << 33) + row
