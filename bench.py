@@ -97,10 +97,50 @@ def main() -> None:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
+    # PAIRED DENOMINATOR: absolute wall clock on this host swings up to
+    # ±35% for identical code (host-level noise; guest idle, steal 0),
+    # so a Spark total alone is not interpretable. Run the DuckDB
+    # oracle suite in the same process, same box state, right after the
+    # Spark runs — the Spark/oracle ratio from a paired run is robust
+    # where either absolute number is not. Skippable for quick local
+    # iteration via SPARK_GRAFT_SKIP_ORACLE=1 or when benching a subset.
+    oracle_total = None
+    if not only and not os.environ.get("SPARK_GRAFT_SKIP_ORACLE"):
+        try:
+            import duckdb
+
+            from sbs_suptech_etl_v2_spark.registry import ORACLE
+
+            con = duckdb.connect()
+            con.execute(f"SET threads TO {os.cpu_count() or 32}")
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            onames = sorted(ORACLE)
+            for name in onames:  # warmup pass (page cache, planning)
+                con.execute(ORACLE[name]).fetchall()
+            osamples: dict[str, list[float]] = {n: [] for n in onames}
+            for _ in range(RUNS):
+                for name in onames:
+                    t0 = time.perf_counter()
+                    con.execute(ORACLE[name]).fetchall()
+                    osamples[name].append(time.perf_counter() - t0)
+            oracle_total = round(
+                sum(statistics.median(s) for s in osamples.values()), 3
+            )
+        except Exception:  # noqa: BLE001 — the pairing is best-effort
+            oracle_total = None
+
     # KEY ORDER MATTERS: the driver artifact keeps only a TAIL of
     # stdout, so anything early in this line can be truncated away.
-    # Put the per-query map first and the headline total LAST so any
-    # surviving tail still contains "value".
+    # Put the per-query map first and the headline numbers LAST so any
+    # surviving tail still contains them.
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_wall_clock",
         "unit": "sec",
@@ -108,7 +148,11 @@ def main() -> None:
         "runs_per_query": RUNS,
         "aggregation": "median",
         "queries": timings,
-        "value": round(sum(timings.values()), 3),
+        "oracle_suite_sec": oracle_total,
+        "spark_vs_oracle_ratio": (
+            round(total / oracle_total, 3) if oracle_total else None
+        ),
+        "value": total,
     }
     line = json.dumps(out)
     print(line)
