@@ -97,6 +97,64 @@ def test_fixpoint_respects_max_rounds_valve(spark):
     assert all(r["cluster_id"] <= r["doc_id"] for r in rows)
 
 
+def test_fixpoint_matches_union_find_on_random_graphs(spark):
+    # property: on arbitrary pair graphs the production fixpoint (both
+    # postures) computes exactly the connected components a plain
+    # union-find computes. Deterministic seed batch instead of
+    # @given — each case spins real Spark jobs, so a handful of
+    # adversarial shapes (chains, stars, cliques-by-parity, random)
+    # beats hypothesis' hundreds of tiny examples here.
+    import random
+
+    def union_find_components(n_nodes, pairs):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[int, list[int]] = {}
+        for x in set(a for p in pairs for a in p):
+            comp.setdefault(find(x), []).append(x)
+        return sorted(
+            (m, root, len(members))
+            for root, members in comp.items()
+            if len(members) > 1
+            for m in members
+        )
+
+    rng = random.Random(20260814)
+    cases = [
+        [(i, i + 1) for i in range(12)],  # chain
+        [(0, i) for i in range(1, 10)],  # star
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],  # clique
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(25)],
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(15)],
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+        want = union_find_components(max(max(p) for p in pairs) + 1, pairs)
+        for doubling in (False, True):
+            got = sorted(
+                map(
+                    tuple,
+                    _fixpoint_clusters_from_pairs(
+                        pdf.localCheckpoint(eager=True), 60, doubling
+                    )
+                    .select("doc_id", "cluster_id", "cluster_size")
+                    .collect(),
+                )
+            )
+            assert got == want, (pairs, doubling)
+
+
 def test_jump_is_label_monotone(spark):
     # label(label(u)) <= label(u): the convergence probe's monotonicity
     # argument depends on this
