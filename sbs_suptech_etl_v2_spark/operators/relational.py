@@ -1790,3 +1790,161 @@ LEFT JOIN clicks c
  AND c.c_ts >= p.p_ts - INTERVAL {COGROUP_WINDOW_S} SECONDS
 GROUP BY p.user_id, p.purchase_id, p.p_ts
 """
+
+
+def quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_pop / stddev_pop) with EXACT
+    moment sums — absent-op coverage for the stats-aggregate family.
+
+    Built-in ``corr``/``stddev`` fold doubles in partition order, so
+    their last ulps are nondeterministic under shuffle and differ
+    across engines (merge formulas differ too) — unusable under a
+    value-hash contract. Instead the five raw moments (Σx, Σy, Σx²,
+    Σy², Σxy) accumulate as DECIMAL sums (exact, order-free; per-term
+    products computed in IEEE double then cast, the q01 pattern) and
+    the statistics derive from the exact moments with scalar double
+    arithmetic — bit-identical in any engine, any partitioning. This
+    is also the 100 TB shape: one map-side-combined aggregate per
+    group, statistics as post-projection.
+
+    Moment scales are chosen so every sum's UNSCALED value stays below
+    2^53 at the bench scale: decimal→double conversion is then exactly
+    rounded in both engines, where a larger unscaled value makes the
+    two engines' two-step vs one-step conversions differ in the last
+    ulp (observed before this scale budget was applied). The moments
+    are DEFINED at this quantization (cents for x/y/x²/xy, units for
+    y²); scale up the precision budget with the data volume.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(x.cast("decimal(18,2)")).alias("_sx"),
+        F.sum(y.cast("decimal(18,2)")).alias("_sy"),
+        F.sum((x * x).cast("decimal(28,2)")).alias("_sxx"),
+        F.sum((y * y).cast("decimal(28,0)")).alias("_syy"),
+        F.sum((x * y).cast("decimal(28,2)")).alias("_sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+         ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+        (F.sqrt(n * sxx - sx * sx) / n).alias("std_qty"),
+        (F.sqrt(n * syy - sy * sy) / n).alias("std_price"),
+    )
+
+
+QUANTITY_PRICE_STATS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,2))) AS sxx,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,0))) AS syy,
+         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price,
+       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS covar_pop,
+       sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / CAST(n_rows AS DOUBLE) AS std_qty,
+       sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         / CAST(n_rows AS DOUBLE) AS std_price
+FROM m
+"""
+
+
+def order_calendar_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse→dense time-series resampling with forward fill — the gap
+    of the temporal family (§2 windows cover frames, not re-gridding).
+
+    Daily order counts/revenue per priority land on a COMPLETE daily
+    calendar (generated from the data's own min/max — no hardcoded
+    range), missing days carry n_orders = 0 and the last previously
+    known revenue (``last(..., ignorenulls=True)`` over an unbounded
+    preceding frame — days before a priority's first order stay NULL).
+    Plan: the calendar is a 1-row aggregate exploded to |days| rows and
+    broadcast against the |priorities| dimension; the only real
+    shuffle is the daily aggregate + the per-priority fill window —
+    grid size is |priorities| × |days|, independent of order volume,
+    so the operator's cost at 100 TB is the daily pre-aggregation.
+    """
+    o = table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    daily = o.groupBy(F.col("o_orderpriority"), day.alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"), 4)).cast("double").alias("revenue"),
+    )
+    calendar = (
+        o.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    grid = o.select("o_orderpriority").distinct().crossJoin(F.broadcast(calendar))
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["o_orderpriority", "day"], "left")
+        .select(
+            "o_orderpriority",
+            "day",
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("n_orders"),
+            F.last("revenue", ignorenulls=True).over(w).alias("last_known_revenue"),
+        )
+    )
+
+
+ORDER_CALENDAR_RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+calendar AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+grid AS (
+  SELECT p.o_orderpriority, c.day
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p, calendar c
+)
+SELECT g.o_orderpriority, g.day,
+       COALESCE(d.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       last_value(d.revenue IGNORE NULLS) OVER (
+         PARTITION BY g.o_orderpriority ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_known_revenue
+FROM grid g
+LEFT JOIN daily d
+  ON d.o_orderpriority = g.o_orderpriority AND d.day = g.day
+"""

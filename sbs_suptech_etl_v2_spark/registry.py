@@ -45,6 +45,8 @@ QUERIES: dict[str, QueryFn] = {
     "q91_unigram_surprisal": X4.unigram_surprisal,
     "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
     "q93_semantic_dedup": X2.semantic_dedup,
+    "q94_quantity_price_stats": R.quantity_price_stats,
+    "q95_calendar_resample": R.order_calendar_resample,
     "q51_quantize_embeddings": X2.quantize_embeddings,
     "q52_status_cube": R.order_status_cube,
     "q53_approx_distinct": R.segment_distinct_customers,
@@ -84,18 +86,18 @@ QUERIES: dict[str, QueryFn] = {
     "q87_surrogate_keys": R.surrogate_keys,
     "q88_scene_segments": X3.scene_segments,
     "q89_cogroup_attribution": R.cogroup_attribution,
-    # -- prefix slots 44-50: most-recently-touched of q01-q50 ----------
-    # (q90-q93 took four slots, so only SEVEN of the round-5 eleven
-    # still fit; q34/q47/q49/q50 moved below — they keep their green
-    # rows in the r02-r05 archives like the rest of q01-q50)
+    # -- prefix slots 46-50: most-recently-touched of q01-q50 ----------
+    # (q90-q95 took six slots, so only FIVE of the round-5 eleven
+    # still fit; q25/q28/q34/q47/q49/q50 moved below — they keep their
+    # green rows in the r02-r05 archives like the rest of q01-q50)
     "q01_pricing_summary": R.pricing_summary,
     "q06_revenue_by_nation": R.revenue_by_nation,
     "q19_pages_explode": D.pages_explode,
     "q21_minhash_neardup": X1.minhash_neardup,
     "q24_topk_cosine": X2.topk_cosine,
+    # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
     "q25_embedding_neardup": X2.embedding_neardup,
     "q28_tfidf_top_terms": X4.tfidf_top_terms,
-    # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
     "q34_blocks_page_text": B.blocks_page_text,
     "q47_ivf_topk": X2.ivf_topk,
     "q49_promo_revenue": R.promo_revenue_share,
@@ -240,4 +242,6 @@ ORACLE: dict[str, str] = {
     "q91_unigram_surprisal": X4.UNIGRAM_SURPRISAL_SQL,
     "q92_dedup_keep_canonical": X1.DEDUP_KEEP_CANONICAL_SQL,
     "q93_semantic_dedup": X2.SEMANTIC_DEDUP_SQL,
+    "q94_quantity_price_stats": R.QUANTITY_PRICE_STATS_SQL,
+    "q95_calendar_resample": R.ORDER_CALENDAR_RESAMPLE_SQL,
 }

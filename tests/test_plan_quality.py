@@ -413,6 +413,30 @@ def test_q93_semantic_dedup_shares_q50_plan_family(spark, sf_dir):
     assert _keyed_exchanges(plan) <= 8
 
 
+def test_q94_stats_is_one_mapside_combined_aggregate(spark, sf_dir):
+    # five exact decimal moments + count in ONE hash aggregate with
+    # map-side partial combine: exactly one keyed exchange on the
+    # 3-value group key, statistics derived in a post-projection
+    plan = _plan(spark, sf_dir, "q94_quantity_price_stats")
+    assert _keyed_exchanges(plan) == 1
+    assert "SinglePartition" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema  # 3-column pruned scan
+    assert "l_quantity" in read_schema
+
+
+def test_q95_resample_broadcasts_calendar_grid(spark, sf_dir):
+    # the dense grid is |priorities| x |days| — dimension-sized, so the
+    # calendar rides a broadcast against the priority dimension and the
+    # only keyed shuffles are the daily pre-aggregate, the grid join
+    # key, and the per-priority fill window; order volume never crosses
+    # the grid product
+    plan = _plan(spark, sf_dir, "q95_calendar_resample")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds -> calendar
+    assert "Window" in plan
+    assert plan.count("Generate") >= 1  # sequence-exploded calendar
+
+
 def test_monotonic_id_bit_layout(spark):
     # q87's local_row derivation assumes Spark's documented
     # monotonically_increasing_id layout: (partition_id << 33) + row
