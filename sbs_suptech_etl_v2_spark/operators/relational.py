@@ -1948,3 +1948,296 @@ FROM grid g
 LEFT JOIN daily d
   ON d.o_orderpriority = g.o_orderpriority AND d.day = g.day
 """
+
+
+LATE_DAYS = 60  # q96: "late" = shipped > this many days after order date
+
+
+def only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS chain — SURVEY §2.4 decorrelated-
+    subquery coverage in TPC-H Q21 shape (reference analogue: the
+    multi-stage "which party alone blocked the pipeline" audit).
+
+    For each multi-supplier order, find the supplier that was the ONLY
+    late one (shipped > {LATE_DAYS} days after the order date), and
+    count such orders per supplier. The oracle states it the natural
+    way — EXISTS another supplier on the order, NOT EXISTS another
+    LATE supplier — while the Spark plan is the hand-decorrelated
+    form Catalyst itself would target: instead of two correlated
+    probes per candidate (each a join against the same fact), compute
+    per-(order, supplier) lateness ONCE, then derive both existential
+    facts from a single per-order window — ``n_supp > 1`` ⟺ the
+    EXISTS, ``n_late = 1`` (given the candidate is late) ⟺ the NOT
+    EXISTS. One fact-fact shuffle on the order key + one window over
+    the already-partitioned frame replaces two self-joins; the
+    supplier-name lookup is a broadcast. At 100 TB the fact never
+    shuffles twice and no candidate row is amplified.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_DAYS} DAYS"
+    )
+    # Partition the joined fact ONCE on the order key: HashPartitioning
+    # on a subset of the grouping keys satisfies the (l_orderkey,
+    # l_suppkey) aggregate AND the per-order window below, so the agg
+    # and the window both reuse this single exchange instead of each
+    # planning their own (verified by the plan guard).
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).over(w).alias("n_late"),
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+ONLY_LATE_SUPPLIER_SQL = f"""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+),
+allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE EXISTS (SELECT 1 FROM allsup a
+              WHERE a.l_orderkey = t.l_orderkey
+                AND a.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = t.l_orderkey
+                    AND l2.l_suppkey <> t.l_suppkey)
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+# q98: consecutive one-week activity snapshots (the events table spans
+# 2024-01; both windows sit fully inside it at every SF)
+SNAPSHOT_PREV = ("2024-01-08", "2024-01-15")
+SNAPSHOT_CURR = ("2024-01-15", "2024-01-22")
+
+
+def user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / SCD-style snapshot reconciliation — change-data classes
+    between two per-user activity states (reference analogue: the
+    metadata-table upsert diffing in K2, generalized to full
+    new/churned/changed/stable classification).
+
+    Build the per-user state (event count + exact decimal value total)
+    for two consecutive one-week windows, FULL OUTER join on the user
+    key, and classify each user: present only in the current window →
+    ``new``; only in the previous → ``churned``; both with identical
+    state → ``stable``; both otherwise → ``changed``. This is the
+    canonical incremental-pipeline primitive (what changed since the
+    last run?) — at 100 TB both snapshots are pre-aggregated before
+    the join, so the shuffle carries one row per user per side, not
+    raw events, and the join key is the natural partitioner for a
+    downstream MERGE. Value totals sum as DECIMAL(18,6) (exact,
+    order-independent) and surface as DOUBLE.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            ev.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    prev = snap(*SNAPSHOT_PREV).alias("p")
+    curr = snap(*SNAPSHOT_CURR).alias("c")
+    change = (
+        F.when(F.col("p.user_id").isNull(), F.lit("new"))
+        .when(F.col("c.user_id").isNull(), F.lit("churned"))
+        .when(
+            (F.col("p.n_events") == F.col("c.n_events"))
+            & (F.col("p.total_value") == F.col("c.total_value")),
+            F.lit("stable"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return prev.join(
+        curr, F.col("p.user_id") == F.col("c.user_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.col("p.n_events").alias("n_events_prev"),
+        F.col("p.total_value").alias("value_prev"),
+        F.col("c.n_events").alias("n_events_curr"),
+        F.col("c.total_value").alias("value_curr"),
+        change.alias("change_type"),
+    )
+
+
+USER_SNAPSHOT_DIFF_SQL = f"""
+WITH prev AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events
+  WHERE ts >= TIMESTAMP '{SNAPSHOT_PREV[0]}' AND ts < TIMESTAMP '{SNAPSHOT_PREV[1]}'
+  GROUP BY user_id
+),
+curr AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events
+  WHERE ts >= TIMESTAMP '{SNAPSHOT_CURR[0]}' AND ts < TIMESTAMP '{SNAPSHOT_CURR[1]}'
+  GROUP BY user_id
+)
+SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       p.n_events AS n_events_prev,
+       p.total_value AS value_prev,
+       c.n_events AS n_events_curr,
+       c.total_value AS value_curr,
+       CASE WHEN p.user_id IS NULL THEN 'new'
+            WHEN c.user_id IS NULL THEN 'churned'
+            WHEN p.n_events = c.n_events AND p.total_value = c.total_value
+              THEN 'stable'
+            ELSE 'changed' END AS change_type
+FROM prev p FULL OUTER JOIN curr c ON p.user_id = c.user_id
+"""
+
+
+def _epoch_micros(c) -> Column:
+    """Zone-free epoch MICROseconds of an NTZ timestamp.
+
+    Same field-arithmetic contract as ``_epoch_seconds`` (DuckDB's
+    ``epoch_us``), extended below the second: ``date_part('SECOND')``
+    yields DECIMAL(8,6) seconds including the fraction, so the
+    micro component is exact decimal arithmetic, never a float.
+    """
+    return (
+        F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("bigint")
+        * 86_400_000_000
+        + F.hour(c).cast("bigint") * 3_600_000_000
+        + F.minute(c).cast("bigint") * 60_000_000
+        + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("bigint")
+    )
+
+
+NEAREST_WINDOW_S = 14400  # q100: match radius (4 hours either side)
+
+
+def purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join — the |Δt|-minimizing sibling of q54's
+    backward as-of join (SURVEY §2.4 as-of/range family).
+
+    Every purchase pairs with the user's temporally CLOSEST click
+    within ±{NEAREST_WINDOW_S} s (before or after), ties broken toward
+    the earlier click then the lower event id. A backward-only scan
+    (q54) can't express this, and the naive per-user theta join is
+    quadratic; the scale form buckets time at the radius width and
+    probes {{b-1, b, b+1}} — every click within the radius shares a
+    bucket with the probe by construction, so candidate fan-out is
+    bounded by bucket population, and the argmin is one row_number
+    over (purchase, |Δt|). Δt is exact integer microseconds
+    (``_epoch_micros``), so the argmin and the oracle's agree bit-for-
+    bit — no float in the ordering key.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        _epoch_micros(F.col("ts")).alias("c_us"),
+        (_epoch_seconds(F.col("ts")) / NEAREST_WINDOW_S).cast("bigint").alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        _epoch_micros(F.col("ts")).alias("p_us"),
+        (_epoch_seconds(F.col("ts")) / NEAREST_WINDOW_S).cast("bigint").alias("p_bucket"),
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(F.col("p_bucket") - 1, F.col("p_bucket"), F.col("p_bucket") + 1)
+        ),
+    )
+    radius_us = NEAREST_WINDOW_S * 1_000_000
+    cand = probes.join(
+        clicks,
+        [
+            probes.p_user == clicks.c_user,
+            probes.bucket == clicks.bucket,
+            F.abs(clicks.c_us - probes.p_us) <= radius_us,
+        ],
+    ).select(
+        "purchase_event_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_event_id",
+        "click_ts",
+        F.abs(F.col("c_us") - F.col("p_us")).alias("abs_diff_us"),
+    )
+    # argmin as an aggregate, not a window: struct comparison is
+    # field-by-field, so min(struct(|Δt|, ts, id)) IS the tie-broken
+    # nearest candidate — and unlike row_number it combines map-side,
+    # shuffling one row per purchase instead of every candidate.
+    best = F.min(
+        F.struct("abs_diff_us", "click_ts", "click_event_id")
+    ).alias("best")
+    return (
+        cand.groupBy("purchase_event_id", "user_id", "purchase_ts")
+        .agg(best)
+        .select(
+            "purchase_event_id",
+            "user_id",
+            "purchase_ts",
+            F.col("best.click_event_id").alias("click_event_id"),
+            F.col("best.click_ts").alias("click_ts"),
+            F.col("best.abs_diff_us").alias("abs_diff_us"),
+        )
+    )
+
+
+PURCHASE_NEAREST_CLICK_SQL = f"""
+WITH cand AS (
+  SELECT p.event_id AS purchase_event_id,
+         p.user_id,
+         p.ts AS purchase_ts,
+         c.event_id AS click_event_id,
+         c.ts AS click_ts,
+         abs(epoch_us(c.ts) - epoch_us(p.ts)) AS abs_diff_us
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click'
+   AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {NEAREST_WINDOW_S * 1_000_000}
+  WHERE p.event_type = 'purchase'
+)
+SELECT purchase_event_id, user_id, purchase_ts,
+       click_event_id, click_ts, abs_diff_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY purchase_event_id
+           ORDER BY abs_diff_us, click_ts, click_event_id) AS rn
+  FROM cand
+)
+WHERE rn = 1
+"""

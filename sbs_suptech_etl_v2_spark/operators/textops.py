@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sbs_suptech_etl_v2_spark.checkpointing import materialize
 from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.operators.dedup import (
     _ORACLE_SHINGLE_HASHES,
@@ -493,4 +494,118 @@ SELECT doc_id,
        CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS nats_per_token
 FROM contrib
 GROUP BY doc_id
+"""
+
+
+# -- q99 bigram PMI collocations ------------------------------------------
+PMI_MIN_COUNT = 5  # ignore bigrams rarer than this (PMI is noise there)
+PMI_TOP = 20
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] collocation mining — top-{PMI_TOP} adjacent-token bigrams
+    by pointwise mutual information, the corpus statistic behind
+    tokenizer-vocabulary merges (BPE picks the argmax of exactly this
+    family of association scores) and stop-phrase detection.
+
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with bigram probability
+    over adjacent pairs and unigram probabilities over all tokens. The
+    plan: one pass builds bigrams per row (an indexed ``transform``
+    over the token array — no self-join of positions), a second
+    explodes unigrams; both aggregate on token keys (vocabulary-sized
+    shuffles, map-side combined). The unigram table and the two 1-row
+    totals broadcast back onto the bigram aggregate, so the corpus is
+    read once and nothing fact-sized shuffles twice. The PMI argument
+    is assembled as three exact-integer divisions (never an integer
+    product that could overflow at corpus scale) and the output score
+    is rounded to 6 decimals on both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(_words(F.col("text")).alias("ws"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (x, i) -> struct(x AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    # the unigram table feeds FOUR consumers (c1 lookup, c2 lookup,
+    # token total, and — arithmetically — the bigram total); without a
+    # lineage cut each consumer re-tokenizes the whole corpus. The
+    # table is vocabulary-sized, so materializing it is cheap at any
+    # corpus scale and leaves exactly two corpus passes (bigrams +
+    # unigrams) plus a count-star.
+    uni = materialize(
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    # per doc, #bigrams = #tokens - 1 (split never yields an empty
+    # array), so the bigram total is the token total minus the doc
+    # count — no third pass over exploded rows
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = (
+        uni.agg(F.sum("c").alias("n_tokens"))
+        .crossJoin(n_docs)
+        .select("n_tokens", (F.col("n_tokens") - F.col("n_docs")).alias("n_bigrams"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("n_bigrams"))
+            / ((F.col("c1") / F.col("n_tokens")) * (F.col("c2") / F.col("n_tokens")))
+        ),
+        6,
+    )
+    return (
+        joined.select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT str_split(text, ' ') AS ws FROM documents
+),
+bigrams AS (
+  SELECT b['w1'] AS w1, b['w2'] AS w2
+  FROM (SELECT unnest(list_transform(ws[:len(ws) - 1],
+                 (x, i) -> struct_pack(w1 := x, w2 := ws[i + 1]))) AS b
+        FROM toks)
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bigrams GROUP BY w1, w2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS n_tokens,
+         (SELECT COUNT(*) FROM bigrams) AS n_bigrams
+)
+SELECT bg.w1, bg.w2, bg.c12, u1.c AS c1, u2.c AS c2,
+       round(ln((bg.c12 / t.n_bigrams)
+                / ((u1.c / t.n_tokens) * (u2.c / t.n_tokens))), 6) AS pmi
+FROM bg
+JOIN uni u1 ON u1.w = bg.w1
+JOIN uni u2 ON u2.w = bg.w2
+CROSS JOIN tot t
+ORDER BY pmi DESC, bg.w1, bg.w2
+LIMIT {PMI_TOP}
 """

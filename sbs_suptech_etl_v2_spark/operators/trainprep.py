@@ -557,3 +557,52 @@ SELECT lang, source,
 FROM flagged
 GROUP BY lang, source
 """
+
+
+# -- q97 weighted reservoir sample ----------------------------------------
+SAMPLE_K = 10  # docs kept per language
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-Res, Efraimidis &
+    Spirakis 2006) — the length-weighted cousin of q64's Bernoulli
+    sampler: pick the top {SAMPLE_K} documents per language with
+    inclusion probability proportional to document length.
+
+    A-Res draws u ~ Uniform(0,1) per item and keeps the k largest
+    u^(1/w); ranking by ln(u)/w is monotone-equivalent and avoids the
+    pow. The uniform is the portable md5-derived 32-bit hash (shared
+    with q64), so the sample is deterministic, partition-independent,
+    and reproducible on both engines — a re-run of the pipeline (or a
+    backfill on different hardware) selects byte-identical training
+    subsets. One row_number window per language; no shuffle beyond the
+    lang partition, no float in the OUTPUT (the ln key stays internal;
+    a rank flip would need two keys within one double ulp).
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = (_hash32(F.col("doc_id").cast("string")) + 1) / F.lit(4294967297.0)
+    key = F.log(u) / F.col("n_chars")
+    w = W.partitionBy("lang").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
+_SQL_U = f"({_SQL_HASH32.format(x='CAST(doc_id AS VARCHAR)')} + 1) / 4294967297.0"
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars, ln({_SQL_U}) / n_chars AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sample_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, rk FROM ranked WHERE rk <= {SAMPLE_K}
+"""

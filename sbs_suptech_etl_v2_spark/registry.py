@@ -41,6 +41,11 @@ QUERIES: dict[str, QueryFn] = {
     # Round-6 additions (q90/q91) lead the prefix — new queries go
     # FIRST so their initial driver verdict lands the same round.
     # ------------------------------------------------------------------
+    "q96_only_late_supplier": R.only_late_supplier,
+    "q97_weighted_sample": X5.weighted_sample,
+    "q98_user_snapshot_diff": R.user_snapshot_diff,
+    "q99_bigram_pmi": X4.bigram_pmi,
+    "q100_purchase_nearest_click": R.purchase_nearest_click,
     "q90_ann_recall_audit": X2.ann_recall_audit,
     "q91_unigram_surprisal": X4.unigram_surprisal,
     "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
@@ -86,16 +91,14 @@ QUERIES: dict[str, QueryFn] = {
     "q87_surrogate_keys": R.surrogate_keys,
     "q88_scene_segments": X3.scene_segments,
     "q89_cogroup_attribution": R.cogroup_attribution,
-    # -- prefix slots 46-50: most-recently-touched of q01-q50 ----------
-    # (q90-q95 took six slots, so only FIVE of the round-5 eleven
-    # still fit; q25/q28/q34/q47/q49/q50 moved below — they keep their
-    # green rows in the r02-r05 archives like the rest of q01-q50)
+    # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
+    # (round-6 additions q96-q100 took the last five window slots, so
+    # q01/q06/q19/q21/q24 rejoin the archived-green block below)
     "q01_pricing_summary": R.pricing_summary,
     "q06_revenue_by_nation": R.revenue_by_nation,
     "q19_pages_explode": D.pages_explode,
     "q21_minhash_neardup": X1.minhash_neardup,
     "q24_topk_cosine": X2.topk_cosine,
-    # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
     "q25_embedding_neardup": X2.embedding_neardup,
     "q28_tfidf_top_terms": X4.tfidf_top_terms,
     "q34_blocks_page_text": B.blocks_page_text,
@@ -244,4 +247,9 @@ ORACLE: dict[str, str] = {
     "q93_semantic_dedup": X2.SEMANTIC_DEDUP_SQL,
     "q94_quantity_price_stats": R.QUANTITY_PRICE_STATS_SQL,
     "q95_calendar_resample": R.ORDER_CALENDAR_RESAMPLE_SQL,
+    "q96_only_late_supplier": R.ONLY_LATE_SUPPLIER_SQL,
+    "q97_weighted_sample": X5.WEIGHTED_SAMPLE_SQL,
+    "q98_user_snapshot_diff": R.USER_SNAPSHOT_DIFF_SQL,
+    "q99_bigram_pmi": X4.BIGRAM_PMI_SQL,
+    "q100_purchase_nearest_click": R.PURCHASE_NEAREST_CLICK_SQL,
 }

@@ -459,3 +459,37 @@ def test_monotonic_id_bit_layout(spark):
     ).collect()
     for r in rows:
         assert r.lo == 0 and r.hi == r.n - 1, r
+
+
+def test_q96_one_fact_partitioning_serves_agg_and_window(spark, sf_dir):
+    # the repartition(l_orderkey) exchange must satisfy the
+    # (l_orderkey, l_suppkey) aggregate AND the per-order window
+    # (subset-of-grouping-keys rule) — a plan where either re-shuffles
+    # the fact has silently regressed. Keyed exchanges: the fact
+    # partitioning + the final per-supplier aggregate only.
+    plan = _plan(spark, sf_dir, "q96_only_late_supplier")
+    assert _keyed_exchanges(plan) <= 2
+    assert "BroadcastHashJoin" in plan  # supplier-name lookup
+
+
+def test_q99_corpus_scanned_twice_not_per_consumer(spark, sf_dir):
+    # the unigram table feeds four consumers; without its lineage cut
+    # each re-tokenizes the corpus (observed: 5 parquet scans). Two
+    # scans = one bigram pass + one unigram pass (the doc count rides
+    # the bigram-side scan stats, not an exploded pass).
+    plan = _plan(spark, sf_dir, "q99_bigram_pmi")
+    scans = [
+        l
+        for l in plan.splitlines()
+        if l.lstrip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) <= 2
+
+
+def test_q100_argmin_is_aggregate_not_window(spark, sf_dir):
+    # nearest-click argmin must be min(struct(...)) — map-side
+    # combinable, one row per purchase over the wire — not a
+    # row_number window over every candidate
+    plan = _plan(spark, sf_dir, "q100_purchase_nearest_click")
+    assert "Window" not in plan
+    assert "partial_min" in plan
