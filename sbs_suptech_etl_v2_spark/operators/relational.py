@@ -2241,3 +2241,303 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis — stage-by-stage user conversion with
+    strict event ordering (view → click after the view → purchase
+    after that click).
+
+    An unordered pivot of per-type minimum timestamps gets this WRONG
+    (a click before the first view must not count); the exact form
+    chains per-user stage states: each stage is the MIN event time of
+    its type that is strictly after the previous stage's time. Each
+    stage frame is pre-aggregated to one row per user before the next
+    join, so the shuffles carry user-level states, never raw events,
+    and the final counts are three 1-row aggregates unioned with
+    exact-integer conversion ratios.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    counts = (
+        stage(views, 1, "view")
+        .unionAll(stage(clicks, 2, "click_after_view"))
+        .unionAll(stage(purchases, 3, "purchase_after_click"))
+    )
+    return counts.select(
+        "stage",
+        "stage_name",
+        "n_users",
+        (F.col("n_users") / F.lag("n_users", 1).over(W.orderBy("stage"))).alias(
+            "conv_from_prev"
+        ),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN views v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN clicks c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+         CAST(COUNT(*) AS BIGINT) AS n_users FROM views
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click_after_view',
+         CAST(COUNT(*) AS BIGINT) FROM clicks
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase_after_click',
+         CAST(COUNT(*) AS BIGINT) FROM purchases
+)
+SELECT stage, stage_name, n_users,
+       n_users / lag(n_users, 1) OVER (ORDER BY stage) AS conv_from_prev
+FROM counts
+"""
+
+
+def revenue_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION — the value-estimating sibling
+    of q95's last-known carry-forward resample.
+
+    Same dense (priority × day) grid; a missing day's revenue is the
+    linear blend of the nearest known revenues on either side,
+    weighted by day distance. Edge policy: before the first known
+    point carry the next known value back, after the last carry
+    forward. Two windows per partition (trailing last-known and
+    leading first-known for both value and day) over the
+    broadcast-joined grid — order volume never crosses the grid
+    product, and the blend is pure double arithmetic over exact
+    decimal-sum inputs and integer day distances (bit-identical on
+    both engines).
+    """
+    o = table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    daily = o.groupBy(F.col("o_orderpriority"), day.alias("day")).agg(
+        F.sum(_dec(F.col("o_totalprice"), 4)).cast("double").alias("revenue")
+    )
+    calendar = o.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    grid = o.select("o_orderpriority").distinct().crossJoin(F.broadcast(calendar))
+    base = grid.join(daily, ["o_orderpriority", "day"], "left")
+    wb = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    known_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    prev_v = F.last("revenue", ignorenulls=True).over(wb)
+    prev_d = F.last(known_day, ignorenulls=True).over(wb)
+    next_v = F.first("revenue", ignorenulls=True).over(wf)
+    next_d = F.first(known_day, ignorenulls=True).over(wf)
+    span = F.datediff(next_d, prev_d).cast("double")
+    frac = F.datediff(F.col("day"), prev_d).cast("double") / span
+    interp = (
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(span == 0, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return base.select(
+        "o_orderpriority",
+        "day",
+        F.col("revenue").alias("revenue_known"),
+        interp.alias("revenue_interp"),
+    )
+
+
+REVENUE_INTERPOLATION_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+calendar AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+grid AS (
+  SELECT p.o_orderpriority, c.day
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p, calendar c
+),
+filled AS (
+  SELECT g.o_orderpriority, g.day, d.revenue,
+         last_value(d.revenue IGNORE NULLS) OVER (
+           PARTITION BY g.o_orderpriority ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN d.revenue IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER (PARTITION BY g.o_orderpriority ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         first_value(d.revenue IGNORE NULLS) OVER (
+           PARTITION BY g.o_orderpriority ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN d.revenue IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER (PARTITION BY g.o_orderpriority ORDER BY g.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM grid g
+  LEFT JOIN daily d
+    ON d.o_orderpriority = g.o_orderpriority AND d.day = g.day
+)
+SELECT o_orderpriority, day,
+       revenue AS revenue_known,
+       CASE WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            WHEN date_diff('day', prev_d, next_d) = 0 THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                    / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+       END AS revenue_interp
+FROM filled
+"""
+
+
+ZSCORE_TRAIL_DAYS = 7  # q105: trailing window width (days, current excluded)
+ZSCORE_MIN_N = 3  # need this many trailing observations to score
+ZSCORE_FLAG = 2.0  # |z| above this flags an anomaly
+
+
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scoring — each user-day's total value
+    z-scored against that user's previous {ZSCORE_TRAIL_DAYS} days
+    (current day excluded, ≥ {ZSCORE_MIN_N} observations required).
+
+    The q94 exact-moment discipline applied to a RANGE window: the
+    trailing Σx and Σx² accumulate as decimals over the window (exact
+    at any partition layout), and mean/variance/z derive from the
+    exact moments in scalar double arithmetic — bit-identical across
+    engines. The RANGE frame is over an integer day index, so day
+    gaps are respected (a ROWS frame would silently stretch across
+    inactive weeks). One shuffle on user_id; daily totals are
+    pre-aggregated before the window so the frame holds days, not
+    events.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(_dec(F.col("value"))).cast("double").alias("day_total"))
+    daynum = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(daynum)
+        .rangeBetween(-ZSCORE_TRAIL_DAYS, -1)
+    )
+    x = F.col("day_total")
+    scored = daily.select(
+        "user_id",
+        "day",
+        "day_total",
+        F.count(x).over(w).cast("bigint").alias("n_trail"),
+        F.sum(_dec(x)).over(w).alias("_s1"),
+        F.sum(_dec(x * x, 4)).over(w).alias("_s2"),
+    )
+    n = F.col("n_trail").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (x - mean) / std)
+    return (
+        scored.filter(F.col("n_trail") >= ZSCORE_MIN_N)
+        .select(
+            "user_id",
+            "day",
+            "day_total",
+            "n_trail",
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) > ZSCORE_FLAG, F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+ZSCORE_ANOMALIES_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_total
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT user_id, day, day_total,
+         CAST(COUNT(day_total) OVER w AS BIGINT) AS n_trail,
+         SUM(CAST(day_total AS DECIMAL(18,6))) OVER w AS s1,
+         SUM(CAST(day_total * day_total AS DECIMAL(18,4))) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY date_diff('day', DATE '1970-01-01', day)
+               RANGE BETWEEN {ZSCORE_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, day, day_total, n_trail,
+       round(CASE WHEN sqrt(greatest(
+                    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n_trail AS DOUBLE)) / (CAST(n_trail AS DOUBLE) - 1),
+                    0.0)) > 0
+             THEN (day_total - CAST(s1 AS DOUBLE) / CAST(n_trail AS DOUBLE))
+                  / sqrt(greatest(
+                      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n_trail AS DOUBLE)) / (CAST(n_trail AS DOUBLE) - 1),
+                      0.0))
+             END, 6) AS z,
+       COALESCE(abs(CASE WHEN sqrt(greatest(
+                    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n_trail AS DOUBLE)) / (CAST(n_trail AS DOUBLE) - 1),
+                    0.0)) > 0
+             THEN (day_total - CAST(s1 AS DOUBLE) / CAST(n_trail AS DOUBLE))
+                  / sqrt(greatest(
+                      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n_trail AS DOUBLE)) / (CAST(n_trail AS DOUBLE) - 1),
+                      0.0))
+             END) > {ZSCORE_FLAG}, FALSE) AS is_anomaly
+FROM scored
+WHERE n_trail >= {ZSCORE_MIN_N}
+"""

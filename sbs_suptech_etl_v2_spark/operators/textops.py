@@ -609,3 +609,49 @@ CROSS JOIN tot t
 ORDER BY pmi DESC, bg.w1, bg.w2
 LIMIT {PMI_TOP}
 """
+
+
+# -- q102 inverted index -----------------------------------------------------
+POSTING_MIN_DF = 3  # index only tokens appearing in >= this many docs
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] inverted-index build — token → ordered posting list,
+    the retrieval-side artifact every search/RAG stack derives from a
+    corpus (and the lookup structure behind q61's contamination scan).
+
+    One explode + one distinct-ish aggregate on the token key: postings
+    are the SORTED distinct doc ids per token, serialized as a joined
+    string (the engine's ordered string-concat idiom, G4), with term
+    and document frequencies alongside. The shuffle key is the
+    vocabulary; map-side partial aggregation collapses per-partition
+    duplicates before the wire. Tokens below df {POSTING_MIN_DF} are
+    dropped AFTER the aggregate (the df isn't known earlier), exactly
+    as the oracle's HAVING.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("term_freq"),
+        F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.array_distinct(F.collect_list("doc_id"))),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return agg.filter(F.col("doc_freq") >= POSTING_MIN_DF)
+
+
+INVERTED_INDEX_SQL = f"""
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+                                      d -> CAST(d AS VARCHAR)), ',') AS postings
+FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+HAVING COUNT(DISTINCT doc_id) >= {POSTING_MIN_DF}
+"""

@@ -606,3 +606,60 @@ ranked AS (
 )
 SELECT lang, doc_id, n_chars, rk FROM ranked WHERE rk <= {SAMPLE_K}
 """
+
+
+# -- q101 retrieval chunking ------------------------------------------------
+CHUNK_TOKENS = 16  # window width (tokens)
+CHUNK_STRIDE = 12  # window stride (tokens) — 4-token overlap
+
+
+def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval/packing
+    primitive that turns documents into fixed-width, stride-overlapped
+    token windows (RAG index build, long-context training shards).
+
+    Contract: chunks start at token offsets 0, {CHUNK_STRIDE},
+    2·{CHUNK_STRIDE}, … while the offset is inside the document; each
+    chunk takes {CHUNK_TOKENS} tokens (the tail chunk may be shorter).
+    The plan is one ``sequence``-explode per row — map-side only, no
+    shuffle at any corpus size, and the emitted chunk carries a
+    portable content hash so a downstream chunk-dedup (q79) or ANN
+    index build can key on it without re-reading the text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+        "ws",
+    ).select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("start") + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+        F.least(F.size("ws") - F.col("start"), F.lit(CHUNK_TOKENS))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )
+    return chunks.withColumn("chunk_hash", _hash32(F.col("chunk_text")))
+
+
+RAG_CHUNKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(g.start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       g.start,
+       array_to_string(ws[g.start + 1 : g.start + {CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       CAST(least(len(ws) - g.start, {CHUNK_TOKENS}) AS BIGINT)
+         AS chunk_tokens,
+       {_SQL_HASH32.format(x=f"array_to_string(ws[g.start + 1 : g.start + {CHUNK_TOKENS}], ' ')")}
+         AS chunk_hash
+FROM toks, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS g(start)
+"""

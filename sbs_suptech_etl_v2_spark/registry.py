@@ -91,9 +91,19 @@ QUERIES: dict[str, QueryFn] = {
     "q87_surrogate_keys": R.surrogate_keys,
     "q88_scene_segments": X3.scene_segments,
     "q89_cogroup_attribution": R.cogroup_attribution,
-    # -- beyond the 50-entry prefix: verified green in r02-r05 ---------
+    # -- beyond the 50-entry prefix ------------------------------------
+    # q101-q105 land OUTSIDE this round's window (its 50 slots are
+    # spoken for by the never-verified backlog) — they hold the head
+    # of the round-7 rotation; until then the local parity gate and
+    # CORRECTNESS_local.json carry their verdicts.
+    "q101_rag_chunking": X5.rag_chunking,
+    "q102_inverted_index": X4.inverted_index,
+    "q103_funnel_conversion": R.funnel_conversion,
+    "q104_revenue_interpolation": R.revenue_interpolation,
+    "q105_zscore_anomalies": R.zscore_anomalies,
     # (round-6 additions q96-q100 took the last five window slots, so
-    # q01/q06/q19/q21/q24 rejoin the archived-green block below)
+    # q01/q06/q19/q21/q24 rejoin the archived-green block below;
+    # q01-q50 keep their green rows in the r02-r05 archives)
     "q01_pricing_summary": R.pricing_summary,
     "q06_revenue_by_nation": R.revenue_by_nation,
     "q19_pages_explode": D.pages_explode,
@@ -252,4 +262,9 @@ ORACLE: dict[str, str] = {
     "q98_user_snapshot_diff": R.USER_SNAPSHOT_DIFF_SQL,
     "q99_bigram_pmi": X4.BIGRAM_PMI_SQL,
     "q100_purchase_nearest_click": R.PURCHASE_NEAREST_CLICK_SQL,
+    "q101_rag_chunking": X5.RAG_CHUNKING_SQL,
+    "q102_inverted_index": X4.INVERTED_INDEX_SQL,
+    "q103_funnel_conversion": R.FUNNEL_CONVERSION_SQL,
+    "q104_revenue_interpolation": R.REVENUE_INTERPOLATION_SQL,
+    "q105_zscore_anomalies": R.ZSCORE_ANOMALIES_SQL,
 }
