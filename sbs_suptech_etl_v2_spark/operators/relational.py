@@ -2461,9 +2461,14 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.
     """
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(F.sum(_dec(F.col("value"))).cast("double").alias("day_total"))
+    # partition on user_id alone (subset of the grouping keys): the
+    # same exchange then satisfies the per-user window below — one
+    # shuffle total, as in q96
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(_dec(F.col("value"))).cast("double").alias("day_total"))
+    )
     daynum = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     w = (
         W.partitionBy("user_id")

@@ -631,18 +631,21 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    # doc_freq derives from the distinct posting array instead of a
+    # COUNT(DISTINCT ...) — a distinct aggregate would plan a second
+    # two-phase exchange; this keeps the whole build at ONE shuffle
     agg = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("term_freq"),
-        F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.array_distinct(F.collect_list("doc_id"))),
-                lambda d: d.cast("string"),
-            ),
-            ",",
-        ).alias("postings"),
+        F.array_sort(F.array_distinct(F.collect_list("doc_id"))).alias("_docs"),
     )
-    return agg.filter(F.col("doc_freq") >= POSTING_MIN_DF)
+    return agg.select(
+        "token",
+        "term_freq",
+        F.size("_docs").cast("bigint").alias("doc_freq"),
+        F.array_join(
+            F.transform(F.col("_docs"), lambda d: d.cast("string")), ","
+        ).alias("postings"),
+    ).filter(F.col("doc_freq") >= POSTING_MIN_DF)
 
 
 INVERTED_INDEX_SQL = f"""

@@ -31,6 +31,11 @@ QUERIES_UNDER_TEST = [
     "q91_unigram_surprisal",
     "q90_ann_recall_audit",
     "q92_dedup_keep_canonical",
+    # round 6 batch 2: hash-keyed weighted sampling (rank boundary must
+    # not move with layout), chunk hashes, and window decimal moments
+    "q97_weighted_sample",
+    "q101_rag_chunking",
+    "q105_zscore_anomalies",
 ]
 
 

@@ -493,3 +493,24 @@ def test_q100_argmin_is_aggregate_not_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q100_purchase_nearest_click")
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_q101_chunking_is_map_only(spark, sf_dir):
+    # sequence-explode chunking must never shuffle — one scan, zero
+    # keyed exchanges at any corpus size
+    plan = _plan(spark, sf_dir, "q101_rag_chunking")
+    assert _keyed_exchanges(plan) == 0
+
+
+def test_q102_index_builds_in_one_shuffle(spark, sf_dir):
+    # doc_freq derives from the distinct posting array; a
+    # COUNT(DISTINCT) sibling would plan a second two-phase exchange
+    plan = _plan(spark, sf_dir, "q102_inverted_index")
+    assert _keyed_exchanges(plan) == 1
+
+
+def test_q105_user_partitioning_serves_agg_and_window(spark, sf_dir):
+    # repartition(user_id) satisfies the (user, day) aggregate AND the
+    # per-user RANGE window — one keyed exchange total
+    plan = _plan(spark, sf_dir, "q105_zscore_anomalies")
+    assert _keyed_exchanges(plan) == 1
