@@ -105,8 +105,12 @@ def main() -> int:
             entry["err"] = f"{type(ex).__name__}: {ex}"[:300]
         out[name] = entry
 
+    # non-default SFs get an sf-suffixed artifact so a 10x-scale audit
+    # never clobbers the driver-scale one
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    suffix = "" if sf_tag == "sf0.01" else f"_{sf_tag}"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "CORRECTNESS_local.json")
+                        f"CORRECTNESS_local{suffix}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
     n_ok = sum(1 for e in out.values() if e["hash_match"])

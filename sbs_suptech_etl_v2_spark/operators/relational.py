@@ -2546,3 +2546,193 @@ SELECT user_id, day, day_total, n_trail,
 FROM scored
 WHERE n_trail >= {ZSCORE_MIN_N}
 """
+
+
+IDLE_PRIORITY = "1-URGENT"  # q106: the order class the NOT EXISTS probes
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery + anti join in TPC-H Q22 shape —
+    customers whose balance beats the positive-balance average but who
+    never placed an {IDLE_PRIORITY} order, rolled up per nation.
+    (Every customer in the corpus has SOME order, so the classic
+    "never ordered" predicate is vacuous here; probing one order class
+    keeps the result non-empty while preserving Q22's plan shape.)
+
+    The oracle keeps the natural correlated form (a scalar AVG
+    subquery in the WHERE plus NOT EXISTS); the Spark plan is the
+    decorrelation Catalyst targets: the global average collapses to a
+    1-row broadcast (exact decimal sum / exact count, divided once in
+    double), the NOT EXISTS is a left-anti join on the customer key
+    with the priority filter PUSHED INTO the probe-side scan, and the
+    rollup aggregates exact decimal balances. At scale the only fact
+    shuffle is the anti join's; the scalar leg is one map-side-
+    combined aggregate.
+    """
+    cust = table(spark, sf_dir, "customer")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == IDLE_PRIORITY)
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1)))
+            .alias("avg_bal")
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '{IDLE_PRIORITY}')
+GROUP BY c_nationkey
+"""
+
+
+# q109 activity levels: daily event count -> categorical state
+ACTIVITY_HIGH = 5
+ACTIVITY_MED = 2
+
+
+def activity_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build — compress each user's daily activity level
+    into validity intervals (gaps-and-islands), the slowly-changing-
+    dimension primitive behind every warehouse's *_history table.
+
+    Daily event counts bucket into {low, med, high} states; a state
+    change starts a new island (lag comparison -> running change
+    count), and each island collapses to one row with its valid_from /
+    valid_to bounds. Intervals cover OBSERVED days (a day with no
+    events does not extend the previous interval). Everything is
+    integer/date arithmetic — exact on both engines — and the whole
+    query rides ONE user-keyed exchange: hashpartitioning(user_id)
+    satisfies the daily aggregate, the lag/running windows, and the
+    final island rollup (subset-of-keys rule, as q96/q105).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    level = (
+        F.when(F.col("n_events") >= ACTIVITY_HIGH, F.lit("high"))
+        .when(F.col("n_events") >= ACTIVITY_MED, F.lit("med"))
+        .otherwise(F.lit("low"))
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    leveled = daily.select("user_id", "day", "n_events", level.alias("level"))
+    changed = F.when(
+        F.lag("level", 1).over(w).isNull()
+        | (F.lag("level", 1).over(w) != F.col("level")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = leveled.select(
+        "user_id",
+        "day",
+        "n_events",
+        "level",
+        F.sum(changed).over(wrun).cast("bigint").alias("island"),
+    )
+    return islands.groupBy("user_id", "island", "level").agg(
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+        F.count(F.lit(1)).cast("bigint").alias("days_observed"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )
+
+
+ACTIVITY_HISTORY_SCD2_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+leveled AS (
+  SELECT user_id, day, n_events,
+         CASE WHEN n_events >= {ACTIVITY_HIGH} THEN 'high'
+              WHEN n_events >= {ACTIVITY_MED} THEN 'med'
+              ELSE 'low' END AS level
+  FROM daily
+),
+islands AS (
+  SELECT user_id, day, n_events, level,
+         CAST(SUM(CASE WHEN prev_level IS NULL OR prev_level <> level
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM (SELECT *, lag(level, 1) OVER (PARTITION BY user_id ORDER BY day)
+                    AS prev_level
+        FROM leveled)
+)
+SELECT user_id, island, level,
+       MIN(day) AS valid_from,
+       MAX(day) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS days_observed,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM islands
+GROUP BY user_id, island, level
+"""
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the profile a pipeline runs
+    BEFORE a big join to decide between plain hash join, salting
+    (`functions/skew.py`), and AQE skew splitting.
+
+    Per-key row counts bucket by floor(log2): each output row says
+    "2^b..2^(b+1) rows per key: this many keys, this many total rows".
+    floor(log2) via binary-string length, NOT floating ln(x)/ln(2)
+    (whose last-ulp error misclassifies exact powers of two). Two
+    aggregates: the key rollup (the profile's only fact-sized shuffle
+    — map-side combined) and the log2-bucket rollup (tiny).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bucket = (F.length(F.bin(F.col("c"))) - 1).cast("bigint")
+    return (
+        per_key.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.min("c").cast("bigint").alias("min_rows_per_key"),
+            F.max("c").cast("bigint").alias("max_rows_per_key"),
+        )
+    )
+
+
+JOIN_KEY_SKEW_PROFILE_SQL = """
+WITH per_key AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(length(format('{:b}', c)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MIN(c) AS BIGINT) AS min_rows_per_key,
+       CAST(MAX(c) AS BIGINT) AS max_rows_per_key
+FROM per_key
+GROUP BY 1
+"""

@@ -1068,3 +1068,115 @@ WHERE s.cluster_size > 1
 
 
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+# -- q107 matryoshka truncation audit ---------------------------------------
+MATRYOSHKA_DIMS = 16  # prefix width under audit (full vectors are 64-d)
+
+
+def matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-2] Matryoshka prefix-dimension audit — overlap@k between
+    full-dimension and prefix-truncated brute-force neighbours, per
+    query (Kusupati et al. 2022: MRL embeddings are served truncated;
+    this measures what the truncation costs BEFORE committing the
+    smaller index).
+
+    Same fixed-query-sample discipline as the q90 recall audit (the
+    brute-force legs stay constant-cost at any corpus size). The
+    truncated leg slices the FIRST {MATRYOSHKA_DIMS} dims and
+    re-normalizes in the truncated space — that is what a served
+    truncated index does; normalizing before slicing would understate
+    the drift. Both unit frames materialize once and feed their leg's
+    query broadcast and candidate side.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
+    unit_full = materialize(_unit(base))
+    trunc = base.select(
+        "vec_id", F.slice(F.col("v"), 1, MATRYOSHKA_DIMS).alias("v")
+    )
+    unit_trunc = materialize(_unit(trunc))
+    sample = (F.col("vec_id") % QUERY_STRIDE == 0) & (
+        F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+
+    def topk(unit: DataFrame) -> DataFrame:
+        queries = unit.filter(sample).select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("uq")
+        )
+        return (
+            unit.select(F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"))
+            .crossJoin(F.broadcast(queries))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    full = topk(unit_full)
+    truncated = topk(unit_trunc).withColumn("hit", F.lit(1))
+    return (
+        full.join(truncated, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_common"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("overlap"),
+        )
+    )
+
+
+MATRYOSHKA_AUDIT_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit_full AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
+  FROM vecs
+),
+tvecs AS (
+  SELECT vec_id, v[1:{MATRYOSHKA_DIMS}] AS v FROM vecs
+),
+unit_trunc AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
+  FROM tvecs
+),
+f AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.u', 'c.u')} DESC, c.vec_id) AS rank
+    FROM unit_full q JOIN unit_full c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_STRIDE} = 0
+      AND q.vec_id < {QUERY_STRIDE * MAX_BF_QUERIES}
+  ) WHERE rank <= {ANN_TOP_K}
+),
+t AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.u', 'c.u')} DESC, c.vec_id) AS rank
+    FROM unit_trunc q JOIN unit_trunc c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_STRIDE} = 0
+      AND q.vec_id < {QUERY_STRIDE * MAX_BF_QUERIES}
+  ) WHERE rank <= {ANN_TOP_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS overlap
+FROM f
+LEFT JOIN t ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+GROUP BY f.query_id
+"""

@@ -658,3 +658,77 @@ FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
 GROUP BY token
 HAVING COUNT(DISTINCT doc_id) >= {POSTING_MIN_DF}
 """
+
+
+# -- q108 nucleus vocabulary --------------------------------------------------
+NUCLEUS_NUM = 9  # keep tokens until cumulative mass reaches NUM/DEN
+NUCLEUS_DEN = 10
+
+
+def nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] nucleus (top-p) vocabulary per language — the smallest
+    frequency-ranked token set covering ≥ {NUCLEUS_NUM}/{NUCLEUS_DEN}
+    of each language's token mass (the corpus-side computation behind
+    top-p sampling cutoffs and frequency-pruned tokenizer vocabs).
+
+    One vocabulary-keyed aggregate, then per-language ranking and a
+    running-count window. The nucleus membership test is EXACT integer
+    arithmetic — ``(cum - c) · DEN < NUM · total`` (a token enters if
+    mass before it is under the cutoff) — no floating cumulative
+    shares near the boundary on either engine; the emitted share
+    columns are ratios of exact integers. Both windows and the
+    aggregate share the language partitioning.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(_words(F.col("text"))).alias("token"))
+    cnt = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wlang = W.partitionBy("lang")
+    word = W.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    wrun = word.rowsBetween(W.unboundedPreceding, 0)
+    scored = cnt.select(
+        "lang",
+        "token",
+        "c",
+        F.sum("c").over(wlang).cast("bigint").alias("total"),
+        F.row_number().over(word).cast("bigint").alias("rank"),
+        F.sum("c").over(wrun).cast("bigint").alias("cum"),
+    )
+    nucleus = scored.filter(
+        (F.col("cum") - F.col("c")) * NUCLEUS_DEN < NUCLEUS_NUM * F.col("total")
+    )
+    return nucleus.select(
+        "lang",
+        "token",
+        "c",
+        "rank",
+        "cum",
+        "total",
+        (F.col("c").cast("double") / F.col("total")).alias("share"),
+        (F.col("cum").cast("double") / F.col("total")).alias("cum_share"),
+    )
+
+
+NUCLEUS_VOCAB_SQL = f"""
+WITH cnt AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+),
+scored AS (
+  SELECT lang, token, c,
+         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS total,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, token)
+              AS BIGINT) AS rank,
+         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, token
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM cnt
+)
+SELECT lang, token, c, rank, cum, total,
+       CAST(c AS DOUBLE) / total AS share,
+       CAST(cum AS DOUBLE) / total AS cum_share
+FROM scored
+WHERE (cum - c) * {NUCLEUS_DEN} < {NUCLEUS_NUM} * total
+"""

@@ -101,6 +101,11 @@ QUERIES: dict[str, QueryFn] = {
     "q103_funnel_conversion": R.funnel_conversion,
     "q104_revenue_interpolation": R.revenue_interpolation,
     "q105_zscore_anomalies": R.zscore_anomalies,
+    "q106_idle_rich_customers": R.idle_rich_customers,
+    "q107_matryoshka_audit": X2.matryoshka_audit,
+    "q108_nucleus_vocab": X4.nucleus_vocab,
+    "q109_activity_history_scd2": R.activity_history_scd2,
+    "q110_join_key_skew_profile": R.join_key_skew_profile,
     # (round-6 additions q96-q100 took the last five window slots, so
     # q01/q06/q19/q21/q24 rejoin the archived-green block below;
     # q01-q50 keep their green rows in the r02-r05 archives)
@@ -267,4 +272,9 @@ ORACLE: dict[str, str] = {
     "q103_funnel_conversion": R.FUNNEL_CONVERSION_SQL,
     "q104_revenue_interpolation": R.REVENUE_INTERPOLATION_SQL,
     "q105_zscore_anomalies": R.ZSCORE_ANOMALIES_SQL,
+    "q106_idle_rich_customers": R.IDLE_RICH_CUSTOMERS_SQL,
+    "q107_matryoshka_audit": X2.MATRYOSHKA_AUDIT_SQL,
+    "q108_nucleus_vocab": X4.NUCLEUS_VOCAB_SQL,
+    "q109_activity_history_scd2": R.ACTIVITY_HISTORY_SCD2_SQL,
+    "q110_join_key_skew_profile": R.JOIN_KEY_SKEW_PROFILE_SQL,
 }
