@@ -514,3 +514,27 @@ def test_q105_user_partitioning_serves_agg_and_window(spark, sf_dir):
     # per-user RANGE window — one keyed exchange total
     plan = _plan(spark, sf_dir, "q105_zscore_anomalies")
     assert _keyed_exchanges(plan) == 1
+
+
+def test_q106_probe_filter_pushed_and_anti_join(spark, sf_dir):
+    # the NOT EXISTS probe side must scan only the one order class —
+    # the priority predicate reaches the parquet scan — and the probe
+    # itself is an anti join, not a correlated re-scan
+    plan = _plan(spark, sf_dir, "q106_idle_rich_customers")
+    assert "LeftAnti" in plan
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "o_orderpriority" in pushed
+
+
+def test_q109_single_user_exchange(spark, sf_dir):
+    # daily agg + lag window + running-sum window + island rollup all
+    # ride ONE hashpartitioning(user_id)
+    plan = _plan(spark, sf_dir, "q109_activity_history_scd2")
+    assert _keyed_exchanges(plan) == 1
+
+
+def test_q110_two_bounded_aggregates(spark, sf_dir):
+    # key rollup (fact-sized, map-side combined) + log2-bucket rollup
+    # (tiny); anything more means the profile grew a real shuffle
+    plan = _plan(spark, sf_dir, "q110_join_key_skew_profile")
+    assert _keyed_exchanges(plan) <= 2
