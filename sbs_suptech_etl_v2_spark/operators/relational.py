@@ -2736,3 +2736,238 @@ SELECT CAST(length(format('{:b}', c)) - 1 AS BIGINT) AS log2_bucket,
 FROM per_key
 GROUP BY 1
 """
+
+
+# q111 bounded BFS: seed customers + hop cap
+BFS_SEED_MOD = 97  # c_custkey % this == 0 -> seed
+BFS_MAX_HOPS = 4
+
+
+def supplier_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the customer–supplier bipartite graph —
+    iterative graph traversal with an EXACT recursive-CTE oracle
+    (complements the dedup family's connected components, q50/q75,
+    which verify against a bounded-round labeling).
+
+    Edges: (customer, supplier) pairs that share at least one order
+    line. From the seed customers (c_custkey % {BFS_SEED_MOD} == 0),
+    compute minimum hop distance to every reachable node within
+    {BFS_MAX_HOPS} hops. The Spark form is frontier BFS: each round
+    joins the CURRENT frontier (not the whole visited set) against the
+    edge list, anti-joins already-visited nodes, and cuts lineage —
+    the shape that scales to billion-edge graphs because per-round
+    shuffle volume is the frontier × its degree, never the closure.
+    The oracle is the natural WITH RECURSIVE walk + MIN(hops) rollup;
+    both are exact integer computations.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cust = table(spark, sf_dir, "customer")
+    seed = cust.filter(F.col("c_custkey") % BFS_SEED_MOD == 0).select(
+        F.col("c_custkey").alias("node_id"), F.lit(0).cast("bigint").alias("hops")
+    )
+    # visited sets per side of the bipartition; frontier alternates
+    visited_c = materialize(seed)
+    visited_s = None
+    frontier, on_customers = seed, True
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        if on_customers:
+            nxt = (
+                frontier.join(edges, frontier.node_id == edges.c)
+                .select(F.col("s").alias("node_id"))
+                .distinct()
+                .withColumn("hops", F.lit(hop).cast("bigint"))
+            )
+            if visited_s is not None:
+                nxt = nxt.join(visited_s, "node_id", "left_anti")
+            visited_s = (
+                materialize(visited_s.unionByName(nxt))
+                if visited_s is not None
+                else materialize(nxt)
+            )
+        else:
+            nxt = (
+                frontier.join(edges, frontier.node_id == edges.s)
+                .select(F.col("c").alias("node_id"))
+                .distinct()
+                .withColumn("hops", F.lit(hop).cast("bigint"))
+            ).join(visited_c, "node_id", "left_anti")
+            visited_c = materialize(visited_c.unionByName(nxt))
+        frontier, on_customers = nxt, not on_customers
+    return visited_c.select(
+        F.lit("c").alias("node_type"), "node_id", "hops"
+    ).unionByName(
+        visited_s.select(F.lit("s").alias("node_type"), "node_id", "hops")
+    )
+
+
+SUPPLIER_HOPS_BFS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+walk(node_type, node_id, hops) AS (
+  SELECT 'c', c_custkey, 0 FROM customer
+  WHERE c_custkey % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT CASE WHEN w.node_type = 'c' THEN 's' ELSE 'c' END,
+         CASE WHEN w.node_type = 'c' THEN e.s ELSE e.c END,
+         w.hops + 1
+  FROM walk w
+  JOIN edges e
+    ON (w.node_type = 'c' AND e.c = w.node_id)
+    OR (w.node_type = 's' AND e.s = w.node_id)
+  WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node_type, node_id, CAST(MIN(hops) AS BIGINT) AS hops
+FROM walk
+GROUP BY node_type, node_id
+"""
+
+
+DECAY_HALF_LIFE_WEEKS = 1  # q112: score halves every week of age
+DECAY_AGE_CAP = 8  # ages clamp here; integer weights stay <= 2^CAP
+
+
+def decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay scoring (half-life weighting) — the
+    feature-engineering primitive behind recency-weighted user/item
+    ranks — computed EXACTLY.
+
+    The trap: exp(-λ·age) makes the score depend on libm (engines
+    disagree in the last ulp) and the sum on partition order. Both
+    disappear by choosing the half-life as the unit and working in
+    INTEGERS: quantize value once at the house scale (decimal(18,6) —
+    the only rounding, engine-identical), weight it by the integer
+    2^(CAP − age) (exact), sum exactly, and divide the final sum by
+    2^CAP — a pure exponent shift, no mantissa rounding anywhere.
+    (A first attempt cast value·2^-age straight to decimal(28,16);
+    full-mantissa doubles then round differently in the two engines'
+    double→decimal conversions at the 17th significant digit.) The
+    anchor (max event time) is a 1-row broadcast, same pattern as
+    q28's corpus count. One user-keyed aggregate; map-side combined.
+    """
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "value",
+        F.least(
+            F.floor(
+                F.datediff(F.col("anchor_day"), F.to_date("ts"))
+                / (7 * DECAY_HALF_LIFE_WEEKS)
+            ),
+            F.lit(DECAY_AGE_CAP),
+        ).alias("age_weeks"),
+    )
+    weight = F.pow(F.lit(2.0), F.lit(DECAY_AGE_CAP) - F.col("age_weeks")).cast(
+        "bigint"
+    )
+    contrib = _dec(F.col("value")) * weight
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum(contrib).cast("double") / F.lit(float(2**DECAY_AGE_CAP))).alias(
+            "decayed_score"
+        ),
+    )
+
+
+DECAYED_USER_SCORE_SQL = f"""
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS anchor_day FROM events),
+aged AS (
+  SELECT user_id, value,
+         least(CAST(floor(date_diff('day', CAST(ts AS DATE), anchor_day)
+                          / {7 * DECAY_HALF_LIFE_WEEKS}) AS BIGINT),
+               {DECAY_AGE_CAP}) AS age_weeks
+  FROM events, anchor
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))
+                * CAST(pow(2.0, {DECAY_AGE_CAP} - age_weeks) AS BIGINT))
+            AS DOUBLE) / {float(2**DECAY_AGE_CAP)} AS decayed_score
+FROM aged
+GROUP BY user_id
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-seen week,
+    counted per week-offset since their cohort week (the
+    product-analytics table every activation dashboard renders).
+
+    One user-keyed exchange carries the whole user-level stage: the
+    first-seen window, the (cohort, offset) derivation, and the
+    per-user distinct-week dedup all ride hashpartitioning(user_id)
+    (subset-of-keys, as q96/q105/q109); the final matrix rollup and
+    the cohort-size broadcast join are cohort-count-sized. Retention
+    is an exact-integer ratio.
+    """
+    ev = table(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id")
+    week = lambda c: F.floor(  # noqa: E731 — local week index
+        F.datediff(c, F.lit("2024-01-01").cast("date")) / 7
+    ).cast("bigint")
+    staged = (
+        ev.repartition("user_id")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .select(
+            "user_id",
+            week(F.col("day")).alias("wk"),
+        )
+        .select(
+            "user_id",
+            "wk",
+            F.min("wk").over(wuser).alias("cohort_week"),
+        )
+    )
+    user_weeks = staged.select(
+        "user_id", "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")
+    ).distinct()
+    matrix = user_weeks.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    size = matrix.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return matrix.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        (F.col("n_users").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH staged AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS wk
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+  FROM staged
+),
+user_weeks AS (
+  SELECT DISTINCT user_id, cohort_week, wk - cohort_week AS week_offset
+  FROM cohorted
+),
+matrix AS (
+  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM user_weeks GROUP BY 1, 2
+)
+SELECT m.cohort_week, m.week_offset, m.n_users,
+       s.n_users AS cohort_size,
+       CAST(m.n_users AS DOUBLE) / s.n_users AS retention
+FROM matrix m
+JOIN (SELECT cohort_week, n_users FROM matrix WHERE week_offset = 0) s
+  ON s.cohort_week = m.cohort_week
+"""

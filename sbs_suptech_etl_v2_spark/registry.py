@@ -106,6 +106,9 @@ QUERIES: dict[str, QueryFn] = {
     "q108_nucleus_vocab": X4.nucleus_vocab,
     "q109_activity_history_scd2": R.activity_history_scd2,
     "q110_join_key_skew_profile": R.join_key_skew_profile,
+    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
+    "q112_decayed_user_score": R.decayed_user_score,
+    "q113_cohort_retention": R.cohort_retention,
     # (round-6 additions q96-q100 took the last five window slots, so
     # q01/q06/q19/q21/q24 rejoin the archived-green block below;
     # q01-q50 keep their green rows in the r02-r05 archives)
@@ -277,4 +280,7 @@ ORACLE: dict[str, str] = {
     "q108_nucleus_vocab": X4.NUCLEUS_VOCAB_SQL,
     "q109_activity_history_scd2": R.ACTIVITY_HISTORY_SCD2_SQL,
     "q110_join_key_skew_profile": R.JOIN_KEY_SKEW_PROFILE_SQL,
+    "q111_supplier_hops_bfs": R.SUPPLIER_HOPS_BFS_SQL,
+    "q112_decayed_user_score": R.DECAYED_USER_SCORE_SQL,
+    "q113_cohort_retention": R.COHORT_RETENTION_SQL,
 }
