@@ -36,6 +36,9 @@ QUERIES_UNDER_TEST = [
     "q97_weighted_sample",
     "q101_rag_chunking",
     "q105_zscore_anomalies",
+    # batch 3: integer-weighted decay sums and the BFS anti-join chain
+    "q112_decayed_user_score",
+    "q111_supplier_hops_bfs",
 ]
 
 
