@@ -538,3 +538,14 @@ def test_q110_two_bounded_aggregates(spark, sf_dir):
     # (tiny); anything more means the profile grew a real shuffle
     plan = _plan(spark, sf_dir, "q110_join_key_skew_profile")
     assert _keyed_exchanges(plan) <= 2
+
+
+def test_q104_single_window_over_broadcast_grid(spark, sf_dir):
+    # all four fill/interp window expressions (prev/next value and day)
+    # must fuse into ONE Window node over the broadcast-joined grid —
+    # a second Sort+Window pair means the frames stopped sharing the
+    # (priority, day) ordering
+    plan = _plan(spark, sf_dir, "q104_revenue_interpolation")
+    nums = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
+    assert sum(1 for l in nums if "Window" in l) == 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds -> calendar
