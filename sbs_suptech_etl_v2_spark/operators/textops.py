@@ -732,3 +732,149 @@ SELECT lang, token, c, rank, cum, total,
 FROM scored
 WHERE (cum - c) * {NUCLEUS_DEN} < {NUCLEUS_NUM} * total
 """
+
+
+# -- q114 BM25 retrieval -------------------------------------------------------
+BM25_QUERY = ("vector", "query", "fast")  # the fixed search terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] BM25 ranked retrieval for a fixed query — the scoring
+    half of the q102 inverted index (Robertson/Spärck Jones; Lucene's
+    idf form, ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Everything term-keyed is tiny by construction (|query| terms); the
+    plan filters the token explode to the query terms BEFORE any
+    shuffle, so the only corpus-sized work is the scan + one
+    small-keyed aggregate over matching (doc, term) pairs. Document
+    length and the corpus totals (N, avgdl) ride broadcasts. All score
+    inputs are exact integers; ln/division on identical rationals is
+    engine-identical (q28 precedent) and the score rounds to 6
+    decimals. Top-{BM25_TOP} is a TakeOrderedAndProject with doc_id
+    tie-break.
+    """
+    docs = table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("dl")
+    )
+    totals = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_tokens"),
+    )
+    terms = F.array(*[F.lit(t) for t in BM25_QUERY])
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.array_contains(terms, F.col("token")))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(lens), "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS n_tokens
+  FROM lens
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+  WHERE token IN ({terms})
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+)
+SELECT doc_id,
+       round(SUM(ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (f.tf * ({BM25_K1} + 1)
+                    / (f.tf + {BM25_K1} * (1 - {BM25_B}
+                       + {BM25_B} * l.dl / (CAST(t.n_tokens AS DOUBLE) / t.n_docs))))),
+             6) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM tf f
+JOIN df d USING (token)
+JOIN lens l USING (doc_id)
+CROSS JOIN totals t
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
+BM25_RETRIEVAL_SQL = _bm25_sql()
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT-4] classifier evaluation — the confusion matrix and
+    per-true-class recall of the q29 language-ID heuristic against the
+    labeled ``lang`` column (the eval loop every data-quality
+    classifier ships with).
+
+    Reuses q29's scoring plan (map-only argmax), then one
+    class-pair-keyed aggregate — the shuffle key cardinality is
+    |langs|², never corpus-sized. Recall is an exact-integer ratio
+    computed from the matrix itself via a per-true-class window.
+    """
+    preds = language_id(spark, sf_dir).select("actual_lang", "predicted_lang")
+    matrix = preds.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wtrue = W.partitionBy("actual_lang")
+    return matrix.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.sum("n").over(wtrue).cast("bigint").alias("n_true"),
+        (F.col("n").cast("double") / F.sum("n").over(wtrue)).alias("share"),
+    )
+
+
+def _langid_confusion_sql() -> str:
+    inner = _langid_sql()
+    return f"""
+WITH preds AS ({inner}),
+matrix AS (
+  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM preds GROUP BY 1, 2
+)
+SELECT actual_lang, predicted_lang, n,
+       CAST(SUM(n) OVER (PARTITION BY actual_lang) AS BIGINT) AS n_true,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY actual_lang) AS share
+FROM matrix
+"""
+
+
+LANGID_CONFUSION_SQL = _langid_confusion_sql()

@@ -109,6 +109,8 @@ QUERIES: dict[str, QueryFn] = {
     "q111_supplier_hops_bfs": R.supplier_hops_bfs,
     "q112_decayed_user_score": R.decayed_user_score,
     "q113_cohort_retention": R.cohort_retention,
+    "q114_bm25_retrieval": X4.bm25_retrieval,
+    "q115_langid_confusion": X4.langid_confusion,
     # (round-6 additions q96-q100 took the last five window slots, so
     # q01/q06/q19/q21/q24 rejoin the archived-green block below;
     # q01-q50 keep their green rows in the r02-r05 archives)
@@ -283,4 +285,6 @@ ORACLE: dict[str, str] = {
     "q111_supplier_hops_bfs": R.SUPPLIER_HOPS_BFS_SQL,
     "q112_decayed_user_score": R.DECAYED_USER_SCORE_SQL,
     "q113_cohort_retention": R.COHORT_RETENTION_SQL,
+    "q114_bm25_retrieval": X4.BM25_RETRIEVAL_SQL,
+    "q115_langid_confusion": X4.LANGID_CONFUSION_SQL,
 }
