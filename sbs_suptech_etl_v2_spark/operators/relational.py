@@ -2973,3 +2973,173 @@ FROM matrix m
 JOIN (SELECT cohort_week, n_users FROM matrix WHERE week_offset = 0) s
   ON s.cohort_week = m.cohort_week
 """
+
+
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — cumulative unique users by day, the
+    growth-curve query that is NOT expressible as a distinct aggregate
+    over a running window at scale (the window would re-deduplicate
+    the entire history per row).
+
+    The scale-correct decomposition: distinct collapses to each user's
+    FIRST day with that event type (one user-keyed aggregate),
+    new-users-per-day is a tiny (type, day)-keyed rollup, and the
+    cumulative curve is a running sum per type over days — state per
+    row is a counter, not a user set. Exact integers throughout.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily_new = first_day.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+CUMULATIVE_DISTINCT_USERS_SQL = """
+WITH first_day AS (
+  SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY 1, 2
+),
+daily_new AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_day GROUP BY 1, 2
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily_new
+"""
+
+
+def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    inequality statistic behind data-mix and revenue-concentration
+    dashboards, computed from the rank formula
+    G = Σ(2i − n − 1)·x_i / (n·Σx) over spend sorted ascending.
+
+    Exactness: per-customer spend sums as DECIMAL; the rank products
+    (2i − n − 1)·x_i multiply a decimal by an exact BIGINT and sum as
+    DECIMAL, so both numerator and denominator are exact and the
+    single final division is engine-identical. One customer-keyed
+    aggregate, one segment sort (the segment count bounds window
+    width), one segment rollup.
+    """
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_dec(F.col("o_totalprice"), 4)).alias("spend"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    wseg = W.partitionBy("c_mktsegment")
+    word = wseg.orderBy("spend", "c_custkey")
+    ranked = spend.select(
+        "c_mktsegment",
+        "spend",
+        F.row_number().over(word).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wseg).cast("bigint").alias("n"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.sum(F.col("spend") * (2 * F.col("i") - F.col("n") - 1)).alias("_num"),
+            F.sum("spend").alias("_tot"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.col("_tot").cast("double").alias("total_spend"),
+            (
+                F.col("_num").cast("double")
+                / (F.col("n_customers") * F.col("_tot")).cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
+SEGMENT_SPEND_GINI_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, spend,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY spend, c_custkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+  FROM spend
+)
+SELECT c_mktsegment,
+       MAX(n) AS n_customers,
+       CAST(SUM(spend) AS DOUBLE) AS total_spend,
+       CAST(SUM(spend * (2 * i - n - 1)) AS DOUBLE)
+         / CAST(MAX(n) * SUM(spend) AS DOUBLE) AS gini
+FROM ranked
+GROUP BY c_mktsegment
+"""
+
+
+BASKET_MIN_SUPPORT = 2  # q118: pairs must co-occur in >= this many orders
+BASKET_TOP = 20
+
+
+def part_pair_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining — part pairs that co-occur within an
+    order, top-{BASKET_TOP} by support (the candidate-generation step
+    of frequent-itemset mining).
+
+    The self-join is ORDER-LOCAL: items equi-join on the order key and
+    the a < b filter keeps each unordered pair once, so fan-out per
+    order is C(items, 2) — bounded by basket size, never corpus-sized
+    (the same bucket-bounding argument as the dedup family's LSH
+    joins). Distinct parts per order first, so duplicate lines don't
+    inflate support. One shuffle on the order key feeds both join
+    sides (exchange reuse), then a pair-keyed rollup.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+PART_PAIR_BASKETS_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM items a
+JOIN items b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+ORDER BY support DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+"""

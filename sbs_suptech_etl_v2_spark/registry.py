@@ -111,6 +111,9 @@ QUERIES: dict[str, QueryFn] = {
     "q113_cohort_retention": R.cohort_retention,
     "q114_bm25_retrieval": X4.bm25_retrieval,
     "q115_langid_confusion": X4.langid_confusion,
+    "q116_cumulative_distinct": R.cumulative_distinct_users,
+    "q117_segment_spend_gini": R.segment_spend_gini,
+    "q118_part_pair_baskets": R.part_pair_baskets,
     # (round-6 additions q96-q100 took the last five window slots, so
     # q01/q06/q19/q21/q24 rejoin the archived-green block below;
     # q01-q50 keep their green rows in the r02-r05 archives)
@@ -287,4 +290,7 @@ ORACLE: dict[str, str] = {
     "q113_cohort_retention": R.COHORT_RETENTION_SQL,
     "q114_bm25_retrieval": X4.BM25_RETRIEVAL_SQL,
     "q115_langid_confusion": X4.LANGID_CONFUSION_SQL,
+    "q116_cumulative_distinct": R.CUMULATIVE_DISTINCT_USERS_SQL,
+    "q117_segment_spend_gini": R.SEGMENT_SPEND_GINI_SQL,
+    "q118_part_pair_baskets": R.PART_PAIR_BASKETS_SQL,
 }
