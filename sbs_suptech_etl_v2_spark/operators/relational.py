@@ -3030,25 +3030,33 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards, computed from the rank formula
     G = Σ(2i − n − 1)·x_i / (n·Σx) over spend sorted ascending.
 
-    Exactness: per-customer spend sums as DECIMAL; the rank products
-    (2i − n − 1)·x_i multiply a decimal by an exact BIGINT and sum as
-    DECIMAL, so both numerator and denominator are exact and the
-    single final division is engine-identical. One customer-keyed
-    aggregate, one segment sort (the segment count bounds window
-    width), one segment rollup.
+    Exactness (q94's scale budget, learned the hard way): per-customer
+    spend sums as DECIMAL, then converts to EXACT INTEGER cents×100 —
+    the rank products and their segment sums stay in BIGINT (max
+    ~2e17, within int64), and the only narrowing is the final
+    BIGINT→DOUBLE casts, which are single correctly-rounded hardware
+    conversions in both engines. A first version summed the rank
+    products as DECIMAL and cast to double: at sf0.1 the unscaled sum
+    passes 2^53 and the engines' decimal→double conversions disagree
+    in the last ulp. One customer-keyed aggregate, one segment sort
+    (the segment count bounds window width), one segment rollup.
     """
     o = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     spend = (
         o.groupBy("o_custkey")
-        .agg(F.sum(_dec(F.col("o_totalprice"), 4)).alias("spend"))
+        .agg(
+            (F.sum(_dec(F.col("o_totalprice"), 4)) * 10000)
+            .cast("bigint")
+            .alias("spend_c4")
+        )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     wseg = W.partitionBy("c_mktsegment")
-    word = wseg.orderBy("spend", "c_custkey")
+    word = wseg.orderBy("spend_c4", "c_custkey")
     ranked = spend.select(
         "c_mktsegment",
-        "spend",
+        "spend_c4",
         F.row_number().over(word).cast("bigint").alias("i"),
         F.count(F.lit(1)).over(wseg).cast("bigint").alias("n"),
     )
@@ -3056,16 +3064,19 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("c_mktsegment")
         .agg(
             F.max("n").alias("n_customers"),
-            F.sum(F.col("spend") * (2 * F.col("i") - F.col("n") - 1)).alias("_num"),
-            F.sum("spend").alias("_tot"),
+            F.sum(F.col("spend_c4") * (2 * F.col("i") - F.col("n") - 1)).alias("_num"),
+            F.sum("spend_c4").alias("_tot"),
         )
         .select(
             "c_mktsegment",
             "n_customers",
-            F.col("_tot").cast("double").alias("total_spend"),
+            (F.col("_tot").cast("double") / 10000.0).alias("total_spend"),
             (
                 F.col("_num").cast("double")
-                / (F.col("n_customers") * F.col("_tot")).cast("double")
+                / (
+                    F.col("n_customers").cast("double")
+                    * F.col("_tot").cast("double")
+                )
             ).alias("gini"),
         )
     )
@@ -3074,22 +3085,24 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEGMENT_SPEND_GINI_SQL = """
 WITH spend AS (
   SELECT c.c_mktsegment, c.c_custkey,
-         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+           AS spend_c4
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT c_mktsegment, spend,
+  SELECT c_mktsegment, spend_c4,
          CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                 ORDER BY spend, c_custkey) AS BIGINT) AS i,
+                                 ORDER BY spend_c4, c_custkey) AS BIGINT) AS i,
          CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
   FROM spend
 )
 SELECT c_mktsegment,
        MAX(n) AS n_customers,
-       CAST(SUM(spend) AS DOUBLE) AS total_spend,
-       CAST(SUM(spend * (2 * i - n - 1)) AS DOUBLE)
-         / CAST(MAX(n) * SUM(spend) AS DOUBLE) AS gini
+       CAST(CAST(SUM(spend_c4) AS BIGINT) AS DOUBLE) / 10000.0 AS total_spend,
+       CAST(CAST(SUM(spend_c4 * (2 * i - n - 1)) AS BIGINT) AS DOUBLE)
+         / (CAST(MAX(n) AS DOUBLE)
+            * CAST(CAST(SUM(spend_c4) AS BIGINT) AS DOUBLE)) AS gini
 FROM ranked
 GROUP BY c_mktsegment
 """
