@@ -39,6 +39,8 @@ QUERIES_UNDER_TEST = [
     # batch 3: integer-weighted decay sums and the BFS anti-join chain
     "q112_decayed_user_score",
     "q111_supplier_hops_bfs",
+    # batch 5: integer-cents Gini rank sums (the q117 sf0.1 lesson)
+    "q117_segment_spend_gini",
 ]
 
 
