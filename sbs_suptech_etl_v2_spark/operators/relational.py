@@ -1891,7 +1891,28 @@ def order_calendar_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid size is |priorities| × |days|, independent of order volume,
     so the operator's cost at 100 TB is the daily pre-aggregation.
     """
-    o = table(spark, sf_dir, "orders")
+    base = _priority_day_grid(table(spark, sf_dir, "orders"))
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return base.select(
+        "o_orderpriority",
+        "day",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("n_orders"),
+        F.last("revenue", ignorenulls=True).over(w).alias("last_known_revenue"),
+    )
+
+
+def _priority_day_grid(o: DataFrame) -> DataFrame:
+    """Dense (priority × day) grid over the data's own date bounds,
+    left-joined with the daily order count/revenue aggregate — the
+    shared re-gridding base of q95 (forward fill) and q104 (linear
+    interpolation). Calendar = 1-row bounds aggregate exploded and
+    broadcast against the priority dimension; grid size is
+    |priorities| × |days|, independent of order volume.
+    """
     day = F.to_date("o_orderdate")
     daily = o.groupBy(F.col("o_orderpriority"), day.alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -1902,20 +1923,7 @@ def order_calendar_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("lo", "hi")).alias("day"))
     )
     grid = o.select("o_orderpriority").distinct().crossJoin(F.broadcast(calendar))
-    w = (
-        W.partitionBy("o_orderpriority")
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    return (
-        grid.join(daily, ["o_orderpriority", "day"], "left")
-        .select(
-            "o_orderpriority",
-            "day",
-            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("n_orders"),
-            F.last("revenue", ignorenulls=True).over(w).alias("last_known_revenue"),
-        )
-    )
+    return grid.join(daily, ["o_orderpriority", "day"], "left")
 
 
 ORDER_CALENDAR_RESAMPLE_SQL = """
@@ -2349,16 +2357,7 @@ def revenue_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-sum inputs and integer day distances (bit-identical on
     both engines).
     """
-    o = table(spark, sf_dir, "orders")
-    day = F.to_date("o_orderdate")
-    daily = o.groupBy(F.col("o_orderpriority"), day.alias("day")).agg(
-        F.sum(_dec(F.col("o_totalprice"), 4)).cast("double").alias("revenue")
-    )
-    calendar = o.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
-    grid = o.select("o_orderpriority").distinct().crossJoin(F.broadcast(calendar))
-    base = grid.join(daily, ["o_orderpriority", "day"], "left")
+    base = _priority_day_grid(table(spark, sf_dir, "orders")).drop("n_orders")
     wb = (
         W.partitionBy("o_orderpriority")
         .orderBy("day")
@@ -3024,6 +3023,18 @@ FROM daily_new
 """
 
 
+def _exact_double(dec) -> Column:
+    """Correctly-rounded DECIMAL→DOUBLE via the string parser.
+
+    Direct decimal→double casts disagree between the engines in the
+    last ulp once the unscaled value passes 2^53 (two-step scaled
+    conversions); both engines' string→double parsers are
+    correctly-rounded IEEE, so routing exact decimals through VARCHAR
+    is engine-identical at ANY magnitude.
+    """
+    return dec.cast("string").cast("double")
+
+
 def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend per market segment — the
     inequality statistic behind data-mix and revenue-concentration
@@ -3031,15 +3042,16 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = Σ(2i − n − 1)·x_i / (n·Σx) over spend sorted ascending.
 
     Exactness (q94's scale budget, learned the hard way): per-customer
-    spend sums as DECIMAL, then converts to EXACT INTEGER cents×100 —
-    the rank products and their segment sums stay in BIGINT (max
-    ~2e17, within int64), and the only narrowing is the final
-    BIGINT→DOUBLE casts, which are single correctly-rounded hardware
-    conversions in both engines. A first version summed the rank
-    products as DECIMAL and cast to double: at sf0.1 the unscaled sum
-    passes 2^53 and the engines' decimal→double conversions disagree
-    in the last ulp. One customer-keyed aggregate, one segment sort
-    (the segment count bounds window width), one segment rollup.
+    spend sums as DECIMAL, then converts to EXACT INTEGER cents×100.
+    The rank products are widened to DECIMAL(38,0) BEFORE multiplying
+    (the per-term product alone passes int64 around sf10), their sums
+    stay exact to 1e38, and the final narrowing routes through
+    ``_exact_double`` (string→double): direct decimal→double casts
+    disagree between the engines in the last ulp above 2^53 (observed
+    at sf0.1 in the first decimal version of this query), but both
+    string parsers are correctly-rounded IEEE. One customer-keyed
+    aggregate, one segment sort (the segment count bounds window
+    width), one segment rollup.
     """
     o = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -3064,19 +3076,19 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("c_mktsegment")
         .agg(
             F.max("n").alias("n_customers"),
-            F.sum(F.col("spend_c4") * (2 * F.col("i") - F.col("n") - 1)).alias("_num"),
-            F.sum("spend_c4").alias("_tot"),
+            F.sum(
+                F.col("spend_c4").cast("decimal(38,0)")
+                * (2 * F.col("i") - F.col("n") - 1)
+            ).alias("_num"),
+            F.sum(F.col("spend_c4").cast("decimal(38,0)")).alias("_tot"),
         )
         .select(
             "c_mktsegment",
             "n_customers",
-            (F.col("_tot").cast("double") / 10000.0).alias("total_spend"),
+            (_exact_double(F.col("_tot")) / 10000.0).alias("total_spend"),
             (
-                F.col("_num").cast("double")
-                / (
-                    F.col("n_customers").cast("double")
-                    * F.col("_tot").cast("double")
-                )
+                _exact_double(F.col("_num"))
+                / (F.col("n_customers").cast("double") * _exact_double(F.col("_tot")))
             ).alias("gini"),
         )
     )
@@ -3099,10 +3111,11 @@ ranked AS (
 )
 SELECT c_mktsegment,
        MAX(n) AS n_customers,
-       CAST(CAST(SUM(spend_c4) AS BIGINT) AS DOUBLE) / 10000.0 AS total_spend,
-       CAST(CAST(SUM(spend_c4 * (2 * i - n - 1)) AS BIGINT) AS DOUBLE)
+       CAST(CAST(SUM(spend_c4) AS VARCHAR) AS DOUBLE) / 10000.0 AS total_spend,
+       CAST(CAST(SUM(CAST(spend_c4 AS HUGEINT) * (2 * i - n - 1)) AS VARCHAR)
+            AS DOUBLE)
          / (CAST(MAX(n) AS DOUBLE)
-            * CAST(CAST(SUM(spend_c4) AS BIGINT) AS DOUBLE)) AS gini
+            * CAST(CAST(SUM(spend_c4) AS VARCHAR) AS DOUBLE)) AS gini
 FROM ranked
 GROUP BY c_mktsegment
 """

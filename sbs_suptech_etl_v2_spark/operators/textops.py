@@ -546,10 +546,13 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
         .filter(F.col("c12") >= PMI_MIN_COUNT)
     )
-    # per doc, #bigrams = #tokens - 1 (split never yields an empty
-    # array), so the bigram total is the token total minus the doc
-    # count — no third pass over exploded rows
-    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    # per NON-NULL-text doc, #bigrams = #tokens - 1 (split of a
+    # non-null string never yields an empty array), so the bigram
+    # total is the token total minus the count of docs that produced
+    # tokens — no third pass over exploded rows. COUNT(text), not
+    # COUNT(*): a NULL text yields zero tokens AND zero bigrams on
+    # both engines, so it must not enter the identity either.
+    n_docs = docs.groupBy().agg(F.count(F.col("text")).alias("n_docs"))
     totals = (
         uni.agg(F.sum("c").alias("n_tokens"))
         .crossJoin(n_docs)

@@ -110,10 +110,10 @@ def test_q100_matches_bruteforce_on_adversarial_timestamps(spark, tmp_path, seed
         {
             "event_id": tbl["event_id"][i].as_py(),
             "user_id": tbl["user_id"][i].as_py(),
-            "us": int(
-                (tbl["ts"][i].as_py() - dt.datetime(1970, 1, 1)).total_seconds()
-                * 1_000_000
-            ),
+            # integer arithmetic — total_seconds()*1e6 rounds twice and
+            # can come out 1 us low at 2024-era magnitudes (~1.7e15 us)
+            "us": (tbl["ts"][i].as_py() - dt.datetime(1970, 1, 1))
+            // dt.timedelta(microseconds=1),
             "t": tbl["event_type"][i].as_py(),
         }
         for i in range(tbl.num_rows)
@@ -216,3 +216,43 @@ def test_q101_chunks_cover_and_reconstruct(spark, tmp_path, seed):
             covered.update(range(r["start"], r["start"] + r["chunk_tokens"]))
         # every token position is covered by at least one chunk
         assert covered == set(range(len(toks)))
+
+
+def test_q99_pmi_identity_survives_null_text(spark, tmp_path):
+    """The arithmetic bigram total (n_tokens - n_docs) must count only
+    docs that PRODUCED tokens — a NULL text yields zero tokens and
+    zero bigrams on both engines, so COUNT(*) would undercount
+    n_bigrams by one per NULL doc and shift every PMI value."""
+    import duckdb
+
+    from sbs_suptech_etl_v2_spark.operators.textops import bigram_pmi
+    from sbs_suptech_etl_v2_spark.registry import ORACLE
+
+    base = "a b a b c " * 3  # enough mass to clear PMI_MIN_COUNT
+    texts = [base.strip(), base.strip(), None, "a b a b a b", None]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    got = sorted(
+        (r["w1"], r["w2"], r["c12"], r["pmi"]) for r in bigram_pmi(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        (w1, w2, c12, pmi)
+        for (w1, w2, c12, _c1, _c2, pmi) in con.execute(
+            ORACLE["q99_bigram_pmi"]
+        ).fetchall()
+    )
+    assert got == want and got  # non-vacuous
