@@ -3169,3 +3169,102 @@ HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
 ORDER BY support DESC, part_a, part_b
 LIMIT {BASKET_TOP}
 """
+
+
+IVM_CUTOVER = "1998-01-01"  # q119: state/delta split point
+
+
+def incremental_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance as an ORACLE-CHECKED contract —
+    the per-priority totals view updated from a persisted state plus
+    an arriving delta must equal the full recompute (which is exactly
+    what the oracle runs).
+
+    The Spark side computes the view the way a daily pipeline would:
+    aggregate the historical partition (orders before {IVM_CUTOVER}),
+    aggregate the delta partition (orders at/after it), FULL OUTER
+    combine on the view key with coalesce-to-zero. Additive aggregates
+    (counts, decimal sums) merge exactly; the oracle's single-pass
+    GROUP BY over the union proves the merge law holds. At 100 TB this
+    is the only affordable refresh shape — the historical side is a
+    stored view-sized table, so the daily cost is the delta aggregate
+    plus a view-keyed join.
+    """
+    o = table(spark, sf_dir, "orders")
+    cut = F.lit(IVM_CUTOVER).cast("timestamp_ntz")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"), 4)).alias("rev"),
+        )
+
+    state = rollup(o.filter(F.col("o_orderdate") < cut)).alias("s")
+    delta = rollup(o.filter(F.col("o_orderdate") >= cut)).alias("d")
+    zero = F.lit(0).cast("bigint")
+    zdec = F.lit(0).cast("decimal(18,4)")
+    return state.join(
+        delta, F.col("s.o_orderpriority") == F.col("d.o_orderpriority"), "full_outer"
+    ).select(
+        F.coalesce(F.col("s.o_orderpriority"), F.col("d.o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        (F.coalesce(F.col("s.n"), zero) + F.coalesce(F.col("d.n"), zero)).alias(
+            "n_orders"
+        ),
+        (F.coalesce(F.col("s.rev"), zdec) + F.coalesce(F.col("d.rev"), zdec))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+INCREMENTAL_PRIORITY_TOTALS_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting — monthly revenue per priority with
+    month-over-month deltas and percent change (the standard finance/
+    growth dashboard query).
+
+    One month-grain aggregate (map-side combined), one lag window per
+    priority over the ~|months| rows. Revenue is an exact decimal sum
+    surfaced as double; the MoM ratio divides two such exact values,
+    so the doubles are engine-identical. Months without a predecessor
+    report NULL change — no sentinel values.
+    """
+    o = table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    monthly = o.groupBy(F.col("o_orderpriority"), month.alias("month")).agg(
+        F.sum(_dec(F.col("o_totalprice"), 4)).cast("double").alias("revenue")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue", 1).over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_change"),
+    )
+
+
+MONTHLY_REVENUE_MOMENTUM_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, revenue,
+       lag(revenue, 1) OVER w AS prev_revenue,
+       (revenue - lag(revenue, 1) OVER w) / lag(revenue, 1) OVER w AS mom_change
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""

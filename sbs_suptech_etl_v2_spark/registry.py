@@ -114,6 +114,8 @@ QUERIES: dict[str, QueryFn] = {
     "q116_cumulative_distinct": R.cumulative_distinct_users,
     "q117_segment_spend_gini": R.segment_spend_gini,
     "q118_part_pair_baskets": R.part_pair_baskets,
+    "q119_incremental_totals": R.incremental_priority_totals,
+    "q120_monthly_momentum": R.monthly_revenue_momentum,
     # (round-6 additions q96-q100 took the last five window slots, so
     # q01/q06/q19/q21/q24 rejoin the archived-green block below;
     # q01-q50 keep their green rows in the r02-r05 archives)
@@ -293,4 +295,6 @@ ORACLE: dict[str, str] = {
     "q116_cumulative_distinct": R.CUMULATIVE_DISTINCT_USERS_SQL,
     "q117_segment_spend_gini": R.SEGMENT_SPEND_GINI_SQL,
     "q118_part_pair_baskets": R.PART_PAIR_BASKETS_SQL,
+    "q119_incremental_totals": R.INCREMENTAL_PRIORITY_TOTALS_SQL,
+    "q120_monthly_momentum": R.MONTHLY_REVENUE_MOMENTUM_SQL,
 }
