@@ -105,6 +105,7 @@ def main() -> None:
     # where either absolute number is not. Skippable for quick local
     # iteration via SPARK_GRAFT_SKIP_ORACLE=1 or when benching a subset.
     oracle_total = None
+    oracle_timings = None
     if not only and not os.environ.get("SPARK_GRAFT_SKIP_ORACLE"):
         try:
             import duckdb
@@ -130,11 +131,13 @@ def main() -> None:
                     t0 = time.perf_counter()
                     con.execute(ORACLE[name]).fetchall()
                     osamples[name].append(time.perf_counter() - t0)
-            oracle_total = round(
-                sum(statistics.median(s) for s in osamples.values()), 3
-            )
+            oracle_timings = {
+                n: round(statistics.median(s), 3) for n, s in osamples.items()
+            }
+            oracle_total = round(sum(oracle_timings.values()), 3)
         except Exception:  # noqa: BLE001 — the pairing is best-effort
             oracle_total = None
+            oracle_timings = None
 
     # KEY ORDER MATTERS: the driver artifact keeps only a TAIL of
     # stdout, so anything early in this line can be truncated away.
@@ -148,6 +151,10 @@ def main() -> None:
         "runs_per_query": RUNS,
         "aggregation": "median",
         "queries": timings,
+        # per-oracle medians make the per-query Spark/oracle ratio
+        # auditable from the artifact alone; placed before the headline
+        # keys so tail-truncation still keeps the totals
+        "oracle_queries": oracle_timings,
         "oracle_suite_sec": oracle_total,
         "spark_vs_oracle_ratio": (
             round(total / oracle_total, 3) if oracle_total else None
