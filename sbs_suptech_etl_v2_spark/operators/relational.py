@@ -3277,3 +3277,38 @@ SELECT o_orderpriority, month, revenue,
 FROM monthly
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
 """
+
+
+def incremental_totals_batch_fn(contrib_path: str):
+    """``foreachBatch`` factory — STREAMING maintenance of the q119
+    view (§2.10 × q119 composition): each micro-batch's per-priority
+    additive rollup lands in its own ``ingest_batch={id}`` partition.
+
+    Replay safety is by layout, the same contract as the streaming
+    dedup index (`dedup.incremental_dedup_batch_fn`): an at-least-once
+    replay overwrites its own partition instead of double-counting.
+    The maintained view is the rollup of the contribution tree
+    (``read_incremental_totals``) — q119's state ⊕ delta merge law
+    generalized to N deltas, which is why the batch view, the
+    streaming view, and the full-recompute oracle must all agree.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        rollup = batch_df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"), 4)).alias("rev"),
+        )
+        rollup.write.mode("overwrite").parquet(
+            f"{contrib_path}/ingest_batch={batch_id}"
+        )
+
+    return fn
+
+
+def read_incremental_totals(spark: SparkSession, contrib_path: str) -> DataFrame:
+    """The maintained q119 view over the streaming contribution tree."""
+    contribs = spark.read.parquet(contrib_path)
+    return contribs.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
