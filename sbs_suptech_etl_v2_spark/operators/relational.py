@@ -3312,3 +3312,93 @@ def read_incremental_totals(spark: SparkSession, contrib_path: str) -> DataFrame
         F.sum("n").cast("bigint").alias("n_orders"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+CUSUM_THRESHOLD = 200.0  # q121: flag when cusum exceeds this (value units)
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over per-user daily activity — the
+    monitoring primitive that looks inherently RECURSIVE
+    (cusum_t = max(0, cusum_{t-1} + dev_t)) but is declarative via the
+    prefix-sum identity: cusum_t = S_t − min_{s≤t} S_s, where S is the
+    running sum of deviations. Two windows replace the per-row loop.
+
+    Exactness: deviations from the per-user mean stay INTEGER by
+    scaling — d_t = x_t·n − Σx in micro-units (day totals are
+    decimal(18,6)-exact), so the prefix sums, running minima, and the
+    threshold comparison (cusum_scaled > THRESHOLD·n·10⁶) are all
+    exact int64 arithmetic; only the reported cusum narrows to double
+    (one correctly-rounded division). One user-keyed exchange serves
+    the daily aggregate and every window (q96/q105/q109 pattern).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg((F.sum(_dec(F.col("value"))) * 1_000_000).cast("bigint").alias("x_us"))
+    )
+    wuser = W.partitionBy("user_id")
+    word = wuser.orderBy("day")
+    wrun = word.rowsBetween(W.unboundedPreceding, 0)
+    staged = daily.select(
+        "user_id",
+        "day",
+        "x_us",
+        F.count(F.lit(1)).over(wuser).cast("bigint").alias("n"),
+        F.sum("x_us").over(wuser).cast("bigint").alias("tot_us"),
+    )
+    # scaled deviation d = x·n − Σx  (exact; Σ over the user of d is 0)
+    d = F.col("x_us") * F.col("n") - F.col("tot_us")
+    prefixed = staged.select(
+        "user_id",
+        "day",
+        "x_us",
+        "n",
+        F.sum(d).over(wrun).cast("bigint").alias("s_us"),
+    )
+    cusum_scaled = F.col("s_us") - F.min("s_us").over(wrun)
+    thresh_scaled = (F.lit(CUSUM_THRESHOLD) * 1_000_000 * F.col("n")).cast("bigint")
+    return prefixed.select(
+        "user_id",
+        "day",
+        (F.col("x_us").cast("double") / 1_000_000).alias("day_total"),
+        (cusum_scaled.cast("double") / (F.col("n") * F.lit(1_000_000.0))).alias(
+            "cusum"
+        ),
+        (cusum_scaled > thresh_scaled).alias("is_changepoint"),
+    )
+
+
+CUSUM_CHANGEPOINTS_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x_us
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT user_id, day, x_us,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(SUM(x_us) OVER (PARTITION BY user_id) AS BIGINT) AS tot_us
+  FROM daily
+),
+prefixed AS (
+  SELECT user_id, day, x_us, n,
+         CAST(SUM(x_us * n - tot_us) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_us
+  FROM staged
+)
+SELECT user_id, day,
+       CAST(x_us AS DOUBLE) / 1000000 AS day_total,
+       CAST(s_us - MIN(s_us) OVER (
+              PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / (n * 1000000.0) AS cusum,
+       (s_us - MIN(s_us) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         > CAST({CUSUM_THRESHOLD} * 1000000 * n AS BIGINT) AS is_changepoint
+FROM prefixed
+"""

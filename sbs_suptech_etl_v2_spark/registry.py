@@ -116,6 +116,7 @@ QUERIES: dict[str, QueryFn] = {
     "q118_part_pair_baskets": R.part_pair_baskets,
     "q119_incremental_totals": R.incremental_priority_totals,
     "q120_monthly_momentum": R.monthly_revenue_momentum,
+    "q121_cusum_changepoints": R.cusum_changepoints,
     # (round-6 additions q96-q100 took the last five window slots, so
     # q01/q06/q19/q21/q24 rejoin the archived-green block below;
     # q01-q50 keep their green rows in the r02-r05 archives)
@@ -297,4 +298,5 @@ ORACLE: dict[str, str] = {
     "q118_part_pair_baskets": R.PART_PAIR_BASKETS_SQL,
     "q119_incremental_totals": R.INCREMENTAL_PRIORITY_TOTALS_SQL,
     "q120_monthly_momentum": R.MONTHLY_REVENUE_MOMENTUM_SQL,
+    "q121_cusum_changepoints": R.CUSUM_CHANGEPOINTS_SQL,
 }
