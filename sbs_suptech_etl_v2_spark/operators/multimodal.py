@@ -406,13 +406,20 @@ def scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCENE_SEGMENTS_SQL = f"""
 WITH frames AS (
+  -- length(text), not octet_length(encode(text)): the corpus is ASCII
+  -- so they agree, but encode()'s VARCHAR->BLOB path was the one
+  -- construct here no driver-green oracle had exercised (round-6
+  -- driver RED while green locally); length + substr is the proven
+  -- q16/q19/q44 pagination idiom and matches the Spark side's
+  -- character-based F.length/F.substring exactly
   SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
          CAST(('0x' || substr(md5(
-           substr(text, (i - 1) * {FRAME_BYTES} + 1, {FRAME_BYTES})), 1, 8))
+           substr(text, CAST((i - 1) * {FRAME_BYTES} + 1 AS INTEGER),
+                  {FRAME_BYTES})), 1, 8))
            AS BIGINT) % {SCENE_HASH_MOD} AS feat
   FROM documents,
        unnest(generate_series(
-         1, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT)))
+         1, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT)))
          AS t(i)
 ),
 flagged AS (

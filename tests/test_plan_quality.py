@@ -164,10 +164,14 @@ def test_q61_contamination_scores_without_shuffling_corpus(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
 
 
-def test_q62_repetition_stats_is_map_only_vectorized(spark, sf_dir):
+def test_q62_repetition_stats_plan(spark, sf_dir):
+    # pure Column counting (round 7): no Python workers anywhere, the
+    # per-key counts partially aggregate before both doc-keyed
+    # exchanges, and the doc-grain joins broadcast at audit scale
     plan = _plan(spark, sf_dir, "q62_repetition_stats")
-    assert "MapInPandas" in plan  # NumPy kernel, not interpreted HOFs
-    assert _keyed_exchanges(plan) == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on (doc, token)
+    assert _keyed_exchanges(plan) <= 4
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "source" not in read_schema  # prunes to doc_id + text
 

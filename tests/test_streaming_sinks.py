@@ -259,30 +259,16 @@ def test_kafka_request_stream_schema_when_connector_present(spark):
     }
 
 
-def test_merge_metadata_delta_gate(spark, tmp_path):
-    # delta-spark is not bundled in this environment: the transactional
-    # strategy must fail fast with an actionable message, never fall
-    # back silently (a half-configured prod deploy should not quietly
-    # lose snapshot isolation)
-    updates = spark.createDataFrame(
-        [("r1", {"k": "v"})], "record_id string, metadata map<string,string>"
-    )
-    try:
-        import delta  # noqa: F401
-
-        pytest.skip("delta-spark present; gate test targets its absence")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="delta-spark"):
-        merge_metadata(spark, str(tmp_path / "t"), updates, strategy="delta")
-
-
 def test_merge_metadata_rejects_unknown_strategy(spark, tmp_path):
+    # parquet_swap is the single canonical K2 merge; anything else
+    # (including the removed 'delta' wiring) must fail fast with an
+    # actionable message, never fall back silently
     updates = spark.createDataFrame(
         [("r1", {"k": "v"})], "record_id string, metadata map<string,string>"
     )
-    with pytest.raises(ValueError, match="unknown merge strategy"):
-        merge_metadata(spark, str(tmp_path / "t"), updates, strategy="iceberg")
+    for strategy in ("delta", "iceberg"):
+        with pytest.raises(ValueError, match="unknown merge strategy"):
+            merge_metadata(spark, str(tmp_path / "t"), updates, strategy=strategy)
 
 
 def test_idempotent_batch_sink_skips_replayed_epochs(spark, tmp_path):
