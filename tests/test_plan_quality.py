@@ -544,12 +544,17 @@ def test_q110_two_bounded_aggregates(spark, sf_dir):
     assert _keyed_exchanges(plan) <= 2
 
 
-def test_q104_single_window_over_broadcast_grid(spark, sf_dir):
-    # all four fill/interp window expressions (prev/next value and day)
-    # must fuse into ONE Window node over the broadcast-joined grid —
-    # a second Sort+Window pair means the frames stopped sharing the
-    # (priority, day) ordering
+def test_q104_two_linear_windows_over_broadcast_grid(spark, sf_dir):
+    # the four fill/interp expressions pair into TWO running windows
+    # over the same per-priority exchange: backward fill ordered by day
+    # ASC, forward fill ordered by day DESC. A single fused Window
+    # would need a (CURRENT ROW .. UNBOUNDED FOLLOWING) frame for the
+    # forward pair, which Spark evaluates by re-scanning the partition
+    # remainder per row — quadratic per partition (measured ~1.7 s of
+    # the query at sf0.1); two incremental UNBOUNDED PRECEDING frames
+    # cost one extra sort and no extra shuffle
     plan = _plan(spark, sf_dir, "q104_revenue_interpolation")
     nums = [l for l in plan.splitlines() if l.lstrip().startswith("(")]
-    assert sum(1 for l in nums if "Window" in l) == 1
+    assert sum(1 for l in nums if "Window" in l) == 2
+    assert "unboundedfollowing$()" not in plan  # no quadratic frame
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds -> calendar
