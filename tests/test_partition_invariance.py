@@ -41,6 +41,12 @@ QUERIES_UNDER_TEST = [
     "q111_supplier_hops_bfs",
     # batch 5: integer-cents Gini rank sums (the q117 sf0.1 lesson)
     "q117_segment_spend_gini",
+    # round 7: BM25 per-doc score is a decimal-quantized sum of per-term
+    # doubles — a raw double SUM here would let the 6-decimal rounding
+    # (and the top-10 cut ordered by it) flip with partition layout
+    "q114_bm25_retrieval",
+    # round 7: pure-Column repetition counting replaced the NumPy kernel
+    "q62_repetition_stats",
 ]
 
 

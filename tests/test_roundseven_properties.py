@@ -1,0 +1,236 @@
+"""Direct-transcription checks for the round-7 fixes.
+
+The oracle parity gate proves these queries on the shipped corpus; the
+tests here prove the round-7 CONTRACT CHANGES on inputs the corpus does
+not exercise: the CUSUM empty-prefix clamp (a user whose first
+deviation is positive — the exact case the unclamped identity
+understated), the weighted sampler's zero-weight exclusion, and the
+pure-Column repetition counters on degenerate texts (empty string,
+single token, NULL, all-duplicate streams). Each compares the Spark
+plan against a per-row Python transcription of the documented
+recursion/semantics, not against the SQL oracle (which could share a
+bug by construction — the round-6 ADVICE lesson on q121).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import random
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sbs_suptech_etl_v2_spark.operators.relational import (
+    CUSUM_THRESHOLD,
+    cusum_changepoints,
+)
+from sbs_suptech_etl_v2_spark.operators.trainprep import (
+    MAX_DUP_TOKEN_FRAC,
+    MAX_TOP_BIGRAM_FRAC,
+    MAX_TOP_TOKEN_FRAC,
+    SAMPLE_K,
+    repetition_stats,
+    weighted_sample,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> str:
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+# -- q121 CUSUM vs the literal recursion -----------------------------------
+
+
+def _events_table(user_days: dict[int, list[int]]) -> pa.Table:
+    """One event per (user, day) with an integer value — day totals are
+    then exact in micro-units on every path."""
+    rows = []
+    eid = 0
+    for user, vals in user_days.items():
+        for day, v in enumerate(vals):
+            rows.append((eid, user, day, v))
+            eid += 1
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(days=r[2], hours=3) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def _brute_cusum(vals: list[int]) -> list[tuple[float, bool]]:
+    """The documented recursion cusum_t = max(0, cusum_{t-1} + dev_t),
+    in exact scaled integers (micro-units x n)."""
+    n = len(vals)
+    us = [v * 1_000_000 for v in vals]
+    tot = sum(us)
+    out = []
+    c = 0
+    thresh = int(CUSUM_THRESHOLD * 1_000_000) * n
+    for x in us:
+        c = max(0, c + (x * n - tot))
+        out.append((c / (n * 1_000_000.0), c > thresh))
+    return out
+
+
+def test_cusum_matches_recursion_including_positive_first_deviation(
+    spark, tmp_path
+):
+    rng = random.Random(7)
+    user_days = {
+        # the planted clamp case: first deviation POSITIVE (x1 > mean),
+        # where the unclamped prefix-min identity reported 0
+        0: [10, 0, 0],
+        # monotone rise: prefix sums never dip below zero after day 1
+        1: [1, 2, 3, 4, 5, 6, 7, 8],
+        # monotone fall: deep negative prefix, late recovery
+        2: [8, 7, 6, 5, 4, 3, 2, 1],
+        # constant: every deviation 0
+        3: [5, 5, 5, 5],
+    }
+    for u in range(4, 10):
+        user_days[u] = [rng.randrange(0, 400) for _ in range(rng.randrange(2, 14))]
+    sf = _write(tmp_path, "events", _events_table(user_days))
+
+    got = {
+        (r["user_id"], r["day"]): (r["cusum"], r["is_changepoint"])
+        for r in cusum_changepoints(spark, sf).collect()
+    }
+    assert len(got) == sum(len(v) for v in user_days.values())
+    for user, vals in user_days.items():
+        expect = _brute_cusum(vals)
+        for day, (cusum, flag) in enumerate(expect):
+            g_cusum, g_flag = got[(user, dt.date(2024, 1, 1) + dt.timedelta(days=day))]
+            assert g_cusum == cusum, (user, day, g_cusum, cusum)
+            assert g_flag == flag, (user, day)
+    # the planted case must be visibly nonzero on day 1
+    first = got[(0, dt.date(2024, 1, 1))]
+    assert first[0] > 0.0
+
+
+# -- q97 A-Res transcription + zero-weight exclusion -----------------------
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
+    rng = random.Random(11)
+    rows = []
+    doc_id = 0
+    for lang in ("en", "de", "zh"):
+        for _ in range(40):
+            rows.append((doc_id, lang, rng.randrange(1, 5000)))
+            doc_id += 1
+        # zero-length documents: weight 0, must never appear
+        rows.append((doc_id, lang, 0))
+        doc_id += 1
+    sf = _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+    )
+    got = [
+        (r["lang"], r["doc_id"], r["n_chars"], r["rk"])
+        for r in weighted_sample(spark, sf).collect()
+    ]
+    zero_ids = {r[0] for r in rows if r[2] == 0}
+    assert not zero_ids & {g[1] for g in got}
+
+    expect = []
+    for lang in ("en", "de", "zh"):
+        keyed = []
+        for did, lg, nc in rows:
+            if lg != lang or nc == 0:
+                continue
+            u = (_h32(str(did)) + 1) / 4294967297.0
+            keyed.append((math.log(u) / nc, did, nc))
+        keyed.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (_, did, nc) in enumerate(keyed[:SAMPLE_K], start=1):
+            expect.append((lang, did, nc, rk))
+    assert sorted(got) == sorted(expect)
+
+
+# -- q62 pure-Column counters on degenerate texts --------------------------
+
+
+def _brute_repetition(text):
+    if text is None:
+        return (None, None, None, None)
+    toks = text.split(" ")
+    n = len(toks)
+    cnt = Counter(toks)
+    top = max(cnt.values())
+    dup = sum(c for c in cnt.values() if c >= 2)
+    if n >= 2:
+        bg = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        bg_top = max(bg.values())
+    else:
+        bg_top = 0
+    return (n, top, dup, bg_top)
+
+
+def test_repetition_stats_matches_bruteforce(spark, tmp_path):
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "dd"]
+    texts = [
+        "a a a b",  # dominated by one token
+        "x",  # single token: zero bigrams, frac defined as 0.0
+        "",  # splits to one empty token
+        None,  # NULL counters, NULL keep
+        "a b a b a",  # repeated bigram both directions
+        "u1 u2 u3 u4",  # all unique
+        "t t",  # 100% duplicate
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30)))
+        for _ in range(60)
+    ]
+    sf = _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(spark, sf).collect()}
+    assert len(got) == len(texts)
+    for i, text in enumerate(texts):
+        n, top, dup, bg_top = _brute_repetition(text)
+        r = got[i]
+        assert (r["n_tokens"], r["top_token_n"], r["dup_token_n"],
+                r["top_bigram_n"]) == (n, top, dup, bg_top), (i, text)
+        if text is None:
+            assert r["top_token_frac"] is None and r["keep"] is None
+        else:
+            assert r["top_token_frac"] == top / n
+            assert r["dup_token_frac"] == dup / n
+            expected_tbf = bg_top / (n - 1) if n >= 2 else 0.0
+            assert r["top_bigram_frac"] == expected_tbf
+            assert r["keep"] == (
+                top / n <= MAX_TOP_TOKEN_FRAC
+                and dup / n <= MAX_DUP_TOKEN_FRAC
+                and expected_tbf <= MAX_TOP_BIGRAM_FRAC
+            )
