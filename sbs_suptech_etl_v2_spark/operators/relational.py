@@ -2743,12 +2743,20 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-JOIN_KEY_SKEW_PROFILE_SQL = """
+# floor(log2(c)) as a sum of pure-integer indicators [c >= 2^k]:
+# exact for any BIGINT count, no fmt-library binary formatting (an
+# engine-version surface no driver-green oracle exercises) and no
+# floating log2 (whose last-ulp error misclassifies exact powers)
+_LOG2_INDICATORS = " + ".join(
+    f"(CASE WHEN c >= {1 << k} THEN 1 ELSE 0 END)" for k in range(1, 63)
+)
+
+JOIN_KEY_SKEW_PROFILE_SQL = f"""
 WITH per_key AS (
   SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
   FROM lineitem GROUP BY l_orderkey
 )
-SELECT CAST(length(format('{:b}', c)) - 1 AS BIGINT) AS log2_bucket,
+SELECT CAST({_LOG2_INDICATORS} AS BIGINT) AS log2_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(SUM(c) AS BIGINT) AS n_rows,
        CAST(MIN(c) AS BIGINT) AS min_rows_per_key,
@@ -2887,9 +2895,12 @@ def decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DECAY_AGE_CAP),
         ).alias("age_weeks"),
     )
-    weight = F.pow(F.lit(2.0), F.lit(DECAY_AGE_CAP) - F.col("age_weeks")).cast(
-        "bigint"
-    )
+    # 2^(CAP - age) by integer shift, not pow(): libm pow is exact on
+    # these small powers in practice, but shiftleft is exact by
+    # CONSTRUCTION on any build — nothing floating touches the weight
+    weight = F.expr(
+        f"shiftleft(1, cast({DECAY_AGE_CAP} - age_weeks as int))"
+    ).cast("bigint")
     contrib = _dec(F.col("value")) * weight
     return aged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -2898,6 +2909,13 @@ def decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+# integer 2^(CAP - age) weights as CASE arms - pure integer literals,
+# no pow() on the oracle side either
+_DECAY_WEIGHT_CASES = " ".join(
+    f"WHEN {k} THEN {1 << (DECAY_AGE_CAP - k)}"
+    for k in range(DECAY_AGE_CAP + 1)
+)
 
 DECAYED_USER_SCORE_SQL = f"""
 WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS anchor_day FROM events),
@@ -2911,7 +2929,7 @@ aged AS (
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))
-                * CAST(pow(2.0, {DECAY_AGE_CAP} - age_weeks) AS BIGINT))
+                * (CASE age_weeks {_DECAY_WEIGHT_CASES} END))
             AS DOUBLE) / {float(2**DECAY_AGE_CAP)} AS decayed_score
 FROM aged
 GROUP BY user_id

@@ -60,7 +60,11 @@ def get_spark(
         # is the engine-wide default for analytic pandas_udfs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode puts driver + executors in ONE JVM: the heap holds
+        # every localCheckpoint block alive across a 121-query suite,
+        # so 8g left the tail queries GC-bound; 24g is still <20% of
+        # the 128 GiB box. On a real cluster the submit conf overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     # env-injected conf (JSON object) — lets bench/ops experiments flip
     # engine settings without code edits; explicit extra_conf wins
