@@ -1063,10 +1063,20 @@ WITH hashed AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(list_sum(list_transform(range({SIMHASH_BITS}),
-         b -> CASE WHEN list_sum(list_transform(hs,
-                     h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash,
+       -- seeded list_reduce, not list_sum: list_sum was the one list
+       -- aggregate no driver-green oracle exercised (it appeared only
+       -- in round-6-RED q62), while the prepend-0 + reduce idiom is
+       -- proven green (q56); same values, empty/NULL behavior included
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range({SIMHASH_BITS}),
+         b -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(hs,
+                     h -> CASE WHEN ((h >> b) & 1) = 1
+                          THEN CAST(1 AS BIGINT)
+                          ELSE CAST(-1 AS BIGINT) END)),
+                     (acc, el) -> acc + el) > 0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         (acc, el) -> acc + el) AS BIGINT) AS simhash,
        lang
 FROM hashed
 """
