@@ -2309,11 +2309,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(clicks, 2, "click_after_view"))
         .unionAll(stage(purchases, 3, "purchase_after_click"))
     )
+    # guard the ratio on prev > 0: an empty prior stage would divide by
+    # zero, where Spark's double division yields Infinity but DuckDB
+    # yields NULL — a latent cross-engine divergence the corpus never
+    # exercises (stage 1 reports NULL via lag's missing predecessor)
+    prev_users = F.lag("n_users", 1).over(W.orderBy("stage"))
     return counts.select(
         "stage",
         "stage_name",
         "n_users",
-        (F.col("n_users") / F.lag("n_users", 1).over(W.orderBy("stage"))).alias(
+        F.when(prev_users > 0, F.col("n_users") / prev_users).alias(
             "conv_from_prev"
         ),
     )
@@ -2347,7 +2352,9 @@ counts AS (
          CAST(COUNT(*) AS BIGINT) FROM purchases
 )
 SELECT stage, stage_name, n_users,
-       n_users / lag(n_users, 1) OVER (ORDER BY stage) AS conv_from_prev
+       CASE WHEN lag(n_users, 1) OVER (ORDER BY stage) > 0
+            THEN n_users / lag(n_users, 1) OVER (ORDER BY stage)
+            END AS conv_from_prev
 FROM counts
 """
 

@@ -171,6 +171,29 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- corpus invariant backing the similarity family's norm division --------
+
+
+def test_embedding_norms_positive(spark, sf_dir):
+    # q24/q25/q107 unit-normalize by dividing each component by the
+    # vector norm; a zero vector would turn that into IEEE NaN on the
+    # Spark side and engine-dependent behavior in the oracle. The
+    # corpus invariant that every embedding has a positive norm is
+    # load-bearing — pin it (the q97 n_chars lesson applied before it
+    # bites).
+    from pyspark.sql import functions as F
+
+    from sbs_suptech_etl_v2_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assert emb.select(F.min(sq).alias("m")).collect()[0]["m"] > 0.0
+
+
 # -- q62 pure-Column counters on degenerate texts --------------------------
 
 
