@@ -149,68 +149,73 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per document: top-token fraction, duplicated-token fraction
     (tokens belonging to types occurring >= 2x), top-bigram fraction -
-    then a conjunctive keep flag. Counting runs as plain explode +
-    partially-aggregated groupBy on (doc_id, token) / (doc_id, bigram):
-    exact integer counts inside whole-stage codegen with map-side
-    combine (the TF shape q25/q102 use), deterministic under any
-    partitioning and any library version. An earlier NumPy
+    then a conjunctive keep flag. Counting is pure Column arithmetic:
+    exact integer counts inside whole-stage codegen, deterministic
+    under any partitioning and any library version. An earlier NumPy
     ``mapInPandas`` kernel computed the same integers but leaned on
     pandas/numpy internals (``factorize``/``reduceat``) that a
     different sandbox can version-skew (round-6 driver RED while
-    bit-exact locally); pure Column arithmetic removes that surface
-    entirely. The per-row O(types x tokens) HOF-counting form stays
-    rejected (the q22/q51 interpreted-HOF lesson) - the bigram ARRAY
-    build is the only HOF here and is O(tokens) per row, map-side.
-    Shuffle volume is the per-doc partial-agg output, never the raw
-    token stream.
+    bit-exact locally); and a first Column version ran tokens and
+    bigrams as separate groupBy branches, re-scanning and re-shuffling
+    the corpus once per branch. The per-row O(types x tokens)
+    HOF-counting form stays rejected (the q22/q51 interpreted-HOF
+    lesson) - the gram ARRAY build is the only HOF here and is
+    O(tokens) per row, map-side.
 
     NULL text propagates NULL counters and fractions (never a
     divide-by-zero under ANSI mode); a single-token document has zero
     bigrams and defines ``top_bigram_frac`` as 0.0.
     """
     docs = table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
-    uni = (
-        base.select("doc_id", F.explode("ws").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").cast("bigint").alias("top_token_n"),
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-            .cast("bigint")
-            .alias("dup_token_n"),
-        )
+    # ONE scan, ONE doc-keyed exchange, ZERO joins: tokens and
+    # adjacent-pair bigrams ride a single tagged gram stream
+    # (kind 1 = token, kind 2 = bigram), hash(doc_id) satisfies
+    # ClusteredDistribution for both the (doc_id, kind, gram) count
+    # and the per-doc rollup (subset-of-keys rule, q96/q105 pattern),
+    # and the rollup derives every counter by conditional aggregation
+    # — so nothing corpus-sized shuffles twice and no doc-grain join
+    # re-broadcasts what one aggregate can carry. explode_outer keeps
+    # NULL-text documents as a NULL-gram row, so their counters stay
+    # NULL without a join-back.
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws")).repartition(
+        "doc_id"
     )
-    # adjacent-pair array zips the token list against itself shifted by
-    # one; sliced lengths match (n-1 each), so zip_with never pads
     bigrams = F.zip_with(
         F.slice(F.col("ws"), 1, F.size("ws") - 1),
         F.slice(F.col("ws"), 2, F.size("ws") - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    bg = (
-        base.filter(F.size("ws") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").cast("bigint").alias("bg_top"))
+    grams = F.concat(
+        F.transform(F.col("ws"), lambda t: F.struct(F.lit(1).alias("kind"), t.alias("gram"))),
+        F.transform(bigrams, lambda b: F.struct(F.lit(2).alias("kind"), b.alias("gram"))),
     )
-    out = (
-        base.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens"))
-        .join(uni, "doc_id", "left")
-        .join(bg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "top_token_n",
-            "dup_token_n",
-            F.when(F.col("n_tokens") >= 2, F.coalesce(F.col("bg_top"), F.lit(0)))
-            .when(F.col("n_tokens").isNotNull(), F.lit(0))
-            .cast("bigint")
-            .alias("top_bigram_n"),
+    exploded = base.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_toks"),
+        F.explode_outer(grams).alias("g"),
+    ).select("doc_id", "n_toks", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "kind", "gram").agg(
+        F.max("n_toks").alias("n_toks"), F.count(F.lit(1)).alias("c")
+    )
+    tok = F.col("kind") == 1
+    out = counts.groupBy("doc_id").agg(
+        F.max("n_toks").alias("n_tokens"),
+        F.max(F.when(tok, F.col("c"))).cast("bigint").alias("top_token_n"),
+        F.when(
+            F.max("n_toks").isNotNull(),
+            F.coalesce(
+                F.sum(F.when(tok & (F.col("c") >= 2), F.col("c"))), F.lit(0)
+            ),
         )
+        .cast("bigint")
+        .alias("dup_token_n"),
+        F.when(
+            F.max("n_toks") >= 2,
+            F.coalesce(F.max(F.when(~tok, F.col("c"))), F.lit(0)),
+        )
+        .when(F.max("n_toks").isNotNull(), F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_n"),
     )
     ttf = F.when(
         F.col("n_tokens") >= 1, F.col("top_token_n") / F.col("n_tokens")

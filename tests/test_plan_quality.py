@@ -165,13 +165,18 @@ def test_q61_contamination_scores_without_shuffling_corpus(spark, sf_dir):
 
 
 def test_q62_repetition_stats_plan(spark, sf_dir):
-    # pure Column counting (round 7): no Python workers anywhere, the
-    # per-key counts partially aggregate before both doc-keyed
-    # exchanges, and the doc-grain joins broadcast at audit scale
+    # pure Column counting (round 7): no Python workers anywhere, ONE
+    # scan and ONE doc-keyed exchange — tokens and bigrams ride a
+    # single tagged gram stream, hash(doc_id) satisfies every
+    # downstream aggregate (subset-of-keys rule), and no join ever
+    # re-broadcasts the doc-grain counters
     plan = _plan(spark, sf_dir, "q62_repetition_stats")
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
-    assert "partial_count" in plan  # map-side combine on (doc, token)
-    assert _keyed_exchanges(plan) <= 4
+    assert _keyed_exchanges(plan) == 1
+    # formatted explain lists each physical node once in the tree and
+    # once in the details — one real scan therefore prints twice
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "source" not in read_schema  # prunes to doc_id + text
 
