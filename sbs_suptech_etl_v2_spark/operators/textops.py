@@ -119,7 +119,11 @@ stats AS (
          CAST(len(ws) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
          CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stopword_ratio,
-         CAST(list_sum(list_transform(ws, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+         -- seeded list_reduce, not list_sum: list_sum is the one list
+         -- aggregate no driver-green oracle exercises (q22/q62 lesson)
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(ws, t -> CAST(length(t) AS BIGINT))),
+              (acc, el) -> acc + el) AS DOUBLE)
            / len(ws) AS mean_token_len,
          CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio
   FROM s
