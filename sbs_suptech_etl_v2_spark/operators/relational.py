@@ -3031,6 +3031,8 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-users-per-day is a tiny (type, day)-keyed rollup, and the
     cumulative curve is a running sum per type over days — state per
     row is a counter, not a user set. Exact integers throughout.
+    Domain: one row per ACTIVE (type, day) — a day with events but no
+    first-time users still reports its (flat) running total.
     """
     ev = table(spark, sf_dir, "events")
     first_day = ev.groupBy("user_id", "event_type").agg(
@@ -3039,12 +3041,26 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_new = first_day.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("bigint").alias("new_users")
     )
+    # the curve's domain is every ACTIVE (type, day), not just days
+    # that happen to be some user's first: a busy day with zero new
+    # users must still report the (flat) running total, or the "by
+    # day" contract silently shrinks to first-appearance days only —
+    # both engines shared that hole, so the parity gate couldn't see
+    # it (the q121 lesson: review the decomposition, not the match)
+    active_days = ev.select(
+        "event_type", F.to_date("ts").alias("day")
+    ).distinct()
+    dense = active_days.join(daily_new, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("new_users"), F.lit(0)).cast("bigint").alias("new_users"),
+    )
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    return daily_new.select(
+    return dense.select(
         "event_type",
         "day",
         "new_users",
@@ -3060,12 +3076,22 @@ WITH first_day AS (
 daily_new AS (
   SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users
   FROM first_day GROUP BY 1, 2
+),
+active_days AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+),
+dense AS (
+  SELECT a.event_type, a.day,
+         CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users
+  FROM active_days a
+  LEFT JOIN daily_new n
+    ON n.event_type = a.event_type AND n.day = a.day
 )
 SELECT event_type, day, new_users,
        CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cumulative_users
-FROM daily_new
+FROM dense
 """
 
 

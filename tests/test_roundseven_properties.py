@@ -171,6 +171,62 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q116 running distinct vs the naive per-day set union ------------------
+
+
+def test_cumulative_distinct_matches_naive_set_union(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        cumulative_distinct_users,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    for day in range(20):
+        for _ in range(rng.randrange(1, 8)):
+            # small user pool so later days are mostly RETURNING users —
+            # the planted case where a day has events but zero new ones
+            # and must still appear with a flat running total
+            rows.append((eid, rng.randrange(6), day, rng.choice(["click", "view"])))
+            eid += 1
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(days=r[2], hours=5) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = _write(tmp_path, "events", tab)
+
+    expect = {}
+    for etype in ("click", "view"):
+        seen: set[int] = set()
+        days = sorted({r[2] for r in rows if r[3] == etype})
+        for day in days:
+            todays = {r[1] for r in rows if r[3] == etype and r[2] == day}
+            new = todays - seen
+            seen |= todays
+            expect[(etype, dt.date(2024, 1, 1) + dt.timedelta(days=day))] = (
+                len(new),
+                len(seen),
+            )
+
+    got = {
+        (r["event_type"], r["day"]): (r["new_users"], r["cumulative_users"])
+        for r in cumulative_distinct_users(spark, sf).collect()
+    }
+    assert got == expect
+    # the planted flat-day case actually occurred (otherwise the test
+    # is vacuous for the domain contract)
+    assert any(n == 0 for n, _ in expect.values())
+
+
 # -- corpus invariant backing the similarity family's norm division --------
 
 
