@@ -171,6 +171,141 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q109 SCD2 islands vs a per-user linear scan ---------------------------
+
+
+def test_scd2_islands_match_linear_scan(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        ACTIVITY_HIGH,
+        ACTIVITY_MED,
+        activity_history_scd2,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for user in range(8):
+        for day in range(15):
+            # bursty counts so level transitions (and 1-day islands)
+            # actually occur, with day GAPS (observed-days contract)
+            if rng.random() < 0.35:
+                continue
+            for _ in range(rng.randrange(1, 8)):
+                rows.append((eid, user, day))
+                eid += 1
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(days=r[2], hours=7) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = _write(tmp_path, "events", tab)
+
+    def level(n):
+        return "high" if n >= ACTIVITY_HIGH else "med" if n >= ACTIVITY_MED else "low"
+
+    expect = set()
+    for user in {r[1] for r in rows}:
+        daily = Counter(r[2] for r in rows if r[1] == user)
+        runs = []
+        for day in sorted(daily):
+            lv = level(daily[day])
+            # a NEW island starts at every level change — day gaps do
+            # NOT split an island (observed-days contract)
+            if runs and runs[-1][0] == lv:
+                runs[-1][1].append(day)
+            else:
+                runs.append([lv, [day]])
+        for island_no, (lv, days) in enumerate(runs, start=1):
+            expect.add(
+                (
+                    user,
+                    island_no,
+                    lv,
+                    dt.date(2024, 1, 1) + dt.timedelta(days=min(days)),
+                    dt.date(2024, 1, 1) + dt.timedelta(days=max(days)),
+                    len(days),
+                    sum(daily[d] for d in days),
+                )
+            )
+    got = {
+        (
+            r["user_id"],
+            r["island"],
+            r["level"],
+            r["valid_from"],
+            r["valid_to"],
+            r["days_observed"],
+            r["total_events"],
+        )
+        for r in activity_history_scd2(spark, sf).collect()
+    }
+    assert got == expect
+
+
+# -- q113 cohort retention vs a per-user transcription ---------------------
+
+
+def test_cohort_retention_matches_transcription(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import cohort_retention
+
+    rng = random.Random(29)
+    rows = []
+    eid = 0
+    for user in range(25):
+        start = rng.randrange(0, 30)
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((eid, user, start + rng.randrange(0, 40)))
+            eid += 1
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(days=r[2], hours=9) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = _write(tmp_path, "events", tab)
+
+    user_weeks = set()
+    for eid_, user, day in rows:
+        user_weeks.add((user, day // 7))  # week index anchored at 2024-01-01
+    cohort = {}
+    for user in {u for u, _ in user_weeks}:
+        cohort[user] = min(w for u, w in user_weeks if u == user)
+    matrix = Counter(
+        (cohort[u], w - cohort[u]) for u, w in user_weeks
+    )
+    expect = {}
+    for (cw, off), n in matrix.items():
+        size = matrix[(cw, 0)]
+        expect[(cw, off)] = (n, size, n / size)
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_users"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in cohort_retention(spark, sf).collect()
+    }
+    assert got == expect
+    # transitions matter: at least one cohort must retain into a later
+    # week, or the offset math is untested
+    assert any(off > 0 for _, off in expect)
+
+
 # -- q116 running distinct vs the naive per-day set union ------------------
 
 
