@@ -171,6 +171,97 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q108 nucleus boundary vs a linear greedy scan -------------------------
+
+
+def test_nucleus_vocab_boundary_matches_greedy(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.textops import (
+        NUCLEUS_DEN,
+        NUCLEUS_NUM,
+        nucleus_vocab,
+    )
+
+    # token masses engineered so the cumulative share lands EXACTLY on
+    # the 9/10 cutoff mid-ranking: total = 20, cum after 'b' = 18 ->
+    # 18/20 == 9/10, so 'c' (mass before it = 18, 18*10 < 9*20 false)
+    # must be EXCLUDED — a float-rounded cutoff gets this wrong in
+    # either direction depending on ulp luck
+    texts_en = ["a"] * 10 + ["b"] * 8 + ["c"] * 1 + ["d"] * 1
+    # and a language where the boundary falls strictly inside a token:
+    # total = 10, cum after 'x' = 8 (8*10 < 90 true -> kept), after 'y'
+    # cum=9, mass-before=8 < 9 -> 'y' kept; 'z' mass-before 9*10=90 not
+    # < 90 -> excluded
+    texts_de = ["x"] * 8 + ["y"] * 1 + ["z"] * 1
+    rows = [("en", t) for t in texts_en] + [("de", t) for t in texts_de]
+    sf = _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "lang": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+    )
+    got = {
+        (r["lang"], r["token"]): (r["c"], r["rank"], r["cum"], r["total"])
+        for r in nucleus_vocab(spark, sf).collect()
+    }
+    assert NUCLEUS_NUM == 9 and NUCLEUS_DEN == 10  # the fixture assumes 9/10
+    assert got == {
+        ("en", "a"): (10, 1, 10, 20),
+        ("en", "b"): (8, 2, 18, 20),
+        ("de", "x"): (8, 1, 8, 10),
+        ("de", "y"): (1, 2, 9, 10),
+    }
+
+
+# -- q118 pair mining vs a per-order double loop ---------------------------
+
+
+def test_part_pair_baskets_match_double_loop(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        BASKET_MIN_SUPPORT,
+        BASKET_TOP,
+        part_pair_baskets,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for order in range(60):
+        parts = rng.sample(range(12), rng.randrange(1, 6))
+        parts.append(parts[0])  # duplicate lineitem: must dedup per order
+        for p in parts:
+            rows.append((order, p))
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+    )
+    support = Counter()
+    for order in {r[0] for r in rows}:
+        parts = sorted({p for o, p in rows if o == order})
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                support[(parts[i], parts[j])] += 1
+    expect = sorted(
+        ((a, b, n) for (a, b), n in support.items() if n >= BASKET_MIN_SUPPORT),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:BASKET_TOP]
+    got = [
+        (r["part_a"], r["part_b"], r["support"])
+        for r in part_pair_baskets(spark, sf).collect()
+    ]
+    assert got == expect
+    assert len(expect) > 2  # fixture produces a real top-k, not a stub
+
+
 # -- q109 SCD2 islands vs a per-user linear scan ---------------------------
 
 
