@@ -171,6 +171,103 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q110 log2 bucketing vs int.bit_length ---------------------------------
+
+
+def test_skew_profile_buckets_match_bit_length(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        join_key_skew_profile,
+    )
+
+    # per-key counts engineered to sit ON and AROUND powers of two —
+    # exactly where a floating log2 misclassifies
+    counts = [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 64, 127, 128]
+    rows = []
+    for key, c in enumerate(counts):
+        rows.extend((key, 0) for _ in range(c))
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+    )
+    expect = {}
+    for c in counts:
+        b = c.bit_length() - 1  # floor(log2(c)) exactly
+        lo, n, tot, hi = expect.get(b, (c, 0, 0, c))
+        expect[b] = (min(lo, c), n + 1, tot + c, max(hi, c))
+    got = {
+        r["log2_bucket"]: (
+            r["min_rows_per_key"],
+            r["n_keys"],
+            r["n_rows"],
+            r["max_rows_per_key"],
+        )
+        for r in join_key_skew_profile(spark, sf).collect()
+    }
+    assert got == expect
+
+
+# -- q112 decay weights vs exact Fraction arithmetic ------------------------
+
+
+def test_decayed_score_matches_exact_fractions(spark, tmp_path):
+    from fractions import Fraction
+
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        DECAY_AGE_CAP,
+        DECAY_HALF_LIFE_WEEKS,
+        decayed_user_score,
+    )
+
+    rng = random.Random(37)
+    rows = []
+    eid = 0
+    horizon = 7 * DECAY_HALF_LIFE_WEEKS * (DECAY_AGE_CAP + 3)
+    for user in range(10):
+        for _ in range(rng.randrange(1, 15)):
+            # quarter-unit values are exact at the decimal(18,6) house
+            # scale, so the whole expectation stays rational
+            rows.append((eid, user, rng.randrange(0, horizon), rng.randrange(0, 400) / 4.0))
+            eid += 1
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(days=r[2], hours=2) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = _write(tmp_path, "events", tab)
+    anchor = max(r[2] for r in rows)
+    expect = {}
+    for eid_, user, day, val in rows:
+        age = min((anchor - day) // (7 * DECAY_HALF_LIFE_WEEKS), DECAY_AGE_CAP)
+        w = 1 << (DECAY_AGE_CAP - age)
+        n, s = expect.get(user, (0, Fraction(0)))
+        expect[user] = (n + 1, s + Fraction(val) * w)
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_score"])
+        for r in decayed_user_score(spark, sf).collect()
+    }
+    assert set(got) == set(expect)
+    for user, (n, s) in expect.items():
+        gn, gs = got[user]
+        assert gn == n
+        # exact rational / 2^CAP narrowed once to double — the engine
+        # must land on the same correctly-rounded value
+        assert gs == float(s / (1 << DECAY_AGE_CAP)), user
+
+
 # -- q108 nucleus boundary vs a linear greedy scan -------------------------
 
 
