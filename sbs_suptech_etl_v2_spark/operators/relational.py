@@ -1832,12 +1832,16 @@ def quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("_sxx").cast("double")
     syy = F.col("_syy").cast("double")
     sxy = F.col("_sxy").cast("double")
+    # corr is undefined when either variance is zero (constant column
+    # in the group): the denominator is exactly 0 there, which RAISES
+    # under Spark's default ANSI mode while DuckDB returns NULL —
+    # guard to NULL on both sides (exact integer moments make the
+    # zero test exact, no epsilon needed)
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     return agg.select(
         "l_returnflag",
         "n_rows",
-        ((n * sxy - sx * sy)
-         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-         ).alias("corr_qty_price"),
+        F.when(denom > 0, (n * sxy - sx * sy) / denom).alias("corr_qty_price"),
         ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
         (F.sqrt(n * sxx - sx * sx) / n).alias("std_qty"),
         (F.sqrt(n * syy - sy * sy) / n).alias("std_price"),
@@ -1856,13 +1860,18 @@ WITH m AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n_rows,
-       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS corr_qty_price,
+       -- NULL when either variance is zero (see the Spark-side guard)
+       CASE WHEN (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+       THEN (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr_qty_price,
        (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS covar_pop,
