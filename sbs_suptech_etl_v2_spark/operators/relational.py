@@ -2515,9 +2515,9 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(x).over(w).cast("bigint").alias("n_trail"),
         F.sum(_dec(x)).over(w).alias("_s1"),
         # decimal(38,4), not (18,4): x^2 passes 1e14 once a day total
-        # exceeds ~1e7, and an overflowing accumulator degrades to
-        # silent NULLs under non-ANSI Spark while DuckDB errors —
-        # the wide accumulator keeps the moment exact at any real scale
+        # exceeds ~1e7, and an overflowing accumulator RAISES under
+        # Spark's default ANSI mode (and errors in DuckDB) — the wide
+        # accumulator keeps the moment exact at any real scale
         F.sum((x * x).cast("decimal(38,4)")).over(w).alias("_s2"),
     )
     n = F.col("n_trail").cast("double")
@@ -3418,6 +3418,14 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 arithmetic; only the reported cusum narrows to double
     (one correctly-rounded division). One user-keyed exchange serves
     the daily aggregate and every window (q96/q105/q109 pattern).
+
+    int64 budget: the scaled deviation d = x·n − Σx stays exact while
+    day_total_micro_units × active_days stays below 2^63 (≈ day totals
+    under ~2.5e9 value units for a 10-year user). Past that budget
+    Spark's default ANSI mode raises loudly rather than wrapping;
+    widen the d/s accumulators to decimal(38,0) on BOTH sides (and
+    route the final narrowing through the string parser, q117-style)
+    when the data demands it.
     """
     ev = table(spark, sf_dir, "events")
     daily = (
