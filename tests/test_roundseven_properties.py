@@ -171,6 +171,64 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q117 Gini vs exact integer rank sums ----------------------------------
+
+
+def test_segment_gini_matches_exact_rank_formula(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        segment_spend_gini,
+    )
+
+    rng = random.Random(41)
+    custs, orders = [], []
+    for ck in range(30):
+        seg = ("BUILDING", "MACHINERY")[ck % 2]
+        custs.append((ck, seg))
+        for _ in range(rng.randrange(1, 5)):
+            # quarter-unit prices are binary-exact, so the decimal(18,4)
+            # quantization is the identity and the expectation stays
+            # a pure integer computation
+            orders.append((ck, rng.randrange(4, 400000) / 4.0))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([c[0] for c in custs], pa.int64()),
+                "c_mktsegment": pa.array([c[1] for c in custs], pa.string()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_totalprice": pa.array([o[1] for o in orders], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+    spend = {}
+    for ck, price in orders:
+        spend[ck] = spend.get(ck, 0) + round(price * 10000)  # exact c4 ints
+    expect = {}
+    for seg in ("BUILDING", "MACHINERY"):
+        ranked = sorted(
+            (spend[ck], ck) for ck, s in custs if s == seg and ck in spend
+        )
+        n = len(ranked)
+        s4 = sum(v for v, _ in ranked)
+        r = sum(v * (2 * i - n - 1) for i, (v, _) in enumerate(ranked, start=1))
+        # mirror the engine's op order exactly: correctly-rounded
+        # int->double conversions, then IEEE multiply and divide
+        expect[seg] = (n, float(s4) / 10000.0, float(r) / (float(n) * float(s4)))
+    got = {
+        r["c_mktsegment"]: (r["n_customers"], r["total_spend"], r["gini"])
+        for r in segment_spend_gini(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
 # -- q110 log2 bucketing vs int.bit_length ---------------------------------
 
 
