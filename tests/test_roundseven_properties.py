@@ -171,6 +171,114 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q102 inverted index vs a Counter build --------------------------------
+
+
+def test_inverted_index_matches_counter_build(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.textops import (
+        POSTING_MIN_DF,
+        inverted_index,
+    )
+
+    rng = random.Random(43)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))
+        for _ in range(40)
+    ]
+    sf = _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+    )
+    tf = Counter()
+    docs_of = {}
+    for did, text in enumerate(texts):
+        for tok in text.split(" "):
+            tf[tok] += 1
+            docs_of.setdefault(tok, set()).add(did)
+    expect = {
+        tok: (
+            tf[tok],
+            len(docs),
+            ",".join(str(d) for d in sorted(docs)),
+        )
+        for tok, docs in docs_of.items()
+        if len(docs) >= POSTING_MIN_DF
+    }
+    got = {
+        r["token"]: (r["term_freq"], r["doc_freq"], r["postings"])
+        for r in inverted_index(spark, sf).collect()
+    }
+    assert got == expect
+
+
+# -- q115 confusion matrix vs an argmax transcription ----------------------
+
+
+def test_langid_confusion_matches_argmax_transcription(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.textops import (
+        LANG_PROFILES,
+        langid_confusion,
+    )
+
+    rng = random.Random(47)
+    langs = sorted(LANG_PROFILES)
+    all_words = [w for ws in LANG_PROFILES.values() for w in ws] + ["x", "y"]
+    rows = []
+    for did in range(80):
+        actual = rng.choice(langs)
+        # bias toward the actual language's profile but leave plenty of
+        # cross-hits and exact TIES (tie goes to the alphabetically
+        # first language — the strict-> comparison contract)
+        words = [rng.choice(LANG_PROFILES[actual]) for _ in range(rng.randrange(0, 4))]
+        words += [rng.choice(all_words) for _ in range(rng.randrange(1, 6))]
+        rng.shuffle(words)
+        rows.append((did, actual, " ".join(words)))
+    sf = _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+    )
+    matrix = Counter()
+    for _, actual, text in rows:
+        toks = text.split(" ")
+        scores = {
+            lang: sum(1 for t in toks if t in LANG_PROFILES[lang]) for lang in langs
+        }
+        pred = langs[0]
+        for lang in langs[1:]:
+            if scores[lang] > scores[pred]:
+                pred = lang
+        matrix[(actual, pred)] += 1
+    expect = {}
+    for (actual, pred), n in matrix.items():
+        n_true = sum(v for (a, _), v in matrix.items() if a == actual)
+        expect[(actual, pred)] = (n, n_true, n / n_true)
+    got = {
+        (r["actual_lang"], r["predicted_lang"]): (
+            r["n"],
+            r["n_true"],
+            r["share"],
+        )
+        for r in langid_confusion(spark, sf).collect()
+    }
+    assert got == expect
+    # ties and misclassifications must actually occur
+    assert any(a != p for a, p in expect)
+
+
 # -- q117 Gini vs exact integer rank sums ----------------------------------
 
 
