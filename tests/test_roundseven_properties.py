@@ -171,6 +171,121 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q54 as-of join vs a per-purchase linear scan --------------------------
+
+
+def _time_join_events(rng: random.Random) -> list[tuple[int, int, int, str]]:
+    """(event_id, user_id, microseconds, type) with planted ties, exact
+    600 s window boundaries, and bucket-edge timestamps."""
+    rows = []
+    eid = 0
+    for user in range(6):
+        for _ in range(rng.randrange(10, 25)):
+            if rng.random() < 0.5:
+                us = rng.randrange(0, 40) * 600_000_000 + rng.choice(
+                    (-1, 0, 1, 600_000_000 - 1)
+                )
+            else:
+                us = rng.randrange(0, 40 * 600_000_000)
+            us = max(us, 0)
+            rows.append((eid, user, us, rng.choice(("click", "purchase", "view"))))
+            eid += 1
+    # planted: tied click timestamps at a purchase instant, and clicks
+    # EXACTLY at the window edge (ts - 600 s qualifies for q68's >=,
+    # and a click AT the purchase ts does NOT — strict <, but DOES
+    # qualify as the q54 as-of match, inclusive <=)
+    t0 = 7 * 600_000_000 + 123
+    rows += [
+        (eid, 0, t0, "purchase"),
+        (eid + 1, 0, t0, "click"),
+        (eid + 2, 0, t0, "click"),  # tie: max event_id must win q54
+        (eid + 3, 0, t0 - 600_000_000, "click"),  # exactly at q68 edge
+    ]
+    return rows
+
+
+def test_purchase_asof_click_matches_linear_scan(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        purchase_asof_click,
+    )
+
+    rng = random.Random(53)
+    rows = _time_join_events(rng)
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(microseconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = _write(tmp_path, "events", tab)
+    expect = {}
+    for eid, user, us, etype in rows:
+        if etype != "purchase":
+            continue
+        cands = [
+            (cus, cid)
+            for cid, cu, cus, ct in rows
+            if ct == "click" and cu == user and cus <= us
+        ]
+        best = max(cands) if cands else None  # latest ts, then max event_id
+        expect[eid] = (best[1] if best else None)
+    got = {
+        r["purchase_event_id"]: r["click_event_id"]
+        for r in purchase_asof_click(spark, sf).collect()
+    }
+    assert got == expect
+    # the tie case resolved to the larger click id
+    tie_purchase = [r[0] for r in rows if r[3] == "purchase" and r[2] == 7 * 600_000_000 + 123]
+    assert got[tie_purchase[0]] == tie_purchase[0] + 2
+
+
+def test_interval_join_matches_double_loop(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        click_purchase_interval_join,
+    )
+
+    rng = random.Random(59)
+    rows = _time_join_events(rng)
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(microseconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = _write(tmp_path, "events", tab)
+    W_US = 600_000_000
+    expect = {}
+    for eid, user, us, etype in rows:
+        if etype != "purchase":
+            continue
+        expect[eid] = sum(
+            1
+            for cid, cu, cus, ct in rows
+            if ct == "click" and cu == user and us - W_US <= cus < us
+        )
+    got = {
+        r["event_id"]: r["clicks_10m"]
+        for r in click_purchase_interval_join(spark, sf).collect()
+    }
+    assert got == expect
+    # boundary cases fired: some purchase counts a click exactly W back
+    assert any(n > 0 for n in expect.values())
+
+
 # -- q102 inverted index vs a Counter build --------------------------------
 
 
