@@ -171,6 +171,75 @@ def test_weighted_sample_matches_ares_and_excludes_zero_weight(spark, tmp_path):
     assert sorted(got) == sorted(expect)
 
 
+# -- q76 sessionized paths vs a linear sessionizer --------------------------
+
+
+def test_session_paths_match_linear_sessionizer(spark, tmp_path):
+    from sbs_suptech_etl_v2_spark.operators.relational import (
+        PATH_TOP_K,
+        SESSION_GAP_MIN,
+        session_event_paths,
+    )
+
+    rng = random.Random(61)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    rows = []
+    eid = 0
+    for user in range(8):
+        t = rng.randrange(0, 10**6)
+        for _ in range(rng.randrange(5, 20)):
+            # plant gaps EXACTLY at the boundary (== keeps the session,
+            # strict > splits) and tied timestamps (event_id orders)
+            roll = rng.random()
+            if roll < 0.2:
+                t += gap_us  # exactly at the gap: same session
+            elif roll < 0.4:
+                t += gap_us + 1  # one microsecond over: new session
+            elif roll < 0.5:
+                t += 0  # tied timestamp
+            else:
+                t += rng.randrange(1, gap_us)
+            rows.append((eid, user, t, rng.choice(("view", "click", "purchase"))))
+            eid += 1
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(microseconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = _write(tmp_path, "events", tab)
+
+    paths = Counter()
+    for user in {r[1] for r in rows}:
+        evs = sorted(
+            (us, eid_, et) for eid_, u, us, et in rows if u == user
+        )
+        cur, prev_us = [], None
+        # gap compares whole SECONDS (epoch arithmetic), not microseconds
+        for us, eid_, et in evs:
+            if prev_us is not None and (us // 1_000_000 - prev_us // 1_000_000) > SESSION_GAP_MIN * 60:
+                paths[">".join(cur)] += 1
+                cur = []
+            cur.append(et)
+            prev_us = us
+        if cur:
+            paths[">".join(cur)] += 1
+    expect = sorted(
+        ((p, n) for p, n in paths.items()), key=lambda t: (-t[1], t[0])
+    )[:PATH_TOP_K]
+    got = [
+        (r["path"], r["n_sessions"]) for r in session_event_paths(spark, sf).collect()
+    ]
+    assert got == expect
+
+
 # -- q54 as-of join vs a per-purchase linear scan --------------------------
 
 
