@@ -10,6 +10,17 @@ sorted, md5 over the canonicalized cell grid — hash equality here
 implies the driver's hash equality for any canonicalization that is a
 function of the same cell values).
 
+Round 8 adds two gates closing the r06/r07 blind spot (VERDICT r07
+"What's wrong" #1/#2 — the q65/q88 driver REDs were HUGEINT oracle
+outputs invisible to a fetchall()-only audit):
+
+* a DESCRIBE-typed gate — every oracle output column's DuckDB type
+  must family-match the Spark schema (HUGEINT is its own family, so
+  an uncast integer SUM always fails locally now);
+* a pandas leg — the oracle re-fetched via fetchdf() must render to
+  the same grid as the fetchall() fetch, exercising the dtype-lossy
+  pandas path (HUGEINT->float64, value-level precision loss > 2^53).
+
 Usage: python parity.py [sf_dir]   (default /root/testdata/sf0.01)
 """
 
@@ -49,6 +60,10 @@ def main() -> int:
 
     import duckdb
 
+    from sbs_suptech_etl_v2_spark.paritycheck import (
+        canon_pandas_cell,
+        type_mismatches,
+    )
     from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
     from sbs_suptech_etl_v2_spark.session import get_spark
 
@@ -66,6 +81,8 @@ def main() -> int:
             "rows_match": None,
             "schema_match": None,
             "hash_match": None,
+            "types_match": None,
+            "pandas_match": None,
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
@@ -87,13 +104,40 @@ def main() -> int:
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')"
                 )
+            # typed gate: oracle output types must family-match Spark
+            desc = con.execute("DESCRIBE " + ORACLE[name]).fetchall()
+            mism = type_mismatches(sdf.schema, desc)
+            entry["types_match"] = not mism
+            if mism:
+                entry["type_mismatches"] = [list(m) for m in mism]
+            dtype_by_col = {r[0]: str(r[1]) for r in desc}
             cur = con.execute(ORACLE[name])
             dcols_raw = [d[0] for d in cur.description]
             idx = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
             dcols = [dcols_raw[i] for i in idx]
+            raw_rows = cur.fetchall()
             drows = sorted(
-                tuple(_canon(r[i]) for i in idx) for r in cur.fetchall()
+                tuple(_canon(r[i]) for i in idx) for r in raw_rows
             )
+            # pandas leg: re-fetch via fetchdf() and require the same
+            # grid as fetchall() under one renderer (dtype-lossy path)
+            pdf = con.execute(ORACLE[name]).fetchdf()
+            types = [dtype_by_col.get(dcols_raw[i], "") for i in idx]
+            prows = sorted(
+                tuple(
+                    canon_pandas_cell(row[i], types[j])
+                    for j, i in enumerate(idx)
+                )
+                for row in pdf.itertuples(index=False, name=None)
+            )
+            frows = sorted(
+                tuple(
+                    canon_pandas_cell(r[i], types[j])
+                    for j, i in enumerate(idx)
+                )
+                for r in raw_rows
+            )
+            entry["pandas_match"] = prows == frows
             con.close()
             entry["oracle_rows"] = len(drows)
             entry["rows_match"] = len(srows) == len(drows)
@@ -113,10 +157,21 @@ def main() -> int:
                         f"CORRECTNESS_local{suffix}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
-    n_ok = sum(1 for e in out.values() if e["hash_match"])
+    n_ok = sum(
+        1
+        for e in out.values()
+        if e["hash_match"]
+        and e["types_match"] is not False
+        and e["pandas_match"] is not False
+    )
     n_no = sum(1 for e in out.values() if e["err"] == "no_oracle")
     n_bad = len(out) - n_ok - n_no
-    print(f"{n_ok} hash-matched, {n_no} no-oracle, {n_bad} failing -> {path}")
+    n_typed = sum(1 for e in out.values() if e["types_match"] is False)
+    n_pd = sum(1 for e in out.values() if e["pandas_match"] is False)
+    print(
+        f"{n_ok} fully matched, {n_no} no-oracle, {n_bad} failing "
+        f"(typed-gate {n_typed}, pandas-leg {n_pd}) -> {path}"
+    )
     spark.stop()
     return 1 if n_bad else 0
 

