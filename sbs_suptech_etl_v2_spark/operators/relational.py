@@ -1792,6 +1792,9 @@ GROUP BY p.user_id, p.purchase_id, p.p_ts
 """
 
 
+_MOMENT_SALTS = 1024  # q94: bigint partial-sum buckets per group
+
+
 def quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (corr / covar_pop / stddev_pop) with EXACT
     moment sums — absent-op coverage for the stats-aggregate family.
@@ -1814,24 +1817,73 @@ def quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp (observed before this scale budget was applied). The moments
     are DEFINED at this quantization (cents for x/y/x²/xy, units for
     y²); scale up the precision budget with the data volume.
+
+    Accumulation is TWO-LEVEL: per (group, salt) partials sum the
+    quantized per-row integers as BIGINT (long adds in the hash-agg
+    buffer — 1.7 s -> 1.2 s at sf0.1 vs five decimal(28) accumulators,
+    which fall off Spark's long-backed update path), then the
+    _MOMENT_SALTS salt partials per group merge as decimal(28,0).
+    Both levels are exact integer arithmetic, so the result is
+    bit-identical to the one-level decimal form at any partitioning.
+    Scale: a salt bucket overflows long only past ~9e18 of unscaled
+    sum (sf0.1 peak: 7.4e14 over 1024 salts); raise _MOMENT_SALTS
+    with volume — under ANSI mode an overflow RAISES rather than
+    corrupting, so the budget is fail-loud. The merge level is
+    |groups| x salts rows — trivial at any scale.
     """
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(x.cast("decimal(18,2)")).alias("_sx"),
-        F.sum(y.cast("decimal(18,2)")).alias("_sy"),
-        F.sum((x * x).cast("decimal(28,2)")).alias("_sxx"),
-        F.sum((y * y).cast("decimal(28,0)")).alias("_syy"),
-        F.sum((x * y).cast("decimal(28,2)")).alias("_sxy"),
+    # quantized per-row integers: decimal cast (HALF_UP on the exact
+    # double expansion, matching the oracle's CAST) then exact *100
+    xc = (x.cast("decimal(18,2)") * 100).cast("bigint")
+    yc = (y.cast("decimal(18,2)") * 100).cast("bigint")
+    xxc = ((x * x).cast("decimal(18,2)") * 100).cast("bigint")
+    yyc = (y * y).cast("decimal(18,0)").cast("bigint")
+    xyc = ((x * y).cast("decimal(18,2)") * 100).cast("bigint")
+    # salt from the two columns the moments already scan (hash of the
+    # value pair spreads 600k rows over 1024 buckets fine at sf0.1 and
+    # prices stay near-unique at any SF) — salting on a key column
+    # would widen the pruned 3-column scan for nothing
+    partial = li.groupBy(
+        "l_returnflag",
+        F.pmod(
+            F.hash("l_quantity", "l_extendedprice"), F.lit(_MOMENT_SALTS)
+        ).alias("_salt"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(xc).alias("_px"),
+        F.sum(yc).alias("_py"),
+        F.sum(xxc).alias("_pxx"),
+        F.sum(yyc).alias("_pyy"),
+        F.sum(xyc).alias("_pxy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+    agg = partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum(dec("_px")).alias("_sx"),
+        F.sum(dec("_py")).alias("_sy"),
+        F.sum(dec("_pxx")).alias("_sxx"),
+        F.sum(dec("_pyy")).alias("_syy"),
+        F.sum(dec("_pxy")).alias("_sxy"),
     )
     n = F.col("n_rows").cast("double")
-    sx = F.col("_sx").cast("double")
-    sy = F.col("_sy").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    syy = F.col("_syy").cast("double")
-    sxy = F.col("_sxy").cast("double")
+
+    # un-quantize: cents sums -> natural units. The division by 100 is
+    # an exact scale shift; re-casting to decimal(28,2) BEFORE the
+    # double cast keeps the unscaled value below 2^53 (the division
+    # result's scale-6 type would put sxy's unscaled at ~2.7e17, where
+    # decimal->double conversion differs in the last ulp between
+    # engines — the _exact_double trap), making the final double the
+    # same correctly-rounded value the one-level decimal form produced.
+    def _cents(col: str):
+        return (F.col(col) / 100).cast("decimal(28,2)").cast("double")
+
+    sx = _cents("_sx")
+    sy = _cents("_sy")
+    sxx = _cents("_sxx")
+    syy = F.col("_syy").cast("decimal(28,0)").cast("double")
+    sxy = _cents("_sxy")
     # corr is undefined when either variance is zero (constant column
     # in the group): the denominator is exactly 0 there, which RAISES
     # under Spark's default ANSI mode while DuckDB returns NULL —
@@ -1993,10 +2045,13 @@ def only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     form Catalyst itself would target: instead of two correlated
     probes per candidate (each a join against the same fact), compute
     per-(order, supplier) lateness ONCE, then derive both existential
-    facts from a single per-order window — ``n_supp > 1`` ⟺ the
-    EXISTS, ``n_late = 1`` (given the candidate is late) ⟺ the NOT
-    EXISTS. One fact-fact shuffle on the order key + one window over
-    the already-partitioned frame replaces two self-joins; the
+    facts from a second per-order AGGREGATE on the same exchange —
+    ``n_supp > 1`` ⟺ the EXISTS, ``n_late = 1`` ⟺ the NOT EXISTS for
+    the late candidate, and ``max(when(late, suppkey))`` recovers that
+    single late supplier without keeping per-supplier rows around. Two
+    chained hash aggregates on one order-key exchange replace two
+    self-joins — and, vs the earlier window form, drop the per-
+    partition SORT a window requires (1.4 s -> 1.2 s at sf0.1); the
     supplier-name lookup is a broadcast. At 100 TB the fact never
     shuffles twice and no candidate row is amplified.
     """
@@ -2019,19 +2074,17 @@ def only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late"))
     )
-    w = W.partitionBy("l_orderkey")
-    flagged = per_supp.select(
-        "l_suppkey",
-        "late",
-        F.count(F.lit(1)).over(w).alias("n_supp"),
-        F.sum(F.col("late").cast("int")).over(w).alias("n_late"),
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .groupBy("l_suppkey")
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sup), F.col("late_supp") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
     )
 
@@ -2813,10 +2866,19 @@ def supplier_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # NO edge-level distinct: (c, s) multiplicity in this graph is
+    # ~1.02 (587k distinct of 600k raw at sf0.1 — a structural TPC-H
+    # constant, SF-independent), so deduping costs a full fact-wide
+    # shuffle to shrink the join input 2%, while the per-round
+    # frontier ``distinct`` below already collapses duplicate
+    # reachments. The orders join broadcasts the key map instead, so
+    # the edge build is now shuffle-free (2.8 s -> 1.6 s end-to-end at
+    # sf0.1). A high-multiplicity graph (parallel edges >> nodes)
+    # should dedup here first — then the shuffle pays for itself in
+    # every round.
     edges = materialize(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
     )
     cust = table(spark, sf_dir, "customer")
     seed = cust.filter(F.col("c_custkey") % BFS_SEED_MOD == 0).select(

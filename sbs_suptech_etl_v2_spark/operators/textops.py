@@ -798,7 +798,17 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition layout, so a bare SUM(double) could flip the 6-decimal
     # rounding (and the top-k cut) between runs — quantizing each term
     # once makes the sum order-free (the q94 discipline); the narrowing
-    # back to double routes through the string parser (_exact_double)
+    # back to double routes through the string parser (_exact_double).
+    # TIE ASSUMPTION (r07 advisor): the double->decimal(28,12) cast is
+    # HALF_UP from the double's EXACT decimal expansion in Spark, and
+    # DuckDB's CAST rounds the same expansion — they could only differ if a
+    # term score's exact expansion landed EXACTLY on a 5 at the 13th
+    # significant decimal, which for these scores (ratios of small
+    # integers times ln()) has no known occurrence; the hash-green
+    # artifacts at sf0.01 AND sf0.1 pin the current corpus. If a future
+    # corpus trips it, pre-round both sides to 12 places explicitly
+    # (F.round / ROUND) before the cast so the rule is pinned rather
+    # than inherited.
     return (
         scored.groupBy("doc_id")
         .agg(

@@ -34,12 +34,14 @@ QUERIES: dict[str, QueryFn] = {
     # Round-8 rotation: slots 1-2 are the two r06/r07 driver-REDs,
     # whose oracles gained the HUGEINT->BIGINT output casts this round
     # (the registry's only two HUGEINT-typed oracle outputs — see
-    # paritycheck.py); slots 3-4 are q94/q95, whose source changed in
-    # round 7 AFTER the archived verdicts without re-entering a window
-    # (round-7 ADVICE); slots 5-29 are q26-q50, the stalest archived
-    # block (last driver-verified r02-r05, and q26's oracle changed in
-    # round 7); slots 30-50 backfill with q51-q73 (r06 verdicts).
-    # Everything else keeps its r06/r07 green rows;
+    # paritycheck.py); slots 3-5 are this round's plan rewrites
+    # (q94 salted bigint moments, q96 window->agg-chain, q111 edge
+    # build) — a changed query must re-earn its verdict the same
+    # round; slot 6 is q95, changed in round 7 AFTER the archived
+    # verdicts (round-7 ADVICE); slots 7-31 are q26-q50, the stalest
+    # archived block (last driver-verified r02-r05, and q26's oracle
+    # changed in round 7); slots 32-50 backfill with q51-q71 (r06
+    # verdicts). Everything else keeps its r06/r07 green rows;
     # CORRECTNESS_local[_sf0.1].json carries the full registry every
     # round. Numeric order carries no semantic meaning; ORACLE stays
     # sorted for readability and tests iterate the full dict.
@@ -47,7 +49,9 @@ QUERIES: dict[str, QueryFn] = {
     # ------------------------------------------------------------------
     "q65_sequence_packing": X5.sequence_packing,  # r06/r07 driver-RED; pack_tokens HUGEINT cast (round 8)
     "q88_scene_segments": X3.scene_segments,  # r06/r07 driver-RED; scene_id HUGEINT cast (round 8)
-    "q94_quantity_price_stats": R.quantity_price_stats,  # moments kernel changed r07 (corr guard) after archives
+    "q94_quantity_price_stats": R.quantity_price_stats,  # two-level salted bigint moments (round 8)
+    "q96_only_late_supplier": R.only_late_supplier,  # window -> agg-chain rewrite (round 8)
+    "q111_supplier_hops_bfs": R.supplier_hops_bfs,  # edge-distinct dropped (round 8)
     "q95_calendar_resample": R.order_calendar_resample,  # grid rewrite r07 after archives
     "q26_text_stats": X4.text_stats,  # oracle changed r07 (list_sum removal) after archives
     "q27_token_topk": X4.token_topk,
@@ -93,8 +97,6 @@ QUERIES: dict[str, QueryFn] = {
     "q69_status_pivot": R.status_priority_pivot,
     "q70_brand_argmax": R.top_brand_per_size,
     "q71_kmeans_update": X2.kmeans_update,
-    "q72_status_unpivot": R.status_counts_unpivot,
-    "q73_order_calendar": R.order_calendar,
     # -- beyond the 50-entry prefix ------------------------------------
     "q01_pricing_summary": R.pricing_summary,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
@@ -122,6 +124,8 @@ QUERIES: dict[str, QueryFn] = {
     "q24_topk_cosine": X2.topk_cosine,
     "q25_embedding_neardup": X2.embedding_neardup,
     "q62_repetition_stats": X5.repetition_stats,
+    "q72_status_unpivot": R.status_counts_unpivot,
+    "q73_order_calendar": R.order_calendar,
     "q74_edit_distance": X1.variant_edit_distance,
     "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
     "q76_session_paths": R.session_event_paths,
@@ -141,7 +145,6 @@ QUERIES: dict[str, QueryFn] = {
     "q91_unigram_surprisal": X4.unigram_surprisal,
     "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
     "q93_semantic_dedup": X2.semantic_dedup,
-    "q96_only_late_supplier": R.only_late_supplier,
     "q97_weighted_sample": X5.weighted_sample,
     "q98_user_snapshot_diff": R.user_snapshot_diff,
     "q99_bigram_pmi": X4.bigram_pmi,
@@ -156,7 +159,6 @@ QUERIES: dict[str, QueryFn] = {
     "q108_nucleus_vocab": X4.nucleus_vocab,
     "q109_activity_history_scd2": R.activity_history_scd2,
     "q110_join_key_skew_profile": R.join_key_skew_profile,
-    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
     "q112_decayed_user_score": R.decayed_user_score,
     "q113_cohort_retention": R.cohort_retention,
     "q114_bm25_retrieval": X4.bm25_retrieval,

@@ -17,6 +17,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half of the host's available memory, clamped to [4g, 24g].
+
+    A fixed 24g default failed to launch the JVM on hosts with less
+    than ~24 GiB; deriving from /proc/meminfo keeps the bench box at
+    its measured-good 24g while small machines still start. Falls
+    back to 4g where /proc/meminfo is unreadable (non-Linux).
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "sbs_suptech_etl_v2_spark",
     master: str | None = None,
@@ -62,9 +81,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode puts driver + executors in ONE JVM: the heap holds
         # every localCheckpoint block alive across a 121-query suite,
-        # so 8g left the tail queries GC-bound; 24g is still <20% of
-        # the 128 GiB box. On a real cluster the submit conf overrides.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # so 8g left the tail queries GC-bound. Default derives from
+        # the HOST's available memory (half of MemAvailable, clamped
+        # to [4g, 24g]) so the JVM still launches on small machines —
+        # on the 128 GiB bench box this resolves to the measured-good
+        # 24g. SPARK_GRAFT_DRIVER_MEM overrides; on a real cluster the
+        # submit conf does.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     # env-injected conf (JSON object) — lets bench/ops experiments flip
     # engine settings without code edits; explicit extra_conf wins

@@ -103,10 +103,21 @@ def merge_metadata(
     ``update_item`` loop is per-item atomic; the set-oriented swap
     yields the same observable state transition (every matched row
     merged, every unmatched row inserted) in one commit, atomic
-    against crash-before-rename. On a transactional lake format
-    (Delta/Iceberg) the identical plan feeds ``MERGE INTO`` instead of
-    the swap, adding snapshot isolation for concurrent readers; that
-    packaging is deployment wiring, not operator semantics, so it
+    against crash-before-rename.
+
+    CONCURRENCY CONTRACT (read before deploying next to live readers):
+    the swap is NOT snapshot-isolated — between the ``rmtree`` of the
+    old directory and the ``rename`` of the new one there is a window
+    in which a concurrent reader sees a missing table, and a reader
+    that listed files before the swap can fail mid-scan afterwards.
+    Single-writer, no-concurrent-reader is the assumed regime (the
+    batch-pipeline shape of the reference, where the merge runs in an
+    exclusive stage); anything else needs external coordination — a
+    lock, a readers-drain barrier, or a pointer-indirection layout
+    (write versioned dirs, flip a manifest). On a transactional lake
+    format (Delta/Iceberg) the identical plan feeds ``MERGE INTO``
+    instead of the swap, which restores per-commit snapshot isolation;
+    that packaging is deployment wiring, not operator semantics, so it
     lives outside this repo (the package is unavailable here and a
     shipped-but-unrunnable path would be a stub).
     """

@@ -422,15 +422,20 @@ def test_q93_semantic_dedup_shares_q50_plan_family(spark, sf_dir):
     assert _keyed_exchanges(plan) <= 8
 
 
-def test_q94_stats_is_one_mapside_combined_aggregate(spark, sf_dir):
-    # five exact decimal moments + count in ONE hash aggregate with
-    # map-side partial combine: exactly one keyed exchange on the
-    # 3-value group key, statistics derived in a post-projection
+def test_q94_stats_is_two_level_salted_aggregate(spark, sf_dir):
+    # exact integer moments in TWO chained hash aggregates, both
+    # map-side combined: the fact-sized level sums quantized BIGINTs
+    # per (group, salt) — long adds in the agg buffer, not decimal —
+    # and the |groups| x salts merge level sums decimal(28,0). Exactly
+    # two keyed exchanges (fact -> salt partials -> group), statistics
+    # derived in a post-projection; the scan stays 3-column pruned
+    # (the salt hashes columns the moments already read).
     plan = _plan(spark, sf_dir, "q94_quantity_price_stats")
-    assert _keyed_exchanges(plan) == 1
+    assert _keyed_exchanges(plan) == 2
     assert "SinglePartition" not in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "l_comment" not in read_schema  # 3-column pruned scan
+    assert "l_orderkey" not in read_schema  # salt must not widen it
     assert "l_quantity" in read_schema
 
 
@@ -470,14 +475,15 @@ def test_monotonic_id_bit_layout(spark):
         assert r.lo == 0 and r.hi == r.n - 1, r
 
 
-def test_q96_one_fact_partitioning_serves_agg_and_window(spark, sf_dir):
-    # the repartition(l_orderkey) exchange must satisfy the
-    # (l_orderkey, l_suppkey) aggregate AND the per-order window
-    # (subset-of-grouping-keys rule) — a plan where either re-shuffles
-    # the fact has silently regressed. Keyed exchanges: the fact
+def test_q96_one_fact_partitioning_serves_both_aggregates(spark, sf_dir):
+    # the repartition(l_orderkey) exchange must satisfy BOTH chained
+    # aggregates — (l_orderkey, l_suppkey) then (l_orderkey), the
+    # subset-of-grouping-keys rule — and no window (a window would
+    # re-introduce a per-partition sort). Keyed exchanges: the fact
     # partitioning + the final per-supplier aggregate only.
     plan = _plan(spark, sf_dir, "q96_only_late_supplier")
     assert _keyed_exchanges(plan) <= 2
+    assert "Window" not in plan
     assert "BroadcastHashJoin" in plan  # supplier-name lookup
 
 
