@@ -40,22 +40,52 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Covers filter pushdown (F-class), hash aggregation with partial
     (map-side) combine (G-class absent-ops), and derived averages.
-    One shuffle on the 2-value group key; at 100 TB the map-side
-    partial agg reduces the shuffle to |groups|×|partitions| rows.
+    One fact-sized shuffle on the salted group key; at 100 TB the
+    map-side partial agg reduces that shuffle to |groups| × salts ×
+    |partitions| rows.
+
+    Accumulation is the q94 two-level salted shape: per-row values
+    quantize once through the decimal cast (HALF_UP on the exact
+    double expansion — identical to the oracle's CAST), the quantized
+    integers sum as BIGINT per (group, salt) — long adds in the agg
+    buffer instead of four decimal(28) accumulators — and the salt
+    partials merge as decimal(28,0). The merge result is re-cast to
+    the exact (precision, scale) the one-level decimal sums produced,
+    so every output double is bit-identical to the flat form.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
-    agg = (
+    q4 = (_dec(F.col("l_quantity"), 4) * 10000).cast("bigint")
+    b4 = (_dec(F.col("l_extendedprice"), 4) * 10000).cast("bigint")
+    d6 = (_dec(disc_price) * 1000000).cast("bigint")
+    c6 = (_dec(charge) * 1000000).cast("bigint")
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec(F.col("l_quantity"), 4)).alias("_sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"), 4)).alias("_sum_base"),
-            F.sum(_dec(disc_price)).alias("_sum_disc"),
-            F.sum(_dec(charge)).alias("_sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            # salt over columns the aggregate already reads — never
+            # widen the pruned scan for the salt
+            F.pmod(
+                F.hash("l_extendedprice", "l_quantity"), F.lit(_MOMENT_SALTS)
+            ).alias("_salt"),
         )
+        .agg(
+            F.sum(q4).alias("_pq"),
+            F.sum(b4).alias("_pb"),
+            F.sum(d6).alias("_pd"),
+            F.sum(c6).alias("_pc"),
+            F.count(F.lit(1)).alias("_pn"),
+        )
+    )
+    dec0 = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+    agg = partial.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(dec0("_pq")) / 10000).cast("decimal(28,4)").alias("_sum_qty"),
+        (F.sum(dec0("_pb")) / 10000).cast("decimal(28,4)").alias("_sum_base"),
+        (F.sum(dec0("_pd")) / 1000000).cast("decimal(28,6)").alias("_sum_disc"),
+        (F.sum(dec0("_pc")) / 1000000).cast("decimal(28,6)").alias("_sum_charge"),
+        F.sum("_pn").alias("count_order"),
     )
     return agg.select(
         "l_returnflag",
@@ -230,8 +260,16 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # per-row micros quantize once via the decimal cast (same HALF_UP
+    # as the oracle), then the fact-sized per-order aggregate sums
+    # BIGINT — long adds instead of a decimal(28,6) accumulator (the
+    # q94 discipline; per-order micros are basket-bounded, no salt
+    # needed). The nation-level merge re-sums as decimal and re-casts
+    # to the decimal(38,6) the flat form produced, so the output
+    # doubles are bit-identical.
+    rev_micros = (_dec(revenue) * 1000000).cast("bigint")
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(_dec(revenue)).alias("_rev"),
+        F.sum(rev_micros).alias("_rev_u"),
         F.count(F.lit(1)).alias("_items"),
     )
     return (
@@ -241,7 +279,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("_rev").cast("double").alias("revenue"),
+            (F.sum(F.col("_rev_u").cast("decimal(28,0)")) / 1000000)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("revenue"),
             F.sum("_items").alias("n_items"),
         )
     )

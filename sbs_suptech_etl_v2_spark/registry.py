@@ -52,6 +52,8 @@ QUERIES: dict[str, QueryFn] = {
     "q94_quantity_price_stats": R.quantity_price_stats,  # two-level salted bigint moments (round 8)
     "q96_only_late_supplier": R.only_late_supplier,  # window -> agg-chain rewrite (round 8)
     "q111_supplier_hops_bfs": R.supplier_hops_bfs,  # edge-distinct dropped (round 8)
+    "q01_pricing_summary": R.pricing_summary,  # salted bigint sums (round 8)
+    "q06_revenue_by_nation": R.revenue_by_nation,  # bigint micros per-order agg (round 8)
     "q95_calendar_resample": R.order_calendar_resample,  # grid rewrite r07 after archives
     "q26_text_stats": X4.text_stats,  # oracle changed r07 (list_sum removal) after archives
     "q27_token_topk": X4.token_topk,
@@ -95,15 +97,13 @@ QUERIES: dict[str, QueryFn] = {
     "q67_acctbal_deciles": R.acctbal_deciles,
     "q68_interval_join": R.click_purchase_interval_join,
     "q69_status_pivot": R.status_priority_pivot,
+    # -- beyond the 50-entry prefix ------------------------------------
     "q70_brand_argmax": R.top_brand_per_size,
     "q71_kmeans_update": X2.kmeans_update,
-    # -- beyond the 50-entry prefix ------------------------------------
-    "q01_pricing_summary": R.pricing_summary,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
     "q04_semi_join_open_orders": R.customers_with_open_orders,
     "q05_anti_join_no_orders": R.customers_without_orders,
-    "q06_revenue_by_nation": R.revenue_by_nation,
     "q07_branch_union": R.order_branches_union,
     "q08_priority_rollup": R.order_priority_rollup,
     "q09_distinct_agg": R.supplier_distinct_parts,
