@@ -47,6 +47,17 @@ QUERIES_UNDER_TEST = [
     "q114_bm25_retrieval",
     # round 7: pure-Column repetition counting replaced the NumPy kernel
     "q62_repetition_stats",
+    # round 8: the salted/bigint two-level accumulators — the salt
+    # buckets and the bigint->decimal merge must not move the output
+    # doubles with the layout (they are exact integer sums at every
+    # level, so any difference is a bug in the quantization)
+    "q94_quantity_price_stats",
+    "q01_pricing_summary",
+    "q06_revenue_by_nation",
+    # round 8: q96's window -> chained-aggregate rewrite (the lone
+    # late supplier must come out of max(when(...)) identically at
+    # any partitioning)
+    "q96_only_late_supplier",
 ]
 
 
