@@ -61,7 +61,7 @@ def main() -> int:
     import duckdb
 
     from sbs_suptech_etl_v2_spark.paritycheck import (
-        canon_pandas_cell,
+        canon_grid,
         type_mismatches,
     )
     from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
@@ -99,46 +99,41 @@ def main() -> int:
                 out[name] = entry
                 continue
             con = duckdb.connect()
-            for t in tables:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')"
+            try:
+                for t in tables:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')"
+                    )
+                # typed gate: oracle output types must family-match
+                # the Spark schema
+                desc = con.execute("DESCRIBE " + ORACLE[name]).fetchall()
+                mism = type_mismatches(sdf.schema, desc)
+                entry["types_match"] = not mism
+                if mism:
+                    entry["type_mismatches"] = [list(m) for m in mism]
+                dtype_by_col = {r[0]: str(r[1]) for r in desc}
+                cur = con.execute(ORACLE[name])
+                dcols_raw = [d[0] for d in cur.description]
+                idx = sorted(
+                    range(len(dcols_raw)), key=lambda i: dcols_raw[i]
                 )
-            # typed gate: oracle output types must family-match Spark
-            desc = con.execute("DESCRIBE " + ORACLE[name]).fetchall()
-            mism = type_mismatches(sdf.schema, desc)
-            entry["types_match"] = not mism
-            if mism:
-                entry["type_mismatches"] = [list(m) for m in mism]
-            dtype_by_col = {r[0]: str(r[1]) for r in desc}
-            cur = con.execute(ORACLE[name])
-            dcols_raw = [d[0] for d in cur.description]
-            idx = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
-            dcols = [dcols_raw[i] for i in idx]
-            raw_rows = cur.fetchall()
-            drows = sorted(
-                tuple(_canon(r[i]) for i in idx) for r in raw_rows
-            )
-            # pandas leg: re-fetch via fetchdf() and require the same
-            # grid as fetchall() under one renderer (dtype-lossy path)
-            pdf = con.execute(ORACLE[name]).fetchdf()
-            types = [dtype_by_col.get(dcols_raw[i], "") for i in idx]
-            prows = sorted(
-                tuple(
-                    canon_pandas_cell(row[i], types[j])
-                    for j, i in enumerate(idx)
+                dcols = [dcols_raw[i] for i in idx]
+                raw_rows = cur.fetchall()
+                drows = sorted(
+                    tuple(_canon(r[i]) for i in idx) for r in raw_rows
                 )
-                for row in pdf.itertuples(index=False, name=None)
-            )
-            frows = sorted(
-                tuple(
-                    canon_pandas_cell(r[i], types[j])
-                    for j, i in enumerate(idx)
-                )
-                for r in raw_rows
-            )
-            entry["pandas_match"] = prows == frows
-            con.close()
+                # pandas leg: re-fetch via fetchdf() and require the
+                # same grid as fetchall() under one renderer (the
+                # dtype-lossy path)
+                pdf = con.execute(ORACLE[name]).fetchdf()
+                entry["pandas_match"] = canon_grid(
+                    dcols_raw,
+                    pdf.itertuples(index=False, name=None),
+                    dtype_by_col,
+                ) == canon_grid(dcols_raw, raw_rows, dtype_by_col)
+            finally:
+                con.close()
             entry["oracle_rows"] = len(drows)
             entry["rows_match"] = len(srows) == len(drows)
             entry["schema_match"] = scols == dcols

@@ -2105,9 +2105,10 @@ def only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Partition the joined fact ONCE on the order key: HashPartitioning
     # on a subset of the grouping keys satisfies the (l_orderkey,
-    # l_suppkey) aggregate AND the per-order window below, so the agg
-    # and the window both reuse this single exchange instead of each
-    # planning their own (verified by the plan guard).
+    # l_suppkey) aggregate AND the per-order aggregate below, so both
+    # reuse this single exchange instead of each planning their own
+    # (verified by the plan guard, which also pins that no window —
+    # and therefore no per-partition sort — appears in the plan).
     per_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("l_orderkey", "l_suppkey", late.alias("late"))
@@ -2912,11 +2913,13 @@ def supplier_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant, SF-independent), so deduping costs a full fact-wide
     # shuffle to shrink the join input 2%, while the per-round
     # frontier ``distinct`` below already collapses duplicate
-    # reachments. The orders join broadcasts the key map instead, so
-    # the edge build is now shuffle-free (2.8 s -> 1.6 s end-to-end at
-    # sf0.1). A high-multiplicity graph (parallel edges >> nodes)
-    # should dedup here first — then the shuffle pays for itself in
-    # every round.
+    # reachments (2.8 s -> 1.6 s end-to-end at sf0.1, where AQE
+    # additionally broadcasts the orders key map so the edge build
+    # runs shuffle-free; at a scale where orders no longer
+    # broadcasts, the build pays its one orderkey shuffle either way
+    # and dropping the distinct still removes a second one). A
+    # high-multiplicity graph (parallel edges >> nodes) should dedup
+    # here first — then the shuffle pays for itself in every round.
     edges = materialize(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))

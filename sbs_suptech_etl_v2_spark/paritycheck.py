@@ -119,6 +119,24 @@ def type_mismatches(spark_schema, describe_rows) -> list[tuple[str, str, str]]:
     return out
 
 
+def canon_grid(
+    cols: list[str], rows, duck_types: dict[str, str]
+) -> list[tuple[str, ...]]:
+    """Sorted canonical grid over any row iterable (fetchall tuples or
+    ``itertuples`` rows), rendering every cell with
+    :func:`canon_pandas_cell` under the column's DESCRIBE type.
+
+    The single definition both parity harnesses and the gate tests
+    share — the rendering rules live in ONE place, so the fetchall and
+    fetchdf legs cannot silently diverge from each other.
+    """
+    types = [duck_types.get(c, "") for c in cols]
+    return sorted(
+        tuple(canon_pandas_cell(row[i], types[i]) for i in range(len(cols)))
+        for row in rows
+    )
+
+
 def canon_pandas_cell(v, duck_type: str) -> str:
     """Render one fetchdf() cell with the parity string rules.
 

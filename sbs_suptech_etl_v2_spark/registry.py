@@ -34,14 +34,16 @@ QUERIES: dict[str, QueryFn] = {
     # Round-8 rotation: slots 1-2 are the two r06/r07 driver-REDs,
     # whose oracles gained the HUGEINT->BIGINT output casts this round
     # (the registry's only two HUGEINT-typed oracle outputs — see
-    # paritycheck.py); slots 3-5 are this round's plan rewrites
+    # paritycheck.py); slots 3-7 are this round's plan rewrites
     # (q94 salted bigint moments, q96 window->agg-chain, q111 edge
-    # build) — a changed query must re-earn its verdict the same
-    # round; slot 6 is q95, changed in round 7 AFTER the archived
-    # verdicts (round-7 ADVICE); slots 7-31 are q26-q50, the stalest
-    # archived block (last driver-verified r02-r05, and q26's oracle
-    # changed in round 7); slots 32-50 backfill with q51-q71 (r06
-    # verdicts). Everything else keeps its r06/r07 green rows;
+    # build, q01/q06 salted-bigint accumulators) — a changed query
+    # must re-earn its verdict the same round; slot 8 is q95, changed
+    # in round 7 AFTER the archived verdicts (round-7 ADVICE); slots
+    # 9-33 are q26-q50, the stalest archived block (last
+    # driver-verified r02-r05, and q26's oracle changed in round 7);
+    # slots 34-50 backfill with q51-q69 (r06 verdicts; q70/q71 fell
+    # beyond the prefix this round and stay on their r06 verdicts).
+    # Everything else keeps its r06/r07 green rows;
     # CORRECTNESS_local[_sf0.1].json carries the full registry every
     # round. Numeric order carries no semantic meaning; ORACLE stays
     # sorted for readability and tests iterate the full dict.

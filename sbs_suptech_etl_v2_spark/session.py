@@ -31,8 +31,8 @@ def _default_driver_mem() -> str:
                 if line.startswith("MemAvailable:"):
                     avail_gb = int(line.split()[1]) // (1024 * 1024)
                     return f"{max(4, min(24, avail_gb // 2))}g"
-    except OSError:
-        pass
+    except (OSError, ValueError, IndexError):
+        pass  # unreadable or malformed meminfo -> conservative floor
     return "4g"
 
 

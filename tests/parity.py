@@ -16,10 +16,7 @@ from decimal import Decimal
 import duckdb
 
 from sbs_suptech_etl_v2_spark.io import TABLES
-from sbs_suptech_etl_v2_spark.paritycheck import (
-    canon_pandas_cell,
-    type_mismatches,
-)
+from sbs_suptech_etl_v2_spark.paritycheck import canon_grid, type_mismatches
 
 
 def _canon_value(v) -> str:
@@ -54,8 +51,19 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[t
 
 
 def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
-    cols, rows, _desc, _pgrid = run_oracle_full(sql, sf_dir)
-    return cols, rows
+    """Single-fetch oracle run (no gate legs) for callers that only
+    need the values."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    finally:
+        con.close()
 
 
 def run_oracle_full(
@@ -80,10 +88,8 @@ def run_oracle_full(
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
         pdf = con.execute(sql).fetchdf()
-        types = [dtype_by_col.get(c, "") for c in cols]
-        pgrid = sorted(
-            tuple(canon_pandas_cell(row[i], types[i]) for i in range(len(cols)))
-            for row in pdf.itertuples(index=False, name=None)
+        pgrid = canon_grid(
+            cols, pdf.itertuples(index=False, name=None), dtype_by_col
         )
         return cols, rows, desc, pgrid
     finally:
@@ -99,13 +105,7 @@ def assert_parity(spark, query_fn, sql: str, sf_dir: str, name: str = "?") -> No
         f"{name}: oracle/engine output TYPE mismatch (col, spark, duckdb): {mism}"
     )
     dtype_by_col = {r[0]: str(r[1]) for r in desc}
-    fgrid = sorted(
-        tuple(
-            canon_pandas_cell(r[i], dtype_by_col.get(o_cols[i], ""))
-            for i in range(len(o_cols))
-        )
-        for r in o_rows
-    )
+    fgrid = canon_grid(o_cols, o_rows, dtype_by_col)
     assert pgrid == fgrid, (
         f"{name}: oracle fetchdf() leg diverges from fetchall() — "
         f"dtype-lossy pandas path; first diffs: "

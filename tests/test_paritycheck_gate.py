@@ -23,6 +23,7 @@ import pytest
 from pyspark.sql import types as T
 
 from sbs_suptech_etl_v2_spark.paritycheck import (
+    canon_grid,
     canon_pandas_cell,
     duckdb_family,
     spark_family,
@@ -64,14 +65,6 @@ def test_family_mapping_covers_registry_surface():
     ]
     for sdt, ddt in pairs:
         assert spark_family(sdt) == duckdb_family(ddt), (sdt, ddt)
-
-
-def _grid_via_fetchall(cur_desc, rows):
-    types = [str(d[1]) for d in cur_desc]
-    return sorted(
-        tuple(canon_pandas_cell(r[i], types[i]) for i in range(len(r)))
-        for r in rows
-    )
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -118,16 +111,9 @@ def test_fetchdf_and_fetchall_render_identically(seed):
     types = {r[0]: str(r[1]) for r in desc_rows}
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
-    fetched = cur.fetchall()
-    fgrid = sorted(
-        tuple(canon_pandas_cell(r[i], types[cols[i]]) for i in range(len(cols)))
-        for r in fetched
-    )
+    fgrid = canon_grid(cols, cur.fetchall(), types)
     pdf = con.execute(sql).fetchdf()
-    pgrid = sorted(
-        tuple(canon_pandas_cell(row[i], types[cols[i]]) for i in range(len(cols)))
-        for row in pdf.itertuples(index=False, name=None)
-    )
+    pgrid = canon_grid(cols, pdf.itertuples(index=False, name=None), types)
     con.close()
     assert pgrid == fgrid
 
