@@ -1724,8 +1724,20 @@ def cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         bucket, "user_id", F.col("ts").alias("c_ts")
     )
+    # The explicit self-alias on user_id is LOAD-BEARING: both cogroup
+    # sides derive from the same cached DataFrame, and a pass-through
+    # (unaliased) column resolves to the SAME attribute id on both
+    # sides. Spark's DeduplicateRelations then re-aliases the right
+    # child while the FlatMapCoGroupsInPandas argument list keeps the
+    # left side's id — under a count-only (column-pruned) plan the
+    # right child silently DROPS its user_id and the kernel crashes
+    # with KeyError (observed on Spark 4.1: collect() fine, count()
+    # broken). The alias mints a fresh attribute id for the right
+    # side, so nothing is shared and every plan shape keeps the
+    # column. Regression-pinned by test_q89_survives_count_only_plan.
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        bucket, "user_id", F.col("event_id").alias("purchase_id"),
+        bucket, F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
     )
 

@@ -118,7 +118,11 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast and shuffle-join on the bucket key instead.
     """
     emb = table(spark, sf_dir, "embeddings")
-    vecs = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
+    # zero-norm vectors are excluded on both engines — cosine is
+    # undefined for them and ANSI division raises (see _unit)
+    vecs = spread(
+        emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
     queries = vecs.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0)
         & (F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES)
@@ -129,9 +133,14 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
-                "score"
-            ),
+            # when()-guard against predicate-fusion evaluating the
+            # division before the zero-norm filter (see _unit); the
+            # filter guarantees the denominator is positive for every
+            # surviving row, so values are unchanged
+            _let(
+                _norm(F.col("q")) * _norm(F.col("v")),
+                lambda d: F.when(d > 0, _dot(F.col("q"), F.col("v")) / d),
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
@@ -145,6 +154,7 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOPK_COSINE_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {_sql_dot('CAST(embedding AS DOUBLE[])', 'CAST(embedding AS DOUBLE[])')} > 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -168,15 +178,32 @@ ANN_TOP_K = 5
 
 
 def _unit(vecs: DataFrame) -> DataFrame:
-    # bind the norm ONCE per row: a bare transform(v, x -> x/_norm(v))
+    # Zero-norm (dead/padding) vectors are DROPPED, not divided: a
+    # zero embedding has no direction, and under ANSI mode x/0.0
+    # RAISES at runtime — at corpus scale a dead vector is a
+    # certainty, and one row must not kill the stage (round-8
+    # adversarial sweep: every query through this helper crashed on a
+    # single zero vector). dot(v,v) > 0 is the exact, sqrt-free test;
+    # every oracle's unit CTE carries the same WHERE so both engines
+    # retrieve over the identical live-vector set.
+    #
+    # Bind the norm ONCE per row: a bare transform(v, x -> x/_norm(v))
     # re-folds the 64-element norm for every element (O(d²) per row —
     # CollapseProject inlines the norm into each lambda use). Value is
     # identical, so the oracle's plain x/sqrt(dot) form still matches.
-    return vecs.select(
+    #
+    # The division itself is additionally when()-guarded: Catalyst can
+    # fuse this projection into a downstream predicate as a common
+    # subexpression that evaluates BEFORE the zero-norm filter removes
+    # the row (observed: DIVIDE_BY_ZERO raised from inside a generated
+    # SpecificPredicate), so the filter alone is not enough. when() is
+    # lazy — dead rows yield null elements and are filtered, surviving
+    # rows divide by a provably-positive norm, bit-identically.
+    return vecs.filter(_dot(F.col("v"), F.col("v")) > 0).select(
         "vec_id",
         _let(
             _norm(F.col("v")),
-            lambda n: F.transform(F.col("v"), lambda x: x / n),
+            lambda n: F.transform(F.col("v"), lambda x: F.when(n > 0, x / n)),
         ).alias("u"),
         "v",
     )
@@ -256,6 +283,7 @@ unit AS (
   SELECT vec_id, v,
          list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
   FROM vecs
+  WHERE {_sql_dot('v', 'v')} > 0  -- zero-norm vectors excluded (see _unit)
 ),
 banded AS (
 {banded}
@@ -350,6 +378,7 @@ WITH vecs AS (
 unit AS (
   SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
   FROM vecs
+  WHERE {_sql_dot('v', 'v')} > 0  -- zero-norm vectors excluded (see _unit)
 ),
 centroids AS (
   SELECT vec_id AS cent_id, u AS uc FROM unit
@@ -479,6 +508,7 @@ unit AS (
   SELECT vec_id, v,
          list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
   FROM corpus
+  WHERE {_sql_dot('v', 'v')} > 0  -- zero-norm vectors excluded (see _unit)
 ),
 banded AS (
 {_BANDED_UNION}
@@ -574,6 +604,7 @@ unit AS (
   SELECT vec_id, v,
          list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
   FROM vecs
+  WHERE {_sql_dot('v', 'v')} > 0  -- zero-norm vectors excluded (see _unit)
 ),
 queries AS (
   SELECT vec_id AS query_id, u AS uq FROM unit
@@ -790,6 +821,7 @@ WITH vecs AS (
 unit AS (
   SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
   FROM vecs
+  WHERE {_sql_dot('v', 'v')} > 0  -- zero-norm vectors excluded (see _unit)
 ),
 centroids AS (
   SELECT vec_id AS cent_id, u AS uc FROM unit
@@ -1140,6 +1172,7 @@ WITH vecs AS (
 unit_full AS (
   SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
   FROM vecs
+  WHERE {_sql_dot('v', 'v')} > 0  -- zero-norm vectors excluded (see _unit)
 ),
 tvecs AS (
   SELECT vec_id, v[1:{MATRYOSHKA_DIMS}] AS v FROM vecs
@@ -1147,6 +1180,7 @@ tvecs AS (
 unit_trunc AS (
   SELECT vec_id, list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) AS u
   FROM tvecs
+  WHERE {_sql_dot('v', 'v')} > 0  -- zero-norm vectors excluded (see _unit)
 ),
 f AS (
   SELECT query_id, cand_id FROM (

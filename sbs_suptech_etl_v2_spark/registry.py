@@ -34,23 +34,30 @@ QUERIES: dict[str, QueryFn] = {
     # Round-8 rotation: slots 1-2 are the two r06/r07 driver-REDs,
     # whose oracles gained the HUGEINT->BIGINT output casts this round
     # (the registry's only two HUGEINT-typed oracle outputs — see
-    # paritycheck.py); slots 3-7 are this round's plan rewrites
-    # (q94 salted bigint moments, q96 window->agg-chain, q111 edge
-    # build, q01/q06 salted-bigint accumulators) — a changed query
-    # must re-earn its verdict the same round; slot 8 is q95, changed
-    # in round 7 AFTER the archived verdicts (round-7 ADVICE); slots
-    # 9-33 are q26-q50, the stalest archived block (last
-    # driver-verified r02-r05, and q26's oracle changed in round 7);
-    # slots 34-50 backfill with q51-q69 (r06 verdicts; q70/q71 fell
-    # beyond the prefix this round and stay on their r06 verdicts).
-    # Everything else keeps its r06/r07 green rows;
-    # CORRECTNESS_local[_sf0.1].json carries the full registry every
-    # round. Numeric order carries no semantic meaning; ORACLE stays
-    # sorted for readability and tests iterate the full dict.
-    # New queries, if any, enter at slot 1.
+    # paritycheck.py); slots 3-15 are every other query whose source
+    # changed this round — the adversarial-robustness fixes (q89
+    # cogroup self-alias; the zero-norm exclusion across the
+    # similarity family) and the plan rewrites (q94/q96/q111/q01/q06
+    # exact-integer accumulators and aggregate chains) — a changed
+    # query must re-earn its verdict the same round; then q95
+    # (changed r07 after the archives) and q26-q50, the stalest
+    # archived block (last driver-verified r02-r05; q26's oracle and
+    # q41/q47's _unit changed since); the tail backfills with
+    # q51-q60 (r06 verdicts; the rest of q51-q100 stays on its
+    # r06/r07 greens). CORRECTNESS_local[_sf0.001|_sf0.1].json carry
+    # the full registry every round. Numeric order carries no
+    # semantic meaning; ORACLE stays sorted for readability and tests
+    # iterate the full dict. New queries, if any, enter at slot 1.
     # ------------------------------------------------------------------
     "q65_sequence_packing": X5.sequence_packing,  # r06/r07 driver-RED; pack_tokens HUGEINT cast (round 8)
     "q88_scene_segments": X3.scene_segments,  # r06/r07 driver-RED; scene_id HUGEINT cast (round 8)
+    "q89_cogroup_attribution": R.cogroup_attribution,  # cogroup self-alias fix for count-only plans (round 8)
+    "q24_topk_cosine": X2.topk_cosine,  # zero-norm exclusion + guarded division (round 8)
+    "q25_embedding_neardup": X2.embedding_neardup,  # zero-norm exclusion via _unit (round 8)
+    "q71_kmeans_update": X2.kmeans_update,  # zero-norm exclusion via _unit (round 8)
+    "q90_ann_recall_audit": X2.ann_recall_audit,  # zero-norm exclusion via _unit (round 8)
+    "q93_semantic_dedup": X2.semantic_dedup,  # zero-norm exclusion via _unit (round 8)
+    "q107_matryoshka_audit": X2.matryoshka_audit,  # zero-norm exclusion via _unit (round 8)
     "q94_quantity_price_stats": R.quantity_price_stats,  # two-level salted bigint moments (round 8)
     "q96_only_late_supplier": R.only_late_supplier,  # window -> agg-chain rewrite (round 8)
     "q111_supplier_hops_bfs": R.supplier_hops_bfs,  # edge-distinct dropped (round 8)
@@ -72,13 +79,13 @@ QUERIES: dict[str, QueryFn] = {
     "q38_image_features": X3.image_features,
     "q39_frame_sample": X3.frame_sample,
     "q40_nation_set_ops": R.nation_set_ops,
-    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
+    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,  # zero-norm exclusion via _unit (round 8)
     "q42_token_counts": X4.token_counts,
     "q43_notification_ids": J.notification_ids,  # C7 uuid — no oracle (rows-only)
     "q44_ocr_extract_pages": E.ocr_extract_pages,
     "q45_events_sliding": R.events_sliding_window,
     "q46_events_session": R.events_session_window,
-    "q47_ivf_topk": X2.ivf_topk,
+    "q47_ivf_topk": X2.ivf_topk,  # zero-norm exclusion via _unit (round 8)
     "q48_props_decode": J.props_decode,
     "q49_promo_revenue": R.promo_revenue_share,
     "q50_neardup_clusters": X1.neardup_clusters,
@@ -92,16 +99,7 @@ QUERIES: dict[str, QueryFn] = {
     "q58_salted_agg": R.salted_status_totals,
     "q59_percentiles": R.priority_price_percentiles,
     "q60_grouping_sets": R.status_priority_grouping_sets,
-    "q61_contamination_check": X5.contamination_check,
-    "q63_lexicon_scrub": X5.lexicon_scrub,
-    "q64_stratified_sample": X5.stratified_sample,
-    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
-    "q67_acctbal_deciles": R.acctbal_deciles,
-    "q68_interval_join": R.click_purchase_interval_join,
-    "q69_status_pivot": R.status_priority_pivot,
     # -- beyond the 50-entry prefix ------------------------------------
-    "q70_brand_argmax": R.top_brand_per_size,
-    "q71_kmeans_update": X2.kmeans_update,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
     "q04_semi_join_open_orders": R.customers_with_open_orders,
@@ -123,9 +121,15 @@ QUERIES: dict[str, QueryFn] = {
     "q21_minhash_neardup": X1.minhash_neardup,
     "q22_simhash_signatures": X1.simhash_signatures,
     "q23_ngram_jaccard": X1.ngram_jaccard,
-    "q24_topk_cosine": X2.topk_cosine,
-    "q25_embedding_neardup": X2.embedding_neardup,
+    "q61_contamination_check": X5.contamination_check,
     "q62_repetition_stats": X5.repetition_stats,
+    "q63_lexicon_scrub": X5.lexicon_scrub,
+    "q64_stratified_sample": X5.stratified_sample,
+    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
+    "q67_acctbal_deciles": R.acctbal_deciles,
+    "q68_interval_join": R.click_purchase_interval_join,
+    "q69_status_pivot": R.status_priority_pivot,
+    "q70_brand_argmax": R.top_brand_per_size,
     "q72_status_unpivot": R.status_counts_unpivot,
     "q73_order_calendar": R.order_calendar,
     "q74_edit_distance": X1.variant_edit_distance,
@@ -142,11 +146,8 @@ QUERIES: dict[str, QueryFn] = {
     "q85_length_histogram": X4.length_histogram,
     "q86_pq_quantize": X2.pq_quantize,
     "q87_surrogate_keys": R.surrogate_keys,
-    "q89_cogroup_attribution": R.cogroup_attribution,
-    "q90_ann_recall_audit": X2.ann_recall_audit,
     "q91_unigram_surprisal": X4.unigram_surprisal,
     "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
-    "q93_semantic_dedup": X2.semantic_dedup,
     "q97_weighted_sample": X5.weighted_sample,
     "q98_user_snapshot_diff": R.user_snapshot_diff,
     "q99_bigram_pmi": X4.bigram_pmi,
@@ -157,7 +158,6 @@ QUERIES: dict[str, QueryFn] = {
     "q104_revenue_interpolation": R.revenue_interpolation,
     "q105_zscore_anomalies": R.zscore_anomalies,
     "q106_idle_rich_customers": R.idle_rich_customers,
-    "q107_matryoshka_audit": X2.matryoshka_audit,
     "q108_nucleus_vocab": X4.nucleus_vocab,
     "q109_activity_history_scd2": R.activity_history_scd2,
     "q110_join_key_skew_profile": R.join_key_skew_profile,

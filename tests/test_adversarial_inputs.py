@@ -1,0 +1,73 @@
+"""Adversarial-value robustness — edge rows that are CERTAIN to exist
+at corpus scale must not kill a stage.
+
+The round-8 sweep that motivated this found 9 real crashes on a
+5-row corpus containing: an empty / whitespace-only / single-char
+document, a ZERO-NORM embedding (dead/padding vector), and a
+zero-quantity full-discount lineitem —
+
+* every similarity query (q24/q25/q41/q47/q71/q90/q93/q107) raised
+  ANSI DIVIDE_BY_ZERO normalizing the zero vector — fixed by
+  excluding zero-norm vectors on both engines plus a lazy when()
+  guard on the division (Catalyst can fuse the projection into a
+  predicate that evaluates before the filter);
+* q89's cogroup kernel lost its user_id column under a count-only
+  plan — a Spark DeduplicateRelations quirk when both cogroup sides
+  share one cached DataFrame, fixed with an explicit self-alias.
+
+``count()`` (not collect) is deliberate: it exercises the maximally
+column-pruned plan, which is what exposed the q89 bug.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sbs_suptech_etl_v2_spark.io import TABLES
+from sbs_suptech_etl_v2_spark.registry import QUERIES
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(tmp_path_factory, sf_dir):
+    dst = tmp_path_factory.mktemp("sf_adversarial")
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        head = tbl.slice(0, min(5, tbl.num_rows)).to_pylist()
+        if t == "documents" and head:
+            head[0]["text"] = ""
+            if len(head) > 1:
+                head[1]["text"] = " "
+            if len(head) > 2:
+                head[2]["text"] = "x"
+        if t == "embeddings" and head:
+            head[0]["embedding"] = [0.0] * len(head[0]["embedding"])
+        if t == "lineitem" and head:
+            head[0]["l_quantity"] = 0.0
+            head[0]["l_discount"] = 1.0
+        pq.write_table(
+            pa.Table.from_pylist(head, schema=tbl.schema),
+            str(dst / f"{t}.parquet"),
+        )
+    return str(dst)
+
+
+def test_every_query_survives_adversarial_rows(spark, adversarial_sf_dir):
+    failures = {}
+    for name in sorted(QUERIES):
+        try:
+            QUERIES[name](spark, adversarial_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 — collecting the full list
+            failures[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
+    assert not failures, failures
+
+
+def test_q89_count_equals_collect(spark, sf_dir):
+    """Regression pin for the cogroup column-pruning bug: the
+    count-only (pruned) plan must deliver the kernel its full input —
+    before the self-alias fix, count() crashed with KeyError while
+    collect() worked.
+    """
+    df = QUERIES["q89_cogroup_attribution"](spark, sf_dir)
+    assert df.count() == len(df.collect())
