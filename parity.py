@@ -150,8 +150,39 @@ def main() -> int:
     suffix = "" if sf_tag == "sf0.01" else f"_{sf_tag}"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"CORRECTNESS_local{suffix}.json")
+    # Provenance header: the audit trail must show WHICH source tree the
+    # artifact verifies (the r06/r07 verdicts both flagged artifacts
+    # that silently predated source commits).  git is absent in some
+    # sandboxes, so degrade to "unknown" rather than fail the audit.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "sbs_suptech_etl_v2_spark", "__spark_entry__.py"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+    except Exception:  # noqa: BLE001 — provenance is best-effort
+        head, dirty = "unknown", False
+    out["_meta"] = {
+        "source_commit": head,
+        "source_dirty": dirty,
+        "generated_utc": dt.datetime.now(dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "sf_dir": sf_dir,
+        "err": "no_oracle",  # sentinel: consumers treating _meta as a
+        # query entry must classify it as the harmless no-oracle bucket
+    }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
+    del out["_meta"]
     n_ok = sum(
         1
         for e in out.values()
