@@ -120,6 +120,24 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["image"]):
+                if payload is None:
+                    # NULL binary -> NULL decode outputs, row preserved
+                    # (SQL NULL propagation; a real decoder has no bytes
+                    # to open). The oracle re-derives width/height from
+                    # its synthesis rule so it keeps them non-NULL on
+                    # such rows — acceptable divergence: NULL payloads
+                    # exist only in robustness fixtures, never in the
+                    # driver corpus.
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "width": None,
+                            "height": None,
+                            "n_bytes": None,
+                            "sha256": None,
+                        }
+                    )
+                    continue
                 blob = bytes(payload)
                 # parse "IMG:{w}x{h}:" from the bytes themselves
                 parts = blob.split(b":", 2)
@@ -167,6 +185,10 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+                if payload is None:
+                    # NULL container -> zero frames: matches the oracle's
+                    # generate_series(1, NULL) unnest drop.
+                    continue
                 blob = bytes(payload)
                 n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
                 for i in range(0, n_frames, FRAME_STRIDE):
@@ -240,6 +262,19 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["image"]):
+                if payload is None:
+                    # NULL binary -> NULL resize outputs, row preserved
+                    # (see image_features: same decoder-has-no-bytes rule).
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "width": None,
+                            "height": None,
+                            "n_bytes": None,
+                            "sha256": None,
+                        }
+                    )
+                    continue
                 blob = bytes(payload)
                 header, dims, body = blob.split(b":", 2)
                 w, h = (int(t) for t in dims.split(b"x"))
@@ -303,6 +338,21 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["audio"]):
+                if payload is None:
+                    # NULL PCM stream: the oracle's codes list is NULL, so
+                    # n_samples/duration/byte_sum are NULL and peak_byte
+                    # falls through coalesce(list_max(NULL), 0) = 0 —
+                    # reproduce exactly.
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "byte_sum": None,
+                            "peak_byte": 0,
+                        }
+                    )
+                    continue
                 samples = np.frombuffer(bytes(payload), dtype=np.uint8)
                 out.append(
                     {

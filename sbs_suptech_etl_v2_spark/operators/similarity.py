@@ -677,6 +677,41 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            emb = list(pdf["embedding"])
+            null_rows = [i for i, v in enumerate(emb) if v is None]
+            if null_rows:
+                # NULL embedding -> NULL quantization outputs, row
+                # preserved — matches the oracle's NULL-list propagation
+                # (CAST(NULL AS DOUBLE[]) flows NULL through every list
+                # op). Split the batch: recurse on the dense remainder
+                # (bit-identical fast path below), then stitch the NULL
+                # rows back by position via object-dtype columns (Arrow
+                # renders None as SQL NULL; plain float64 would surface
+                # NaN instead).
+                keep = [i for i in range(len(pdf)) if emb[i] is not None]
+                dense = (
+                    next(iter(kernel([pdf.iloc[keep].reset_index(drop=True)])))
+                    if keep
+                    else None
+                )
+                n = len(pdf)
+                cols: dict[str, list] = {
+                    "vec_id": list(pdf["vec_id"]),
+                    "scale": [None] * n,
+                    "code_checksum": [None] * n,
+                    "mean_abs_err": [None] * n,
+                }
+                if dense is not None:
+                    for j, i in enumerate(keep):
+                        cols["scale"][i] = float(dense["scale"].iloc[j])
+                        cols["code_checksum"][i] = int(
+                            dense["code_checksum"].iloc[j]
+                        )
+                        cols["mean_abs_err"][i] = float(
+                            dense["mean_abs_err"].iloc[j]
+                        )
+                yield pd.DataFrame(cols, dtype=object)
+                continue
             # float32 → float64 cast is exact, matching CAST(.. AS DOUBLE[]).
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             scale = 127.0 / np.abs(V).max(axis=1)

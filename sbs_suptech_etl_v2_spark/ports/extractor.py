@@ -152,6 +152,11 @@ def extract_blocks(docs: DataFrame, content_col: str = "content") -> DataFrame:
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[content_col]):
+                if payload is None:
+                    # NULL document body -> no blocks: matches the oracle's
+                    # unnest(generate_series(1, NULL)) row drop, and models
+                    # an extractor that has nothing to upload.
+                    continue
                 rows.extend(port.extract_pipeline(int(doc_id), bytes(payload)))
             yield pd.DataFrame(rows, columns=["doc_id", "page_no", "line_no", "block_type", "text"])
 

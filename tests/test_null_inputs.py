@@ -1,0 +1,78 @@
+"""NULL-value robustness — every query must survive NULL attribute rows.
+
+The driver-generated testdata contains zero NULLs, but a 100 TB lake
+will not: dead embedding rows, documents whose extraction produced no
+text, events with missing props/user/timestamp are all routine. This
+sweep plants one NULL per "interesting" column across 5-row table
+slices and requires every registry query to complete a ``count()``
+(the maximally column-pruned plan — see test_adversarial_inputs.py for
+why count, not collect). Parity vs the oracle is NOT asserted here;
+the contract is narrower: a NULL attribute must never kill a stage.
+
+Spark-side NULL hazards this is designed to catch:
+  * Python kernels (mapInPandas / applyInPandas) indexing a None
+    (e.g. ``t.split(...)`` on a None text, ``len(None)`` on a NULL
+    embedding list);
+  * ANSI-mode expressions where a NULL feeds an argument that is
+    checked before NULL-propagation (invalid array index paths);
+  * sequence()/explode() bounds built from NULL aggregates.
+
+Keys (doc_id / vec_id / TPC-H PKs) stay non-NULL: a NULL key is data
+corruption upstream of the engine, and the reference's loaders
+(dynamo_loader_document.py) treat the id as required.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sbs_suptech_etl_v2_spark.io import TABLES
+from sbs_suptech_etl_v2_spark.registry import QUERIES
+
+# table -> list of (row_index, column) to NULL out. One NULL per
+# column keeps the other rows intact so joins/aggregates still have
+# non-degenerate input.
+NULL_PLAN = {
+    "documents": [(0, "text"), (1, "lang"), (2, "source"), (3, "n_chars")],
+    "embeddings": [(0, "embedding"), (1, "label")],
+    "events": [
+        (0, "props"),
+        (1, "value"),
+        (2, "user_id"),
+        (3, "event_type"),
+        (4, "ts"),
+    ],
+    "orders": [(0, "o_comment"), (1, "o_totalprice"), (2, "o_orderdate")],
+    "lineitem": [(0, "l_comment"), (1, "l_extendedprice"), (2, "l_shipdate")],
+    "customer": [(0, "c_comment"), (1, "c_acctbal")],
+    "part": [(0, "p_comment"), (1, "p_brand")],
+    "supplier": [(0, "s_comment"), (1, "s_acctbal")],
+}
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory, sf_dir):
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        head = tbl.slice(0, min(5, tbl.num_rows)).to_pylist()
+        for row_idx, col in NULL_PLAN.get(t, []):
+            if row_idx < len(head) and col in head[row_idx]:
+                head[row_idx][col] = None
+        pq.write_table(
+            pa.Table.from_pylist(head, schema=tbl.schema),
+            str(dst / f"{t}.parquet"),
+        )
+    return str(dst)
+
+
+def test_every_query_survives_null_attributes(spark, null_sf_dir):
+    failures = {}
+    for name in sorted(QUERIES):
+        try:
+            QUERIES[name](spark, null_sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 - collecting the full sweep
+            failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+    assert not failures, f"{len(failures)} queries crashed on NULL rows: {failures}"
