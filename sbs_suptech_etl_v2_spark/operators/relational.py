@@ -512,6 +512,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``part`` is mid-sized — AQE picks broadcast vs shuffle), then a
     conditional decimal sum per ship month. The ratio divides two
     exact decimal sums cast to double — bit-deterministic.
+
+    The salted-bigint accumulator shape (q01/q94) was A/B-measured
+    here in round 8 and came out a WASH (join + tiny group count
+    dominate; only two sums) — the flat one-exchange form stays.
     """
     li, part = load(spark, sf_dir, "lineitem", "part")
     disc = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -993,12 +997,21 @@ def priority_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same tolerance-verdict pattern q53 uses for distinct counts.
     """
     orders = table(spark, sf_dir, "orders")
+    # one percentile aggregate with an array of fractions, not two
+    # scalar ones: each scalar Percentile buffers and sorts the group
+    # independently, so the array form halves the sort work — the same
+    # values, read off one sorted buffer at two offsets. The group's
+    # rows are non-empty by construction (groupBy keys come from the
+    # rows), so the [0]/[1] lookups can never see a short array.
+    pcts = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.5), F.lit(0.9)))
     return (
         orders.groupBy("o_orderpriority")
-        .agg(
-            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50_price"),
-            F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
-            F.count(F.lit(1)).alias("n_orders"),
+        .agg(pcts.alias("_p"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.col("_p")[0].alias("p50_price"),
+            F.col("_p")[1].alias("p90_price"),
+            "n_orders",
         )
     )
 
@@ -1060,10 +1073,27 @@ def small_quantity_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brand label is broadcast (SKU catalogs are broadcast-sized even
     at 100 TB fact scale). Averages divide exact decimal sums by
     counts — bit-deterministic.
+
+    The hot accumulator is integer-quantized (q01/q94 discipline): the
+    per-part quantity sum — the one that runs over the FULL fact scan —
+    sums as BIGINT ten-thousandths. Per-part line counts are bounded
+    (~30 at ANY scale factor: lineitem and part grow together in
+    TPC-H-shaped data), so a long can never overflow and no salt is
+    needed; the sum re-casts to the exact decimal(28,4) the flat
+    decimal sum produced before the average divides, so every avg_qty
+    double is bit-identical. The brand-level revenue sum stays a plain
+    decimal accumulator: it reads only the ~quarter of rows surviving
+    the threshold, and brand groups GROW with the data — a bigint
+    there would eventually overflow and need its own salt level for no
+    measurable win.
     """
     li, part = load(spark, sf_dir, "lineitem", "part")
+    q4 = (_dec(F.col("l_quantity"), 4) * 10000).cast("bigint")
     per_part = li.groupBy("l_partkey").agg(
-        (F.sum(_dec(F.col("l_quantity"), 4)) / F.count(F.lit(1)))
+        (
+            (F.sum(q4).cast("decimal(28,0)") / 10000).cast("decimal(28,4)")
+            / F.count(F.lit(1))
+        )
         .cast("double")
         .alias("avg_qty")
     )

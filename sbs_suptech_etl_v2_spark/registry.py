@@ -43,8 +43,13 @@ QUERIES: dict[str, QueryFn] = {
     # (changed r07 after the archives) and q26-q50, the stalest
     # archived block (last driver-verified r02-r05; q26's oracle and
     # q41/q47's _unit changed since); the tail backfills with
-    # q51-q60 (r06 verdicts; the rest of q51-q100 stays on its
-    # r06/r07 greens). CORRECTNESS_local[_sf0.001|_sf0.1].json carry
+    # q51-q59 (r06 verdicts; the rest of q51-q100 stays on its
+    # r06/r07 greens) and q66, swapped in at slot 50 for unchanged
+    # r06-green q60 after its round-8 accumulator rewrite. The NULL-
+    # robustness kernel guards (q38/q39/q44/q51/q55/q56) and the q59
+    # single-sort rewrite all landed on queries already inside this
+    # prefix (q49's salted-accumulator candidate was A/B-measured a
+    # wash and reverted — source unchanged). CORRECTNESS_local[_sf0.001|_sf0.1].json carry
     # the full registry every round. Numeric order carries no
     # semantic meaning; ORACLE stays sorted for readability and tests
     # iterate the full dict. New queries, if any, enter at slot 1.
@@ -76,30 +81,31 @@ QUERIES: dict[str, QueryFn] = {
     "q35_notification_encode": J.notification_encode,
     "q36_request_decode": J.request_decode,
     "q37_artifact_keys": D.artifact_keys,
-    "q38_image_features": X3.image_features,
-    "q39_frame_sample": X3.frame_sample,
+    "q38_image_features": X3.image_features,  # NULL-payload kernel guard (round 8)
+    "q39_frame_sample": X3.frame_sample,  # NULL-payload kernel guard (round 8)
     "q40_nation_set_ops": R.nation_set_ops,
     "q41_ann_bucketed_topk": X2.ann_bucketed_topk,  # zero-norm exclusion via _unit (round 8)
     "q42_token_counts": X4.token_counts,
     "q43_notification_ids": J.notification_ids,  # C7 uuid — no oracle (rows-only)
-    "q44_ocr_extract_pages": E.ocr_extract_pages,
+    "q44_ocr_extract_pages": E.ocr_extract_pages,  # NULL-payload port guard (round 8)
     "q45_events_sliding": R.events_sliding_window,
     "q46_events_session": R.events_session_window,
     "q47_ivf_topk": X2.ivf_topk,  # zero-norm exclusion via _unit (round 8)
     "q48_props_decode": J.props_decode,
     "q49_promo_revenue": R.promo_revenue_share,
     "q50_neardup_clusters": X1.neardup_clusters,
-    "q51_quantize_embeddings": X2.quantize_embeddings,
+    "q51_quantize_embeddings": X2.quantize_embeddings,  # NULL-embedding kernel guard (round 8)
     "q52_status_cube": R.order_status_cube,
     "q53_approx_distinct": R.segment_distinct_customers,
     "q54_purchase_asof_click": R.purchase_asof_click,
-    "q55_image_resize": X3.image_resize,
-    "q56_audio_features": X3.audio_features,
+    "q55_image_resize": X3.image_resize,  # NULL-payload kernel guard (round 8)
+    "q56_audio_features": X3.audio_features,  # NULL-payload kernel guard (round 8)
     "q57_range_frame": R.rolling_spend_range_frame,
     "q58_salted_agg": R.salted_status_totals,
-    "q59_percentiles": R.priority_price_percentiles,
-    "q60_grouping_sets": R.status_priority_grouping_sets,
+    "q59_percentiles": R.priority_price_percentiles,  # single-sort array percentile (round 8)
+    "q66_small_qty_revenue": R.small_quantity_brand_revenue,  # bigint per-part accumulator (round 8) — swapped in for unchanged r06-green q60
     # -- beyond the 50-entry prefix ------------------------------------
+    "q60_grouping_sets": R.status_priority_grouping_sets,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
     "q04_semi_join_open_orders": R.customers_with_open_orders,
@@ -125,7 +131,6 @@ QUERIES: dict[str, QueryFn] = {
     "q62_repetition_stats": X5.repetition_stats,
     "q63_lexicon_scrub": X5.lexicon_scrub,
     "q64_stratified_sample": X5.stratified_sample,
-    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
     "q67_acctbal_deciles": R.acctbal_deciles,
     "q68_interval_join": R.click_purchase_interval_join,
     "q69_status_pivot": R.status_priority_pivot,

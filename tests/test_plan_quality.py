@@ -111,7 +111,9 @@ def test_q49_promo_revenue_broadcasts_part_single_exchange(spark, sf_dir):
     # r3 bench flagged a +60% drift with no plan cause; pin the shape so
     # a real regression (shuffle join / extra exchange) cannot hide in
     # box noise: broadcast part join + exactly one shuffle exchange for
-    # the final aggregate (counts are doubled: tree + detail section)
+    # the final aggregate (counts are doubled: tree + detail section).
+    # The salted two-level aggregate was A/B-measured a wash here in
+    # round 8 — this guard also pins that the flat form stays.
     plan = _plan(spark, sf_dir, "q49_promo_revenue")
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
