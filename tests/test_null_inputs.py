@@ -76,3 +76,33 @@ def test_every_query_survives_null_attributes(spark, null_sf_dir):
         except Exception as exc:  # noqa: BLE001 - collecting the full sweep
             failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
     assert not failures, f"{len(failures)} queries crashed on NULL rows: {failures}"
+
+
+def test_nan_metric_value_becomes_null_at_the_quantization_boundary(spark):
+    """NaN in a metric double is absorbed as NULL, not a job kill.
+
+    Every hash-checked metric sum quantizes through decimal(18,6)
+    (order-free accumulation); Spark's double→decimal cast maps NaN to
+    NULL even under ANSI — measured here, not assumed — so a stray NaN
+    telemetry value degrades to 'missing' (dropped by SUM/AVG) instead
+    of killing a 1000-executor job or poisoning a total with NaN.
+
+    Pinned because the ORACLE side is asymmetric: DuckDB's
+    CAST(NaN AS DECIMAL) raises. Driver data contains no NaN, so
+    parity is unaffected — but if NaN-bearing columns ever enter a
+    checked query, the oracle needs an explicit
+    CASE WHEN isnan(v) THEN NULL guard to reproduce the engine's
+    absorb-as-NULL semantics. This test is the tripwire that keeps
+    that rule visible.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (2.5,)], "value double"
+    )
+    rows = df.select(
+        F.col("value").cast("decimal(18,6)").alias("v")
+    ).collect()
+    assert sorted([r.v for r in rows], key=str) == sorted(
+        [None, __import__("decimal").Decimal("2.500000")], key=str
+    )
