@@ -41,6 +41,23 @@ def adversarial_sf_dir(tmp_path_factory, sf_dir):
                 head[1]["text"] = " "
             if len(head) > 2:
                 head[2]["text"] = "x"
+            # Rows a multilingual, long-tailed 100 TB corpus certainly
+            # contains: multibyte UTF-8 (byte != char everywhere a
+            # kernel touches bytes), a ~200 KB document (Arrow batch
+            # with a fat string cell), and one giant unbroken token
+            # (tokenizers that split on space get a single huge term).
+            template = dict(head[0])
+            big_id = max(r["doc_id"] for r in head) + 1
+            for off, text in (
+                (1, "mañana über 東京 emoción λόγος " * 40),
+                (2, "palabra estándar línea año " * 8000),
+                (3, "x" * 50000),
+            ):
+                row = dict(template)
+                row["doc_id"] = big_id + off
+                row["text"] = text
+                row["n_chars"] = len(text)
+                head.append(row)
         if t == "embeddings" and head:
             head[0]["embedding"] = [0.0] * len(head[0]["embedding"])
         if t == "lineitem" and head:
