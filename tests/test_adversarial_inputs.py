@@ -76,7 +76,8 @@ def test_every_query_survives_adversarial_rows(spark, adversarial_sf_dir):
         try:
             QUERIES[name](spark, adversarial_sf_dir).count()
         except Exception as ex:  # noqa: BLE001 — collecting the full list
-            failures[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
+            first_line = (str(ex).splitlines() or [""])[0]
+            failures[name] = f"{type(ex).__name__}: {first_line[:120]}"
     assert not failures, failures
 
 

@@ -44,11 +44,16 @@ NULL_PLAN = {
         (3, "event_type"),
         (4, "ts"),
     ],
-    "orders": [(0, "o_comment"), (1, "o_totalprice"), (2, "o_orderdate")],
-    "lineitem": [(0, "l_comment"), (1, "l_extendedprice"), (2, "l_shipdate")],
-    "customer": [(0, "c_comment"), (1, "c_acctbal")],
-    "part": [(0, "p_comment"), (1, "p_brand")],
-    "supplier": [(0, "s_comment"), (1, "s_acctbal")],
+    "orders": [(0, "o_orderstatus"), (1, "o_totalprice"), (2, "o_orderdate")],
+    "lineitem": [
+        (0, "l_returnflag"),
+        (1, "l_extendedprice"),
+        (2, "l_shipdate"),
+        (3, "l_tax"),
+    ],
+    "customer": [(0, "c_name"), (1, "c_acctbal"), (2, "c_mktsegment")],
+    "part": [(0, "p_name"), (1, "p_brand"), (2, "p_type")],
+    "supplier": [(0, "s_name"), (1, "s_acctbal")],
 }
 
 
@@ -59,8 +64,10 @@ def null_sf_dir(tmp_path_factory, sf_dir):
         tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
         head = tbl.slice(0, min(5, tbl.num_rows)).to_pylist()
         for row_idx, col in NULL_PLAN.get(t, []):
-            if row_idx < len(head) and col in head[row_idx]:
-                head[row_idx][col] = None
+            # loud on a plan/schema mismatch: a silently skipped column
+            # would shrink the sweep's coverage without failing anything
+            assert col in head[row_idx], f"{t}.{col} not in schema"
+            head[row_idx][col] = None
         pq.write_table(
             pa.Table.from_pylist(head, schema=tbl.schema),
             str(dst / f"{t}.parquet"),
@@ -74,7 +81,8 @@ def test_every_query_survives_null_attributes(spark, null_sf_dir):
         try:
             QUERIES[name](spark, null_sf_dir).count()
         except Exception as exc:  # noqa: BLE001 - collecting the full sweep
-            failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            first_line = (str(exc).splitlines() or [""])[0]
+            failures[name] = f"{type(exc).__name__}: {first_line[:200]}"
     assert not failures, f"{len(failures)} queries crashed on NULL rows: {failures}"
 
 
