@@ -34,6 +34,37 @@ def write_partitioned(
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = DEFAULT_PARTITIONING,
+) -> None:
+    """Replace ONLY the partitions present in ``df`` — the backfill op.
+
+    ``write_partitioned(..., mode="overwrite")`` uses Spark's STATIC
+    partition-overwrite: it truncates the WHOLE table before writing,
+    so "re-run May 2023" would delete every other month — at 100 TB
+    that is the difference between rewriting gigabytes and rewriting
+    the lake. This form sets ``partitionOverwriteMode=dynamic`` as a
+    per-write option (session conf untouched): Spark computes the
+    distinct partition tuples in ``df`` and replaces exactly those
+    directories, leaving the rest byte-identical. This is the op the
+    module docstring's backfill claim refers to; semantics are pinned
+    by tests/test_lake.py::test_dynamic_partition_overwrite_replaces_
+    only_touched_partitions.
+
+    Idempotent per partition (re-running the same backfill converges);
+    not snapshot-isolated against concurrent readers of the touched
+    partitions — same single-writer regime as writers.merge_metadata.
+    """
+    (
+        df.write.partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_partition(
     spark: SparkSession, path: str, **equals: str
 ) -> DataFrame:

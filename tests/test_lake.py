@@ -67,3 +67,51 @@ def test_partition_append_is_additive(spark, tmp_path):
         read_partition(spark, path, period_year="2024").select("record_id").first()[0]
         == 999
     )
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+    spark, tmp_path
+):
+    """The backfill op: rewriting one (type, year, month) leaves every
+    other partition byte-identical, while static overwrite would have
+    truncated the whole table first.
+    """
+    from sbs_suptech_etl_v2_spark.sinks.lake import overwrite_partitions
+
+    path = str(tmp_path / "lake")
+    write_partitioned(_sample(spark), path)
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("record_id", "document_type", "period_year", "period_month")
+        .collect()
+    }
+    target = ("Polizas", "2023", "1")
+
+    backfill = spark.createDataFrame(
+        [(1000, *target), (1001, *target)],
+        "record_id bigint, document_type string, period_year string, "
+        "period_month string",
+    )
+    overwrite_partitions(backfill, path)
+
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("record_id", "document_type", "period_year", "period_month")
+        .collect()
+    }
+    untouched_before = {r for r in before if (r[1], str(r[2]), str(r[3])) != target}
+    replaced_after = {r for r in after if (r[1], str(r[2]), str(r[3])) == target}
+    assert {r[0] for r in replaced_after} == {1000, 1001}
+    assert after - replaced_after == untouched_before
+
+    # idempotence: re-running the identical backfill converges
+    overwrite_partitions(backfill, path)
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("record_id", "document_type", "period_year", "period_month")
+        .collect()
+    }
+    assert again == after
