@@ -1037,17 +1037,27 @@ def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     the (status, priority) and () sets — exactly what GROUPING SETS
     expresses and rollup/cube cannot. Source keys are non-null, so the
     padded NULLs unambiguously tag each output row's set.
+
+    The DataFrame is passed as a PARAMETER of ``spark.sql`` rather
+    than registered under a fixed temp-view name: temp views are
+    session-global across threads, so ``createOrReplaceTempView(
+    "orders_v")`` raced when two threads ran this query against
+    different sf_dirs concurrently (one thread's view silently
+    replaced the other's input mid-plan — tests/
+    test_concurrent_queries.py pins the fix). The parameterized form
+    substitutes the exact DataFrame with an internally unique name
+    and leaves nothing in the catalog.
     """
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                  AS total_price
-        FROM orders_v
+        FROM {orders_v}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        """
+        """,
+        orders_v=table(spark, sf_dir, "orders"),
     )
 
 

@@ -43,9 +43,11 @@ QUERIES: dict[str, QueryFn] = {
     # (changed r07 after the archives) and q26-q50, the stalest
     # archived block (last driver-verified r02-r05; q26's oracle and
     # q41/q47's _unit changed since); the tail backfills with
-    # q51-q59 (r06 verdicts; the rest of q51-q100 stays on its
-    # r06/r07 greens) and q66, swapped in at slot 50 for unchanged
-    # r06-green q60 after its round-8 accumulator rewrite. The NULL-
+    # q51-q57/q59 (r06 verdicts; the rest of q51-q100 stays on its
+    # r06/r07 greens) plus two round-8 swaps: q66 in for unchanged
+    # r06-green q60 after its accumulator rewrite, then q60 back in
+    # for unchanged r06-green q58 after its own temp-view-race fix
+    # (parameterized spark.sql). The NULL-
     # robustness kernel guards (q38/q39/q44/q51/q55/q56) and the q59
     # single-sort rewrite all landed on queries already inside this
     # prefix (q49's salted-accumulator candidate was A/B-measured a
@@ -101,11 +103,11 @@ QUERIES: dict[str, QueryFn] = {
     "q55_image_resize": X3.image_resize,  # NULL-payload kernel guard (round 8)
     "q56_audio_features": X3.audio_features,  # NULL-payload kernel guard (round 8)
     "q57_range_frame": R.rolling_spend_range_frame,
-    "q58_salted_agg": R.salted_status_totals,
+    "q60_grouping_sets": R.status_priority_grouping_sets,  # parameterized spark.sql, temp-view race fix (round 8) — swapped in for unchanged r06-green q58
     "q59_percentiles": R.priority_price_percentiles,  # single-sort array percentile (round 8)
     "q66_small_qty_revenue": R.small_quantity_brand_revenue,  # bigint per-part accumulator (round 8) — swapped in for unchanged r06-green q60
     # -- beyond the 50-entry prefix ------------------------------------
-    "q60_grouping_sets": R.status_priority_grouping_sets,
+    "q58_salted_agg": R.salted_status_totals,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
     "q04_semi_join_open_orders": R.customers_with_open_orders,
