@@ -8,6 +8,9 @@ over the declared registry:
 - ``run <query> [--limit N]``   — execute and print JSON lines
 - ``explain <query>``           — the formatted physical plan
 - ``oracle <query>``            — the DuckDB oracle SQL (audit aid)
+- ``curate [--report]``         — the composed training-data curation
+  plan (plans/trainprep_pipeline.py): curated corpus as JSON lines,
+  or the per-drop-reason accounting with ``--report``
 
 ``--sf-dir`` defaults to $SPARK_GRAFT_SF_DIR (TESTDATA.md layout); any
 directory with the same parquet table names works. Rows stream to
@@ -44,6 +47,17 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--cpus", default="4")
         if cmd == "run":
             p.add_argument("--limit", type=int, default=None)
+    cur = sub.add_parser(
+        "curate", help="run the composed training-data curation plan"
+    )
+    cur.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    cur.add_argument("--cpus", default="4")
+    cur.add_argument("--limit", type=int, default=None)
+    cur.add_argument(
+        "--report",
+        action="store_true",
+        help="print the per-drop-reason accounting instead of the corpus",
+    )
     args = parser.parse_args(argv)
 
     from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
@@ -54,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{oracle}")
         return 0
 
-    if args.query not in QUERIES:
+    if args.cmd != "curate" and args.query not in QUERIES:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
 
@@ -74,7 +88,16 @@ def main(argv: list[str] | None = None) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"cli-{args.cmd}", master=f"local[{args.cpus}]")
     try:
-        df = QUERIES[args.query](spark, args.sf_dir)
+        if args.cmd == "curate":
+            from sbs_suptech_etl_v2_spark.plans.trainprep_pipeline import (
+                curate_corpus,
+                curation_report,
+            )
+
+            build = curation_report if args.report else curate_corpus
+            df = build(spark, args.sf_dir)
+        else:
+            df = QUERIES[args.query](spark, args.sf_dir)
         if args.cmd == "explain":
             df.explain("formatted")
             return 0

@@ -41,3 +41,22 @@ def test_unknown_query_is_an_error(capsys):
 
 def test_rows_only_query_has_no_oracle(capsys):
     assert main(["oracle", "q43_notification_ids"]) == 1
+
+
+def test_curate_emits_corpus_and_report(capsys):
+    rc = main(
+        ["curate", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 3
+    row = json.loads(lines[0])
+    assert {"doc_id", "text", "n_tokens"} <= set(row)
+
+    rc = main(["curate", "--sf-dir", "/root/testdata/sf0.001", "--report"])
+    assert rc == 0
+    reasons = {
+        json.loads(l)["reason"]
+        for l in capsys.readouterr().out.strip().splitlines()
+    }
+    assert "kept" in reasons
