@@ -58,6 +58,13 @@ def adversarial_sf_dir(tmp_path_factory, sf_dir):
                 row["text"] = text
                 row["n_chars"] = len(text)
                 head.append(row)
+            # a byte-identical duplicate row (botched backfill /
+            # double-delivered file): engines must not crash on a
+            # repeated primary key — dedup operators treat it as the
+            # degenerate exact-duplicate, joins simply fan out
+            head.append(dict(head[4]))
+        if t == "events" and head:
+            head.append(dict(head[0]))
         if t == "embeddings" and head:
             head[0]["embedding"] = [0.0] * len(head[0]["embedding"])
         if t == "lineitem" and head:
