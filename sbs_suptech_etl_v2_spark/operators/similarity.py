@@ -678,8 +678,8 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             emb = list(pdf["embedding"])
-            null_rows = [i for i, v in enumerate(emb) if v is None]
-            if null_rows:
+            keep = [i for i, v in enumerate(emb) if v is not None]
+            if len(keep) < len(pdf):
                 # NULL embedding -> NULL quantization outputs, row
                 # preserved — matches the oracle's NULL-list propagation
                 # (CAST(NULL AS DOUBLE[]) flows NULL through every list
@@ -688,7 +688,6 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # rows back by position via object-dtype columns (Arrow
                 # renders None as SQL NULL; plain float64 would surface
                 # NaN instead).
-                keep = [i for i in range(len(pdf)) if emb[i] is not None]
                 dense = (
                     next(iter(kernel([pdf.iloc[keep].reset_index(drop=True)])))
                     if keep

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
-from sbs_suptech_etl_v2_spark.operators.dedup import dedup_keep_canonical
+from sbs_suptech_etl_v2_spark.operators.dedup import _words, dedup_keep_canonical
 from sbs_suptech_etl_v2_spark.operators.trainprep import (
     BENCH_MOD,
     _EMAIL_RE,
@@ -49,7 +49,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = dedup_keep_canonical(spark, sf_dir).select("doc_id")
     gates = repetition_stats(spark, sf_dir).select("doc_id", "keep")
     # inner join: docs absent from the contamination frame are the
-    # benchmark itself — eval data, excluded from training by design
+    # benchmark itself (eval data, excluded from training by design)
+    # and NULL-text docs (no shingles to score — nothing to train on
+    # either); curation_report buckets the two separately
     contam = contamination_check(spark, sf_dir).select("doc_id", "flagged")
     redacted = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
@@ -66,7 +68,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             redacted.alias("text"),
             "lang",
             "source",
-            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+            # tokenize the EMITTED text (same _words tokenizer as the
+            # gates): counting the pre-redaction column only works
+            # while every pattern and class token is space-free, and
+            # the packing stage consumes these counts
+            F.size(_words(redacted)).cast("bigint").alias("n_tokens"),
         )
     )
 
@@ -76,7 +82,12 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reasons are assigned in pipeline order (a doc dropped by dedup is
     counted there even if it would also fail a later gate), so the
-    counts sum to exactly the raw corpus size plus the 'kept' row.
+    counts sum to exactly the raw corpus size. The benchmark bucket
+    tests doc_id membership DIRECTLY — inferring it from a missing
+    contamination verdict would fold NULL-text documents (also absent
+    from that frame, because they have no shingles) into the
+    benchmark count and corrupt the audit; those get their own
+    'no_text' bucket.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id")
     survivors = dedup_keep_canonical(spark, sf_dir).select(
@@ -86,8 +97,9 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = contamination_check(spark, sf_dir).select("doc_id", "flagged")
     reason = (
         F.when(F.col("_s").isNull(), "near_duplicate")
+        .when(F.col("doc_id") % BENCH_MOD == 0, "benchmark_eval")
+        .when(F.col("keep").isNull(), "no_text")
         .when(~F.col("keep"), "repetitive")
-        .when(F.col("flagged").isNull(), "benchmark_eval")
         .when(F.col("flagged"), "contaminated")
         .otherwise("kept")
     )

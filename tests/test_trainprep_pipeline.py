@@ -81,3 +81,40 @@ def test_curation_report_accounts_for_every_document(spark, sf_dir):
     # benchmark docs that survive dedup + gates appear as
     # benchmark_eval; the rest were already dropped upstream
     assert report.get("benchmark_eval", 0) <= n_bench
+
+
+def test_null_text_docs_get_their_own_bucket_not_benchmark(spark, tmp_path, sf_dir):
+    """Regression pin (round-8 review): NULL-text docs are absent from
+    the contamination frame just like benchmark docs; inferring the
+    benchmark bucket from that absence mislabeled corrupt documents as
+    held-out eval data. The report must bucket them as 'no_text' and
+    membership in 'benchmark_eval' must come from doc_id arithmetic.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    head = tbl.slice(0, 30).to_pylist()
+    victim = next(r["doc_id"] for r in head if r["doc_id"] % BENCH_MOD != 0)
+    for r in head:
+        if r["doc_id"] == victim:
+            r["text"] = None
+    fixture = tmp_path / "sf_no_text"
+    fixture.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(head, schema=tbl.schema),
+        str(fixture / "documents.parquet"),
+    )
+
+    report = {
+        r["reason"]: r["n_docs"]
+        for r in curation_report(spark, str(fixture)).collect()
+    }
+    assert report.get("no_text") == 1
+    n_bench = sum(1 for r in head if r["doc_id"] % BENCH_MOD == 0)
+    assert report.get("benchmark_eval", 0) <= n_bench
+    assert sum(report.values()) == len(head)
+    kept_ids = {
+        r["doc_id"] for r in curate_corpus(spark, str(fixture)).collect()
+    }
+    assert victim not in kept_ids
