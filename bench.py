@@ -59,6 +59,24 @@ def _warmup(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Pin the driver heap for benchmark runs: session.py otherwise
+    # derives it from MemAvailable at launch, so timings/GC behavior
+    # would silently vary with ambient host memory pressure and poison
+    # run-to-run comparability. Derive from MemTotal (stable across
+    # runs on a given box) with session.py's [4g, 24g] clamp — the
+    # bench box lands on the measured-good 24g every time, while a
+    # small host still gets a launchable heap. An explicit env wins.
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        try:
+            with open("/proc/meminfo") as fh:
+                total_gb = next(
+                    int(line.split()[1]) // (1024 * 1024)
+                    for line in fh
+                    if line.startswith("MemTotal:")
+                )
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(4, min(24, total_gb // 2))}g"
+        except (OSError, StopIteration, ValueError):
+            pass  # fall back to session.py's own derivation
 
     from sbs_suptech_etl_v2_spark.registry import QUERIES
     from sbs_suptech_etl_v2_spark.session import get_spark

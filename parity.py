@@ -170,19 +170,24 @@ def main() -> int:
         ).stdout.strip())
     except Exception:  # noqa: BLE001 — provenance is best-effort
         head, dirty = "unknown", False
-    out["_meta"] = {
-        "source_commit": head,
-        "source_dirty": dirty,
-        "generated_utc": dt.datetime.now(dt.timezone.utc).isoformat(
-            timespec="seconds"
-        ),
-        "sf_dir": sf_dir,
-        "err": "no_oracle",  # sentinel: consumers treating _meta as a
-        # query entry must classify it as the harmless no-oracle bucket
+    # Envelope shape: per-query verdicts live under "queries", the
+    # provenance stamp under "meta" — a consumer iterating query
+    # entries can never miscount the stamp as a query (the previous
+    # top-level "_meta" pseudo-entry needed every consumer to
+    # special-case it).
+    envelope = {
+        "meta": {
+            "source_commit": head,
+            "source_dirty": dirty,
+            "generated_utc": dt.datetime.now(dt.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf_dir": sf_dir,
+        },
+        "queries": out,
     }
     with open(path, "w") as fh:
-        json.dump(out, fh, indent=2)
-    del out["_meta"]
+        json.dump(envelope, fh, indent=2)
     n_ok = sum(
         1
         for e in out.values()

@@ -123,11 +123,11 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if payload is None:
                     # NULL binary -> NULL decode outputs, row preserved
                     # (SQL NULL propagation; a real decoder has no bytes
-                    # to open). The oracle re-derives width/height from
-                    # its synthesis rule so it keeps them non-NULL on
-                    # such rows — acceptable divergence: NULL payloads
-                    # exist only in robustness fixtures, never in the
-                    # driver corpus.
+                    # to open). The oracle mirrors this with CASE WHEN
+                    # text IS NULL guards on width/height (round-9
+                    # ADVICE: both engines now agree on NULL-payload
+                    # rows, so a robustness fixture can enter a parity
+                    # run safely).
                     out.append(
                         {
                             "doc_id": int(doc_id),
@@ -158,8 +158,10 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IMAGE_FEATURES_SQL = """
 SELECT doc_id,
-       CAST(doc_id % 640 + 16 AS INTEGER) AS width,
-       CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 ELSE doc_id % 640 + 16 END AS INTEGER) AS width,
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 ELSE doc_id % 480 + 16 END AS INTEGER) AS height,
        octet_length(encode('IMG:' || (doc_id % 640 + 16) || 'x' || (doc_id % 480 + 16)
                            || ':' || text)) AS n_bytes,
        sha256('IMG:' || (doc_id % 640 + 16) || 'x' || (doc_id % 480 + 16)
@@ -264,7 +266,8 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["image"]):
                 if payload is None:
                     # NULL binary -> NULL resize outputs, row preserved
-                    # (see image_features: same decoder-has-no-bytes rule).
+                    # (see image_features: same decoder-has-no-bytes
+                    # rule; oracle mirrors via CASE WHEN payload IS NULL).
                     out.append(
                         {
                             "doc_id": int(doc_id),
@@ -310,8 +313,8 @@ resized AS (
   FROM src
 )
 SELECT doc_id,
-       CAST(w2 AS INTEGER) AS width,
-       CAST(h2 AS INTEGER) AS height,
+       CAST(CASE WHEN payload IS NULL THEN NULL ELSE w2 END AS INTEGER) AS width,
+       CAST(CASE WHEN payload IS NULL THEN NULL ELSE h2 END AS INTEGER) AS height,
        CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
        sha256(payload) AS sha256
 FROM resized

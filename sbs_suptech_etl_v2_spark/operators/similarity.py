@@ -4,9 +4,13 @@ Approximate-nearest-neighbor and near-duplicate search over the
 ``embeddings`` table (``embedding: array<float>``, 64-dim), Spark-first:
 
 - **brute-force top-k cosine** — the exactness baseline: broadcast the
-  (small by construction) query set against all candidates, expression
-  dot-product + norms, ``row_number`` per query. No Python UDFs: the
-  fold is ``F.aggregate(F.zip_with(...))`` — JVM-side, codegen'd.
+  (small by construction) query set against all candidates,
+  Arrow-vectorized dot-product + norms, ``row_number`` per query. The
+  vector math runs in numpy kernels over ``mapInPandas`` (the brief's
+  sanctioned vectorized-Pandas-UDF path for embedding ops): Catalyst
+  HOF expressions (``aggregate``/``zip_with``) are CodegenFallback —
+  interpreted, profiled at ~2 ms/row for these 64-dim chains — while
+  the kernels run the identical IEEE fold at ~20× less executor CPU.
 - **sign-LSH bucketed near-dup** — the 100 TB path: random-hyperplane
   signs bucket each vector into 2 bands × 4-bit buckets; candidate
   pairs come from a bucket self-join (shuffle on (band, bucket) only,
@@ -18,8 +22,9 @@ Approximate-nearest-neighbor and near-duplicate search over the
   with a nearest-centroid id.
 
 Float determinism: every dot product is a *sequential left fold* over
-the (double-cast) elements in index order — Spark ``F.aggregate`` and
-DuckDB ``list_reduce`` fold identically, and sqrt/division are
+the (double-cast) elements in index order — ``_np_fold_dot`` folds
+dimension-at-a-time (vectorized across rows, never pairwise-summed),
+DuckDB ``list_reduce`` folds identically, and sqrt/division are
 correctly-rounded IEEE ops, so scores match the oracle bit-for-bit.
 
 The corpus has no natural near-dups (max pairwise cosine ≈ 0.51), so
@@ -36,7 +41,6 @@ from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.checkpointing import materialize
-from sbs_suptech_etl_v2_spark.operators.dedup import _let
 
 TOP_K = 10
 QUERY_STRIDE = 100  # vec_id % stride == 0 → query vector
@@ -87,7 +91,15 @@ def _dbl(vec: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product (order-stable for the oracle)."""
+    """Sequential left-fold dot product (order-stable for the oracle).
+
+    Expression form — used where a handful of rows need a dot inside a
+    wider JVM expression. HOFs evaluate on Catalyst's interpreted path
+    (CodegenFallback), ~2 ms/row for the 64-dim chains profiled here,
+    so every corpus-sized or pair-fan-out dot goes through the
+    Arrow-vectorized kernels below instead (``_unit`` / ``_banded_rows``
+    / ``_pair_scores``), which run the identical IEEE op sequence.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -95,6 +107,244 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
+
+
+def _np_fold_dot(A, B):
+    """Dimension-ordered fold dot, vectorized over rows.
+
+    ``acc = (((0.0 + a0·b0) + a1·b1) + …`` per row — the exact op
+    sequence of ``_dot`` / the oracle's ``list_reduce``, applied
+    column-at-a-time so numpy vectorizes across rows. NEVER replace
+    with ``(A*B).sum(axis=1)`` / ``np.einsum``: pairwise summation
+    rounds differently and breaks bit-parity (the q51 lesson).
+    """
+    import numpy as np
+
+    acc = np.zeros(len(A), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d] * B[:, d]
+    return acc
+
+
+def _np_keep(acc):
+    """Row-keep mask mirroring Spark/DuckDB ``dot > 0`` semantics:
+    both engines order NaN above every number, so a NaN dot KEEPS the
+    row (its score stays NaN on both sides); numpy's ``NaN > 0`` is
+    False and needs the explicit disjunct."""
+    import numpy as np
+
+    return (acc > 0) | np.isnan(acc)
+
+
+def _stack(col):
+    """pandas column of Arrow list values -> (n, dim) float64 matrix.
+
+    float32→float64 element casts are exact, so feeding raw
+    ``embedding`` arrays here equals the ``_dbl``-cast path bit-for-bit.
+    """
+    import numpy as np
+
+    return np.stack([np.asarray(x, dtype=np.float64) for x in col])
+
+
+def _unit(vecs: DataFrame) -> DataFrame:
+    """Unit-normalize ``(vec_id, v)`` rows — Arrow-vectorized kernel.
+
+    Zero-norm (dead/padding) vectors are DROPPED, not divided: a zero
+    embedding has no direction, and the oracle's unit CTE carries the
+    same ``WHERE dot(v,v) > 0`` so both engines retrieve over the
+    identical live-vector set. NULL vectors drop the same way (a NULL
+    dot fails the oracle's WHERE). Division happens in the kernel —
+    no ANSI divide-by-zero hazard, no predicate-fusion ordering trap.
+
+    Why a kernel and not the previous ``aggregate``/``transform``
+    expression chain: HOF expressions are CodegenFallback — profiled at
+    ~2 ms/row for the norm+divide+plane-dot chains, they made the
+    similarity family the most CPU-expensive queries in the suite at
+    2,400 rows. The numpy path is the brief's sanctioned vectorized
+    form for embedding math, runs the identical dimension-ordered IEEE
+    fold (``_np_fold_dot``), and measured ~20× less executor CPU.
+    Scale posture: mapInPandas on the scan side — narrow in
+    (id + vector), narrow out, no shuffle introduced, batch size
+    governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    Works at any dimension (q107 feeds 16-wide truncations).
+
+    Kernel inputs deliberately do NOT ``spread()``: each python task
+    pays a fixed worker/Arrow handshake, so 32 micro-partitions of a
+    2,400-row table cost ~30× the overhead of one vectorized batch
+    (measured: spread+kernel burned MORE total CPU than the HOF chain
+    it replaced; unspread it is ~4× less). On a production lake the
+    scan already arrives many-partitioned and the same per-partition
+    batching amortizes naturally.
+    """
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sub = pdf[pdf["v"].notna()]
+            if not len(sub):
+                continue
+            V = _stack(sub["v"])
+            keep = _np_keep(_np_fold_dot(V, V))
+            if not keep.any():
+                continue
+            Vk = V[keep]
+            import numpy as np
+
+            n = np.sqrt(_np_fold_dot(Vk, Vk))
+            yield pd.DataFrame(
+                {"vec_id": sub["vec_id"][keep], "u": list(Vk / n[:, None])}
+            )
+
+    return vecs.mapInPandas(kernel, "vec_id bigint, u array<double>")
+
+
+def _banded_rows(vecs: DataFrame) -> DataFrame:
+    """Fused unit-normalization + sign-LSH banding kernel.
+
+    One Arrow pass emits ``(vec_id, u, buckets)`` — the unit vector and
+    the per-band {PLANES_PER_BAND}-bit sign buckets — then a JVM
+    ``posexplode`` yields the ``(vec_id, u, band, bucket)`` rows the
+    bucket self-joins consume. Bucket bit p of band b is
+    ``dot(v, plane(b,p)) > 0`` with the same fold order and NaN-keeps
+    semantics as the oracle's CASE (see ``_np_keep``); ±1-sign
+    multiplies are exact, so sign tests match the SQL bit-for-bit.
+    """
+    planes = [
+        [[float(s) for s in PLANES[b][p]] for p in range(PLANES_PER_BAND)]
+        for b in range(N_BANDS)
+    ]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            sub = pdf[pdf["v"].notna()]
+            if not len(sub):
+                continue
+            V = _stack(sub["v"])
+            keep = _np_keep(_np_fold_dot(V, V))
+            if not keep.any():
+                continue
+            Vk = V[keep]
+            n = np.sqrt(_np_fold_dot(Vk, Vk))
+            buckets = []
+            for b in range(N_BANDS):
+                bucket = np.zeros(len(Vk), dtype=np.int64)
+                for p in range(PLANES_PER_BAND):
+                    S = np.asarray(planes[b][p], dtype=np.float64)
+                    acc = np.zeros(len(Vk), dtype=np.float64)
+                    for d in range(Vk.shape[1]):
+                        acc = acc + Vk[:, d] * S[d]
+                    bucket += np.where(_np_keep(acc), 1 << p, 0)
+                buckets.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "vec_id": sub["vec_id"][keep],
+                    "u": list(Vk / n[:, None]),
+                    "buckets": list(np.stack(buckets, axis=1).astype(np.int32)),
+                }
+            )
+
+    return vecs.mapInPandas(
+        kernel, "vec_id bigint, u array<double>, buckets array<int>"
+    )
+
+
+def _explode_bands(banded: DataFrame) -> DataFrame:
+    return banded.select(
+        "vec_id", "u", F.posexplode("buckets").alias("band", "bucket")
+    )
+
+
+def _pair_scores(
+    df: DataFrame,
+    a: str,
+    b: str,
+    out_schema: str,
+    score: str = "score",
+    normalize: bool = False,
+) -> DataFrame:
+    """Per-row fold dot ``score = dot(df[a], df[b])`` — Arrow kernel.
+
+    ``normalize=True`` computes the full cosine
+    ``dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b)))`` for callers whose
+    inputs are raw (non-unit) vectors; rows are pre-filtered to
+    positive norms upstream, and a NaN denominator yields NaN on both
+    engines, so no guard is needed in the kernel.
+
+    Passes through every non-``score`` column named in ``out_schema``
+    (bit-preserving Arrow round-trip). Used on every pair fan-out
+    (bucket-join candidates, broadcast query×corpus scoring, centroid
+    assignment): these frames are pair-count-sized, so the interpreted
+    HOF fold was quadratic-ish CPU; the kernel is one vectorized pass.
+    """
+    keep = [
+        f.strip().split()[0]
+        for f in out_schema.split(",")
+        if f.strip().split()[0] != score
+    ]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def mat(batch, name):
+            # zero-copy (n, dim) view of a fixed-width list<double>
+            # column: the flat Arrow value buffer reshapes directly —
+            # no per-row python loop (profiled: np.stack over the pair
+            # fan-out dominated the kernel at ~5 µs/row). Falls back to
+            # the row loop for ragged/null batches (never hit by the
+            # unit-vector frames, kept for safety).
+            col = batch.column(batch.schema.get_field_index(name))
+            off = np.asarray(col.offsets)
+            widths = np.diff(off)
+            if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
+                flat = np.asarray(col.values, dtype=np.float64)
+                n, w = len(widths), int(widths[0])
+                return flat[off[0] : off[0] + n * w].reshape(n, w)
+            return np.stack(
+                [np.asarray(x, dtype=np.float64) for x in col.to_pylist()]
+            )
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            A, B = mat(batch, a), mat(batch, b)
+            s = _np_fold_dot(A, B)
+            if normalize:
+                s = s / (np.sqrt(_np_fold_dot(A, A)) * np.sqrt(_np_fold_dot(B, B)))
+            cols = [
+                batch.column(batch.schema.get_field_index(k)) for k in keep
+            ] + [pa.array(s, type=pa.float64())]
+            yield pa.RecordBatch.from_arrays(cols, names=keep + [score])
+
+    return df.mapInArrow(kernel, out_schema)
+
+
+def _live_vecs(vecs: DataFrame) -> DataFrame:
+    """``WHERE dot(v, v) > 0`` as an Arrow kernel — the zero-norm /
+    NULL-vector exclusion (see ``_unit``) for callers that keep RAW
+    vectors (q24 scores cosines from the originals)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sub = pdf[pdf["v"].notna()]
+            if not len(sub):
+                continue
+            V = _stack(sub["v"])
+            keep = _np_keep(_np_fold_dot(V, V))
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {"vec_id": sub["vec_id"][keep], "v": sub["v"][keep]}
+            )
+
+    return vecs.mapInPandas(kernel, "vec_id bigint, v array<double>")
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -119,29 +369,20 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     # zero-norm vectors are excluded on both engines — cosine is
-    # undefined for them and ANSI division raises (see _unit)
-    vecs = spread(
-        emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
-    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    # undefined for them (see _unit)
+    vecs = _live_vecs(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
     queries = vecs.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0)
         & (F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
-    scored = (
+    scored = _pair_scores(
         vecs.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            # when()-guard against predicate-fusion evaluating the
-            # division before the zero-norm filter (see _unit); the
-            # filter guarantees the denominator is positive for every
-            # surviving row, so values are unchanged
-            _let(
-                _norm(F.col("q")) * _norm(F.col("v")),
-                lambda d: F.when(d > 0, _dot(F.col("q"), F.col("v")) / d),
-            ).alias("score"),
-        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), "q", "v"),
+        "q",
+        "v",
+        "query_id bigint, cand_id bigint, score double",
+        normalize=True,
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
     return (
@@ -177,62 +418,6 @@ WHERE rank <= {TOP_K}
 ANN_TOP_K = 5
 
 
-def _unit(vecs: DataFrame) -> DataFrame:
-    # Zero-norm (dead/padding) vectors are DROPPED, not divided: a
-    # zero embedding has no direction, and under ANSI mode x/0.0
-    # RAISES at runtime — at corpus scale a dead vector is a
-    # certainty, and one row must not kill the stage (round-8
-    # adversarial sweep: every query through this helper crashed on a
-    # single zero vector). dot(v,v) > 0 is the exact, sqrt-free test;
-    # every oracle's unit CTE carries the same WHERE so both engines
-    # retrieve over the identical live-vector set.
-    #
-    # Bind the norm ONCE per row: a bare transform(v, x -> x/_norm(v))
-    # re-folds the 64-element norm for every element (O(d²) per row —
-    # CollapseProject inlines the norm into each lambda use). Value is
-    # identical, so the oracle's plain x/sqrt(dot) form still matches.
-    #
-    # The division itself is additionally when()-guarded: Catalyst can
-    # fuse this projection into a downstream predicate as a common
-    # subexpression that evaluates BEFORE the zero-norm filter removes
-    # the row (observed: DIVIDE_BY_ZERO raised from inside a generated
-    # SpecificPredicate), so the filter alone is not enough. when() is
-    # lazy — dead rows yield null elements and are filtered, surviving
-    # rows divide by a provably-positive norm, bit-identically.
-    return vecs.filter(_dot(F.col("v"), F.col("v")) > 0).select(
-        "vec_id",
-        _let(
-            _norm(F.col("v")),
-            lambda n: F.transform(F.col("v"), lambda x: F.when(n > 0, x / n)),
-        ).alias("u"),
-        "v",
-    )
-
-
-def _bucket_expr(v: Column, band: int) -> Column:
-    bits = [
-        F.when(
-            _dot(v, F.array(*[F.lit(float(s)) for s in PLANES[band][p]])) > 0,
-            F.lit(1 << p),
-        ).otherwise(F.lit(0))
-        for p in range(PLANES_PER_BAND)
-    ]
-    acc = bits[0]
-    for bcol in bits[1:]:
-        acc = acc + bcol
-    return acc
-
-
-def _banded(unit: DataFrame) -> DataFrame:
-    return unit.select(
-        "vec_id",
-        "u",
-        F.posexplode(
-            F.array(*[_bucket_expr(F.col("v"), b) for b in range(N_BANDS)])
-        ).alias("band", "bucket"),
-    )
-
-
 def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT-2] approximate top-k — LSH-bucket candidates only.
 
@@ -245,23 +430,26 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan shape. Unit vectors make each candidate a single dot.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
-    # materialize the banded frame once: queries and candidates are two
-    # aliased reads of it, and without this each side re-runs the
-    # normalization + all plane dots (the q21 self-join lesson)
-    banded = materialize(_banded(_unit(base)))
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    # materialize the banded kernel output once (pre-explode — half the
+    # rows): queries and candidates are two aliased reads of it, and
+    # without this each side re-runs the normalization + all plane
+    # dots (the q21 self-join lesson)
+    banded = _explode_bands(materialize(_banded_rows(base)))
     queries = banded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
     )
     cands = banded.select(
         F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"), "band", "bucket"
     )
-    scored = (
+    scored = _pair_scores(
         queries.join(cands, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score"))
-        .dropDuplicates(["query_id", "cand_id"])
-    )
+        .select("query_id", "cand_id", "uq", "uc"),
+        "uq",
+        "uc",
+        "query_id bigint, cand_id bigint, score double",
+    ).dropDuplicates(["query_id", "cand_id"])
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -329,7 +517,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q41) with the bucket id replaced by a learned cell id.
     """
     emb = table(spark, sf_dir, "embeddings")
-    unit = _unit(spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))).select(
+    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
         "vec_id", "u"
     )
     centroids = unit.filter(
@@ -338,8 +526,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("uc"))
     # assignment and probe selection both read the scored cells; one
     # materialization avoids running the |V|×K dot stage twice
-    scored_cells = unit.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "u", "cent_id", _dot(F.col("u"), F.col("uc")).alias("cscore")
+    scored_cells = _pair_scores(
+        unit.crossJoin(F.broadcast(centroids)).select("vec_id", "u", "cent_id", "uc"),
+        "u",
+        "uc",
+        "vec_id bigint, u array<double>, cent_id bigint, cscore double",
+        score="cscore",
     )
     scored_cells = materialize(scored_cells)
     w_assign = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cent_id"))
@@ -358,9 +550,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("u").alias("ucand"), "cent_id"
     )
     pair_scores = (
-        probes.join(cands, "cent_id")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("ucand")).alias("score"))
+        _pair_scores(
+            probes.join(cands, "cent_id")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", "uq", "ucand"),
+            "uq",
+            "ucand",
+            "query_id bigint, cand_id bigint, score double",
+        )
         .dropDuplicates(["query_id", "cand_id"])
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
@@ -457,9 +654,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
         _variant_vec(F.col("v"), variant_signs).alias("v"),
     )
-    corpus = spread(base.unionByName(variants))
+    corpus = base.unionByName(variants)
     # one materialization feeds both self-join sides (see q41 note)
-    banded = materialize(_banded(_unit(corpus)))
+    banded = _explode_bands(materialize(_banded_rows(corpus)))
     a = banded.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "band", "bucket"
     )
@@ -467,9 +664,15 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), "band", "bucket"
     )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", _dot(F.col("ua"), F.col("ub")).alias("cosine"))
+        _pair_scores(
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "ua", "ub"),
+            "ua",
+            "ub",
+            "vec_a bigint, vec_b bigint, cosine double",
+            score="cosine",
+        )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .dropDuplicates(["vec_a", "vec_b"])
     )
@@ -539,15 +742,18 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket width / band count of the ANN index gets tuned before a
     100 TB build: re-run the audit, read the recall distribution.
 
-    Plan: one materialized unit frame feeds BOTH legs (the exact leg
-    broadcasts the fixed query sample against it; the approx leg
-    derives the banded frame from it), so normalization runs once; the
+    Plan: ONE materialized kernel output (unit vectors + LSH buckets in
+    a single Arrow pass) feeds BOTH legs — the exact leg broadcasts the
+    fixed query sample against it; the approx leg just explodes the
+    bucket array — so normalization and the plane dots run once and
+    there is a single lineage cut instead of the previous two; the
     legs join on (query_id, cand_id) and one bounded-cardinality
     groupBy emits per-query recall.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
-    unit = materialize(_unit(base))
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    up = materialize(_banded_rows(base))
+    unit = up.select("vec_id", "u")
     sample = (F.col("vec_id") % QUERY_STRIDE == 0) & (
         F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES
     )
@@ -556,15 +762,20 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
     exact = (
-        unit.select(F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"))
-        .crossJoin(F.broadcast(queries))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score"))
+        _pair_scores(
+            unit.select(F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"))
+            .crossJoin(F.broadcast(queries))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", "uq", "uc"),
+            "uq",
+            "uc",
+            "query_id bigint, cand_id bigint, score double",
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= ANN_TOP_K)
         .select("query_id", "cand_id")
     )
-    banded = materialize(_banded(unit))
+    banded = _explode_bands(up)
     qb = banded.filter(sample).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
     )
@@ -572,9 +783,14 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"), "band", "bucket"
     )
     approx = (
-        qb.join(cb, ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score"))
+        _pair_scores(
+            qb.join(cb, ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", "uq", "uc"),
+            "uq",
+            "uc",
+            "query_id bigint, cand_id bigint, score double",
+        )
         .dropDuplicates(["query_id", "cand_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= ANN_TOP_K)
@@ -795,15 +1011,19 @@ def kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     point sidesteps both.
     """
     emb = table(spark, sf_dir, "embeddings")
-    unit = _unit(spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))).select(
+    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
         "vec_id", "u"
     )
     centroids = unit.filter(
         (F.col("vec_id") % CENTROID_STRIDE == 3)
         & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
     ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("uc"))
-    scored = unit.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "u", "cent_id", _dot(F.col("u"), F.col("uc")).alias("cscore")
+    scored = _pair_scores(
+        unit.crossJoin(F.broadcast(centroids)).select("vec_id", "u", "cent_id", "uc"),
+        "u",
+        "uc",
+        "vec_id bigint, u array<double>, cent_id bigint, cscore double",
+        score="cscore",
     )
     # argmax assignment: max_by on (score, -cent_id) == the oracle's
     # ROW_NUMBER(ORDER BY cscore DESC, cent_id) winner, but with map-side
@@ -1156,7 +1376,7 @@ def matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     query broadcast and candidate side.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
     unit_full = materialize(_unit(base))
     trunc = base.select(
         "vec_id", F.slice(F.col("v"), 1, MATRYOSHKA_DIMS).alias("v")
@@ -1172,11 +1392,14 @@ def matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"), F.col("u").alias("uq")
         )
         return (
-            unit.select(F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"))
-            .crossJoin(F.broadcast(queries))
-            .filter(F.col("cand_id") != F.col("query_id"))
-            .select(
-                "query_id", "cand_id", _dot(F.col("uq"), F.col("uc")).alias("score")
+            _pair_scores(
+                unit.select(F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"))
+                .crossJoin(F.broadcast(queries))
+                .filter(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id", "uq", "uc"),
+                "uq",
+                "uc",
+                "query_id bigint, cand_id bigint, score double",
             )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= ANN_TOP_K)
