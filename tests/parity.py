@@ -75,6 +75,15 @@ def run_oracle_full(
     HUGEINT (or any family-mismatched) oracle output type, invisible
     to fetchall(), now fails locally via the DESCRIBE gate; the
     fetchdf() grid exercises the dtype-lossy pandas fetch path.
+
+    Cost note (round-9 ADVICE triage): DESCRIBE only binds/plans — it
+    does not execute the query — so this runs each oracle TWICE, not
+    three times, and both executions are load-bearing legs with
+    deliberately different fetch paths (fetchall = exact ground
+    truth; fetchdf = DuckDB's own dtype-converting C++ path, which a
+    derived pandas frame from the fetchall rows would not exercise).
+    Deduplicating them would silently weaken the gate; the measured
+    full-suite overhead (~2 min at sf0.01) stays acceptable.
     """
     con = duckdb.connect()
     try:

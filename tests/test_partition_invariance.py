@@ -58,6 +58,16 @@ QUERIES_UNDER_TEST = [
     # late supplier must come out of max(when(...)) identically at
     # any partitioning)
     "q96_only_late_supplier",
+    # round 9: the Arrow fold kernels — batch boundaries move with the
+    # shuffle layout, and the per-row fold must not care (a pairwise /
+    # batch-spanning summation would); q71/q90 above already cover the
+    # kmeans + recall-audit variants
+    "q24_topk_cosine",
+    "q25_embedding_neardup",
+    "q41_ann_bucketed_topk",
+    "q47_ivf_topk",
+    "q93_semantic_dedup",
+    "q107_matryoshka_audit",
 ]
 
 
