@@ -100,3 +100,100 @@ def test_shingle_set_kernel_matches_reference(spark, texts):
             assert got[i] is None, (i, t)
         else:
             assert sorted(got[i]) == sorted(set(_ref_shingles(t))), (i, t)
+
+
+# -- round-9: the Arrow fold kernels vs the Catalyst expression fold --------
+#
+# The similarity family's numpy kernels claim BIT-identical results to
+# the F.aggregate(F.zip_with(...)) left fold they replaced (and to the
+# oracle's list_reduce). Pin that with adversarial doubles: subnormals,
+# huge/tiny magnitude mixes (catastrophic cancellation orders), signed
+# zeros, NaN and infinities.
+
+_double = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.just(0.0),
+    st.just(-0.0),
+    st.just(5e-324),
+    st.just(1.7976931348623157e308),
+    st.just(float("nan")),
+    st.just(float("inf")),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(min_value=1, max_value=16).flatmap(
+        lambda d: st.lists(
+            st.tuples(
+                st.lists(_double, min_size=d, max_size=d),
+                st.lists(_double, min_size=d, max_size=d),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+)
+def test_np_fold_dot_bit_matches_expression_fold(spark, pairs):
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import (
+        _dot,
+        _np_fold_dot,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<double>, b array<double>",
+    )
+    jvm = {
+        r["i"]: r["s"]
+        for r in df.select("i", _dot(F.col("a"), F.col("b")).alias("s")).collect()
+    }
+    A = np.stack([np.asarray(a, dtype=np.float64) for a, _ in pairs])
+    B = np.stack([np.asarray(b, dtype=np.float64) for _, b in pairs])
+    ker = _np_fold_dot(A, B)
+
+    def bits(x):
+        # any-NaN compares equal: the JVM canonicalizes NaN (always
+        # +0x7ff8…) while IEEE multiply/add in numpy may carry the
+        # operand's sign/payload — semantically identical, and every
+        # parity canon maps NaN to one token before hashing
+        import math
+
+        if math.isnan(x):
+            return b"nan"
+        return struct.pack("<d", x)
+
+    for i in range(len(pairs)):
+        assert bits(jvm[i]) == bits(float(ker[i])), (i, pairs[i], jvm[i], ker[i])
+
+
+def test_np_keep_mirrors_engine_nan_ordering(spark):
+    """Spark and DuckDB both order NaN above every number, so a NaN
+    dot KEEPS its row; numpy's ``NaN > 0`` is False — ``_np_keep``
+    carries the explicit disjunct. Prove the Spark side of the claim
+    (the DuckDB side is a documented engine rule exercised by the
+    oracle WHERE clauses)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import _np_keep
+
+    df = spark.createDataFrame(
+        [(0, float("nan")), (1, 0.0), (2, -1.0), (3, 2.0), (4, float("inf"))],
+        "i long, x double",
+    )
+    spark_kept = {
+        r["i"] for r in df.filter(F.col("x") > 0).collect()
+    }
+    acc = np.array([float("nan"), 0.0, -1.0, 2.0, float("inf")])
+    np_kept = {i for i, k in enumerate(_np_keep(acc)) if k}
+    assert spark_kept == np_kept == {0, 3, 4}
