@@ -259,6 +259,96 @@ def _explode_bands(banded: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_grid_fold(U, Q=None):
+    """All-pairs (or queries×candidates) fold-dot grid for ONE bucket.
+
+    Accumulates ``acc[i, j] += A[i, d] · B[j, d]`` dimension-by-
+    dimension, so every (i, j) pair sees the exact left-fold op order
+    of ``_dot``/``list_reduce`` — vectorized over the whole grid. A
+    ``U @ U.T`` matmul would be 1-2 orders faster but rounds
+    differently (BLAS blocking/FMA) and is banned for parity.
+    """
+    import numpy as np
+
+    A = U if Q is None else Q
+    acc = np.zeros((len(A), len(U)), dtype=np.float64)
+    for d in range(U.shape[1]):
+        acc = acc + A[:, d, None] * U[None, :, d]
+    return acc
+
+
+def _bucket_pair_scores(
+    banded: DataFrame,
+    out_schema: str,
+    threshold: float | None = None,
+    query_stride: int | None = None,
+    query_cap: int | None = None,
+) -> DataFrame:
+    """Score candidate pairs INSIDE their (band, bucket) group.
+
+    The previous shape joined the banded frame to itself and streamed
+    the C(occupancy, 2) pair fan-out — with both 64-double vectors on
+    every row — through a shuffle and then an Arrow kernel. At any
+    scale that pair stream is ~occupancy× the corpus. This shape
+    instead groups the banded rows by their LSH cell
+    (``applyInPandas``) and emits SCORED pairs straight from the
+    grouped unit vectors: the only shuffled frame is corpus×bands
+    rows wide, the pair grid lives briefly inside one numpy batch,
+    and threshold/query filtering happens at the source — so what
+    leaves the kernel is the (tiny) result-shaped pair list, not the
+    fan-out. Per-group memory is O(occupancy²) — the same quantity
+    the join shape materialized as shuffle rows — governed by
+    planes-per-band (see the module constants note).
+
+    ``threshold`` keeps pairs with ``score >= threshold`` (NaN keeps,
+    mirroring both engines' NaN-is-greatest ordering) and emits each
+    unordered pair once (``vec_a < vec_b``). ``query_stride``/``cap``
+    instead select query rows (``vec_id % stride == 0`` and optional
+    ``vec_id < stride*cap``) and score them against every OTHER
+    bucket member. Scores are bit-identical to the join shape: same
+    fold order, same vectors.
+    """
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        U = _stack(pdf["u"])
+        if query_stride is None:
+            acc = _bucket_grid_fold(U)
+            mask = ids[:, None] < ids[None, :]
+            if threshold is not None:
+                mask &= (acc >= threshold) | np.isnan(acc)
+            i, j = np.nonzero(mask)
+            out = {"vec_a": ids[i], "vec_b": ids[j], "score": acc[i, j]}
+        else:
+            qm = ids % query_stride == 0
+            if query_cap is not None:
+                qm &= ids < query_stride * query_cap
+            if not qm.any():
+                return pd.DataFrame(
+                    {"vec_a": ids[:0], "vec_b": ids[:0], "score": U[:0, 0]}
+                )
+            qids = ids[qm]
+            acc = _bucket_grid_fold(U, U[qm])
+            mask = qids[:, None] != ids[None, :]
+            if threshold is not None:
+                mask &= (acc >= threshold) | np.isnan(acc)
+            i, j = np.nonzero(mask)
+            out = {"vec_a": qids[i], "vec_b": ids[j], "score": acc[i, j]}
+        return pd.DataFrame(out)
+
+    names = [f.strip().split()[0] for f in out_schema.split(",")]
+
+    def renamed(pdf):
+        out = kernel(pdf)
+        out.columns = names
+        return out
+
+    return banded.groupBy("band", "bucket").applyInPandas(renamed, out_schema)
+
+
 def _pair_scores(
     df: DataFrame,
     a: str,
@@ -431,24 +521,15 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
-    # materialize the banded kernel output once (pre-explode — half the
-    # rows): queries and candidates are two aliased reads of it, and
-    # without this each side re-runs the normalization + all plane
-    # dots (the q21 self-join lesson)
-    banded = _explode_bands(materialize(_banded_rows(base)))
-    queries = banded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
-    )
-    cands = banded.select(
-        F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"), "band", "bucket"
-    )
-    scored = _pair_scores(
-        queries.join(cands, ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", "uq", "uc"),
-        "uq",
-        "uc",
+    # pair scoring happens INSIDE each (band, bucket) group — the
+    # banded frame shuffles once on its cell key and the pair fan-out
+    # never leaves the kernel (see _bucket_pair_scores); with a single
+    # consumer the lineage cut the self-join needed is gone too
+    banded = _explode_bands(_banded_rows(base))
+    scored = _bucket_pair_scores(
+        banded,
         "query_id bigint, cand_id bigint, score double",
+        query_stride=QUERY_STRIDE,
     ).dropDuplicates(["query_id", "cand_id"])
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
     return (
@@ -655,27 +736,15 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _variant_vec(F.col("v"), variant_signs).alias("v"),
     )
     corpus = base.unionByName(variants)
-    # one materialization feeds both self-join sides (see q41 note)
-    banded = _explode_bands(materialize(_banded_rows(corpus)))
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), "band", "bucket"
-    )
-    return (
-        _pair_scores(
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "ua", "ub"),
-            "ua",
-            "ub",
-            "vec_a bigint, vec_b bigint, cosine double",
-            score="cosine",
-        )
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    # pair mining + exact verify live inside the bucket groups (see
+    # _bucket_pair_scores): only corpus×bands rows shuffle, and what
+    # comes back is the already-thresholded near-dup pair list
+    banded = _explode_bands(_banded_rows(corpus))
+    return _bucket_pair_scores(
+        banded,
+        "vec_a bigint, vec_b bigint, cosine double",
+        threshold=COSINE_THRESHOLD,
+    ).dropDuplicates(["vec_a", "vec_b"])
 
 
 def _sql_bucket(band: int) -> str:
@@ -775,21 +844,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= ANN_TOP_K)
         .select("query_id", "cand_id")
     )
-    banded = _explode_bands(up)
-    qb = banded.filter(sample).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("uq"), "band", "bucket"
-    )
-    cb = banded.select(
-        F.col("vec_id").alias("cand_id"), F.col("u").alias("uc"), "band", "bucket"
-    )
     approx = (
-        _pair_scores(
-            qb.join(cb, ["band", "bucket"])
-            .filter(F.col("query_id") != F.col("cand_id"))
-            .select("query_id", "cand_id", "uq", "uc"),
-            "uq",
-            "uc",
+        _bucket_pair_scores(
+            _explode_bands(up),
             "query_id bigint, cand_id bigint, score double",
+            query_stride=QUERY_STRIDE,
+            query_cap=MAX_BF_QUERIES,
         )
         .dropDuplicates(["query_id", "cand_id"])
         .withColumn("rank", F.row_number().over(w))

@@ -129,11 +129,19 @@ def test_q21_minhash_band_join_is_checkpointed_hash_join(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
 
 
-def test_q25_embedding_neardup_is_checkpointed_bucket_join(spark, sf_dir):
+def test_q25_embedding_neardup_is_bucket_grouped_kernel(spark, sf_dir):
+    # round-9 shape: pair mining + exact verify run INSIDE the
+    # (band, bucket) groups (FlatMapGroupsInPandas) — the only keyed
+    # exchange is the cell-key shuffle of corpus×bands rows, the pair
+    # fan-out never leaves the kernel, and with a single consumer the
+    # self-join era's lineage cut is gone
     plan = _plan(spark, sf_dir, "q25_embedding_neardup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "ExistingRDD" in plan  # banded frame materialized once
+    assert "FlatMapGroupsInPandas" in plan
+    # exactly two physical shuffles — the cell-key grouping and the
+    # pair-dedup regroup over the (tiny, already-thresholded) pair
+    # list; "formatted" prints each node in tree + detail, hence <= 4
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
 
 
