@@ -89,3 +89,23 @@ def test_q21_band_join_has_no_broadcast_hint_in_logical_plan(
     logical = df._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical
     assert "broadcast" not in logical.lower()
+
+
+def test_q25_shuffles_banded_vectors_never_the_pair_fanout(spark, oracle_sf_dir):
+    """Round-9 pin for the bucket-grouped pair scorer: the cell-key
+    exchange carries corpus×bands unit-vector ROWS, and the only other
+    shuffle is the already-thresholded pair list — a regression back
+    to a join-shaped plan would shuffle the C(occupancy, 2) pair
+    fan-out (~occupancy× the corpus with TWO vectors per row) and
+    multiply these numbers by orders of magnitude."""
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_metadata(f"{oracle_sf_dir}/embeddings.parquet").num_rows
+    n_banded = (n_vecs + n_vecs // 5) * 2  # corpus + planted variants, ×2 bands
+    # unit vector row ≈ 64 doubles + ids/buckets ≈ <700 bytes UnsafeRow
+    budget = n_banded * 700
+    sizes = _shuffled_bytes(QUERIES["q25_embedding_neardup"](spark, oracle_sf_dir))
+    assert sizes, "expected the cell-key exchange"
+    assert max(sizes) < budget, (sizes, budget)
+    # pair-list regroup (dropDuplicates) is result-shaped: tiny
+    assert sorted(sizes)[0] < 0.2 * budget, sizes
