@@ -62,21 +62,16 @@ def main() -> None:
     # Pin the driver heap for benchmark runs: session.py otherwise
     # derives it from MemAvailable at launch, so timings/GC behavior
     # would silently vary with ambient host memory pressure and poison
-    # run-to-run comparability. Derive from MemTotal (stable across
-    # runs on a given box) with session.py's [4g, 24g] clamp — the
-    # bench box lands on the measured-good 24g every time, while a
-    # small host still gets a launchable heap. An explicit env wins.
+    # run-to-run comparability. Same clamp policy as the session
+    # (single source: session.driver_mem_from), but derived from
+    # MemTotal — stable across runs on a given box. An explicit env
+    # wins.
     if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
-        try:
-            with open("/proc/meminfo") as fh:
-                total_gb = next(
-                    int(line.split()[1]) // (1024 * 1024)
-                    for line in fh
-                    if line.startswith("MemTotal:")
-                )
-            os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(4, min(24, total_gb // 2))}g"
-        except (OSError, StopIteration, ValueError):
-            pass  # fall back to session.py's own derivation
+        from sbs_suptech_etl_v2_spark.session import driver_mem_from
+
+        pinned = driver_mem_from("MemTotal")
+        if pinned:
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = pinned
 
     from sbs_suptech_etl_v2_spark.registry import QUERIES
     from sbs_suptech_etl_v2_spark.session import get_spark

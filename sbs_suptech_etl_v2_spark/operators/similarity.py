@@ -91,22 +91,18 @@ def _dbl(vec: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product (order-stable for the oracle).
-
-    Expression form — used where a handful of rows need a dot inside a
-    wider JVM expression. HOFs evaluate on Catalyst's interpreted path
-    (CodegenFallback), ~2 ms/row for the 64-dim chains profiled here,
-    so every corpus-sized or pair-fan-out dot goes through the
-    Arrow-vectorized kernels below instead (``_unit`` / ``_banded_rows``
-    / ``_pair_scores``), which run the identical IEEE op sequence.
+    """Sequential left-fold dot product — RETAINED ONLY as the
+    reference implementation the kernel property tests compare
+    against (tests/test_kernel_properties.py). Do NOT use in query
+    plans: HOF expressions evaluate on Catalyst's interpreted
+    CodegenFallback path (~2 ms/row for these 64-dim chains, the
+    round-9 root cause); every production dot goes through the
+    Arrow-vectorized kernels below, which run the identical IEEE op
+    sequence.
     """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
 
 
 def _np_fold_dot(A, B):
@@ -134,6 +130,46 @@ def _np_keep(acc):
     import numpy as np
 
     return (acc > 0) | np.isnan(acc)
+
+
+def _whole_vecs(vecs: DataFrame) -> DataFrame:
+    """Drop rows whose vector is NULL or contains a NULL ELEMENT —
+    BEFORE any numpy kernel sees them.
+
+    Arrow hands the kernels NaN for a NULL list element, which is
+    indistinguishable from a genuine NaN — but the two must diverge:
+    a NULL element poisons both engines' folds to NULL and the
+    oracle's ``WHERE fold > 0`` DROPS the row, while a genuine-NaN
+    vector folds to NaN and is KEPT (NaN orders above every number in
+    both engines). The old expression fold got this for free; the
+    kernels need the distinction restored at the JVM boundary, where
+    Arrow still knows which is which. ``array_compact`` strips NULL
+    elements, so a length change flags them; a NULL array compares
+    NULL and is dropped by the filter too. Pinned by
+    tests/test_kernel_properties.py::test_null_element_vs_nan_vector.
+    """
+    return vecs.filter(
+        F.size(F.array_compact(F.col("v"))) == F.size(F.col("v"))
+    )
+
+
+def _live_unit_arrays(pdf):
+    """Shared kernel prep: (ids, live unit-vector matrix, raw live
+    matrix) for one batch — the notna/stack/keep/normalize sequence
+    every scan-side kernel runs (NULL semantics live in _whole_vecs +
+    _np_keep, fixable in ONE place)."""
+    import numpy as np
+
+    sub = pdf[pdf["v"].notna()]
+    if not len(sub):
+        return None
+    V = _stack(sub["v"])
+    keep = _np_keep(_np_fold_dot(V, V))
+    if not keep.any():
+        return None
+    Vk = V[keep]
+    n = np.sqrt(_np_fold_dot(Vk, Vk))
+    return sub["vec_id"][keep], Vk, Vk / n[:, None]
 
 
 def _stack(col):
@@ -182,22 +218,13 @@ def _unit(vecs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            sub = pdf[pdf["v"].notna()]
-            if not len(sub):
+            live = _live_unit_arrays(pdf)
+            if live is None:
                 continue
-            V = _stack(sub["v"])
-            keep = _np_keep(_np_fold_dot(V, V))
-            if not keep.any():
-                continue
-            Vk = V[keep]
-            import numpy as np
+            ids, _, U = live
+            yield pd.DataFrame({"vec_id": ids, "u": list(U)})
 
-            n = np.sqrt(_np_fold_dot(Vk, Vk))
-            yield pd.DataFrame(
-                {"vec_id": sub["vec_id"][keep], "u": list(Vk / n[:, None])}
-            )
-
-    return vecs.mapInPandas(kernel, "vec_id bigint, u array<double>")
+    return _whole_vecs(vecs).mapInPandas(kernel, "vec_id bigint, u array<double>")
 
 
 def _banded_rows(vecs: DataFrame) -> DataFrame:
@@ -221,15 +248,10 @@ def _banded_rows(vecs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            sub = pdf[pdf["v"].notna()]
-            if not len(sub):
+            live = _live_unit_arrays(pdf)
+            if live is None:
                 continue
-            V = _stack(sub["v"])
-            keep = _np_keep(_np_fold_dot(V, V))
-            if not keep.any():
-                continue
-            Vk = V[keep]
-            n = np.sqrt(_np_fold_dot(Vk, Vk))
+            ids, Vk, U = live
             buckets = []
             for b in range(N_BANDS):
                 bucket = np.zeros(len(Vk), dtype=np.int64)
@@ -242,13 +264,13 @@ def _banded_rows(vecs: DataFrame) -> DataFrame:
                 buckets.append(bucket)
             yield pd.DataFrame(
                 {
-                    "vec_id": sub["vec_id"][keep],
-                    "u": list(Vk / n[:, None]),
+                    "vec_id": ids,
+                    "u": list(U),
                     "buckets": list(np.stack(buckets, axis=1).astype(np.int32)),
                 }
             )
 
-    return vecs.mapInPandas(
+    return _whole_vecs(vecs).mapInPandas(
         kernel, "vec_id bigint, u array<double>, buckets array<int>"
     )
 
@@ -259,22 +281,36 @@ def _explode_bands(banded: DataFrame) -> DataFrame:
     )
 
 
-def _bucket_grid_fold(U, Q=None):
-    """All-pairs (or queries×candidates) fold-dot grid for ONE bucket.
+GRID_BLOCK = 4096  # query-side rows per grid block (see _bucket_grid_blocks)
 
-    Accumulates ``acc[i, j] += A[i, d] · B[j, d]`` dimension-by-
-    dimension, so every (i, j) pair sees the exact left-fold op order
-    of ``_dot``/``list_reduce`` — vectorized over the whole grid. A
+
+def _bucket_grid_blocks(U, A):
+    """Queries×candidates fold-dot grid for ONE bucket, in row blocks.
+
+    Yields ``(start, acc_block)`` where ``acc_block[i, j] =
+    fold-dot(A[start+i], U[j])`` accumulated dimension-by-dimension —
+    every pair sees the exact left-fold op order of
+    ``_dot``/``list_reduce``, vectorized over the block. A
     ``U @ U.T`` matmul would be 1-2 orders faster but rounds
     differently (BLAS blocking/FMA) and is banned for parity.
+
+    Blocking bounds per-task memory at O(GRID_BLOCK × occupancy)
+    doubles instead of occupancy² — the quadratic-grid hazard a hot
+    LSH cell would otherwise hit in a single python worker (cell
+    occupancy grows ~corpus/2^planes; planes-per-band is the knob
+    that keeps it bounded, and the block keeps even a mis-tuned cell
+    from OOMing the task). The grid does evaluate the masked j<=i
+    half in the all-pairs mode — ~2× the fold work the old pair join
+    did — which the ~60× vectorization win absorbs.
     """
     import numpy as np
 
-    A = U if Q is None else Q
-    acc = np.zeros((len(A), len(U)), dtype=np.float64)
-    for d in range(U.shape[1]):
-        acc = acc + A[:, d, None] * U[None, :, d]
-    return acc
+    for start in range(0, len(A), GRID_BLOCK):
+        blk = A[start : start + GRID_BLOCK]
+        acc = np.zeros((len(blk), len(U)), dtype=np.float64)
+        for d in range(U.shape[1]):
+            acc = acc + blk[:, d, None] * U[None, :, d]
+        yield start, acc
 
 
 def _bucket_pair_scores(
@@ -316,12 +352,8 @@ def _bucket_pair_scores(
         ids = pdf["vec_id"].to_numpy()
         U = _stack(pdf["u"])
         if query_stride is None:
-            acc = _bucket_grid_fold(U)
-            mask = ids[:, None] < ids[None, :]
-            if threshold is not None:
-                mask &= (acc >= threshold) | np.isnan(acc)
-            i, j = np.nonzero(mask)
-            out = {"vec_a": ids[i], "vec_b": ids[j], "score": acc[i, j]}
+            qids = ids
+            Q = U
         else:
             qm = ids % query_stride == 0
             if query_cap is not None:
@@ -331,13 +363,23 @@ def _bucket_pair_scores(
                     {"vec_a": ids[:0], "vec_b": ids[:0], "score": U[:0, 0]}
                 )
             qids = ids[qm]
-            acc = _bucket_grid_fold(U, U[qm])
-            mask = qids[:, None] != ids[None, :]
+            Q = U[qm]
+        outs = []
+        for start, acc in _bucket_grid_blocks(U, Q):
+            bids = qids[start : start + len(acc)]
+            if query_stride is None:
+                mask = bids[:, None] < ids[None, :]
+            else:
+                mask = bids[:, None] != ids[None, :]
             if threshold is not None:
                 mask &= (acc >= threshold) | np.isnan(acc)
             i, j = np.nonzero(mask)
-            out = {"vec_a": qids[i], "vec_b": ids[j], "score": acc[i, j]}
-        return pd.DataFrame(out)
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": bids[i], "vec_b": ids[j], "score": acc[i, j]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     names = [f.strip().split()[0] for f in out_schema.split(",")]
 
@@ -434,7 +476,7 @@ def _live_vecs(vecs: DataFrame) -> DataFrame:
                 {"vec_id": sub["vec_id"][keep], "v": sub["v"][keep]}
             )
 
-    return vecs.mapInPandas(kernel, "vec_id bigint, v array<double>")
+    return _whole_vecs(vecs).mapInPandas(kernel, "vec_id bigint, v array<double>")
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -460,10 +502,18 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # zero-norm vectors are excluded on both engines — cosine is
     # undefined for them (see _unit)
-    vecs = _live_vecs(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
-    queries = vecs.filter(
-        (F.col("vec_id") % QUERY_STRIDE == 0)
-        & (F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES)
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    vecs = _live_vecs(base)
+    # the stride predicate sits BELOW the query-leg kernel so it
+    # reaches the parquet scan — filtering _live_vecs(corpus) instead
+    # would re-run the kernel over the whole corpus to pick
+    # {MAX_BF_QUERIES} rows (kernels are per-row, so values and the
+    # surviving-row set are identical either way)
+    queries = _live_vecs(
+        base.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES)
+        )
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
     scored = _pair_scores(
         vecs.crossJoin(F.broadcast(queries))
@@ -601,9 +651,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
         "vec_id", "u"
     )
-    centroids = unit.filter(
-        (F.col("vec_id") % CENTROID_STRIDE == 3)
-        & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
+    # donor filter BELOW the kernel: picking K centroids must not cost
+    # a second full-corpus _unit pass (per-row kernel -> identical)
+    centroids = _unit(
+        emb.select("vec_id", _dbl(F.col("embedding")).alias("v")).filter(
+            (F.col("vec_id") % CENTROID_STRIDE == 3)
+            & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
+        )
     ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("uc"))
     # assignment and probe selection both read the scored cells; one
     # materialization avoids running the |V|×K dot stage twice
@@ -1074,9 +1128,13 @@ def kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
         "vec_id", "u"
     )
-    centroids = unit.filter(
-        (F.col("vec_id") % CENTROID_STRIDE == 3)
-        & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
+    # donor filter BELOW the kernel: picking K centroids must not cost
+    # a second full-corpus _unit pass (per-row kernel -> identical)
+    centroids = _unit(
+        emb.select("vec_id", _dbl(F.col("embedding")).alias("v")).filter(
+            (F.col("vec_id") % CENTROID_STRIDE == 3)
+            & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
+        )
     ).select(F.col("vec_id").alias("cent_id"), F.col("u").alias("uc"))
     scored = _pair_scores(
         unit.crossJoin(F.broadcast(centroids)).select("vec_id", "u", "cent_id", "uc"),

@@ -17,23 +17,30 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _default_driver_mem() -> str:
-    """Half of the host's available memory, clamped to [4g, 24g].
+def driver_mem_from(meminfo_field: str) -> str | None:
+    """Half of the host memory named by ``meminfo_field``, clamped to
+    [4g, 24g] — the one place the heap-sizing policy lives.
 
     A fixed 24g default failed to launch the JVM on hosts with less
-    than ~24 GiB; deriving from /proc/meminfo keeps the bench box at
-    its measured-good 24g while small machines still start. Falls
-    back to 4g where /proc/meminfo is unreadable (non-Linux).
+    than ~24 GiB; the clamp keeps the bench box at its measured-good
+    24g while small machines still start. Sessions derive from
+    ``MemAvailable`` (fit what the host can give right now);
+    benchmark runs derive from ``MemTotal`` (stable run-to-run —
+    see bench.py). Returns None where /proc/meminfo is unreadable.
     """
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
-                if line.startswith("MemAvailable:"):
-                    avail_gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{max(4, min(24, avail_gb // 2))}g"
+                if line.startswith(meminfo_field + ":"):
+                    gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, gb // 2))}g"
     except (OSError, ValueError, IndexError):
-        pass  # unreadable or malformed meminfo -> conservative floor
-    return "4g"
+        pass  # unreadable or malformed meminfo
+    return None
+
+
+def _default_driver_mem() -> str:
+    return driver_mem_from("MemAvailable") or "4g"
 
 
 def get_spark(

@@ -197,3 +197,60 @@ def test_np_keep_mirrors_engine_nan_ordering(spark):
     acc = np.array([float("nan"), 0.0, -1.0, 2.0, float("inf")])
     np_kept = {i for i, k in enumerate(_np_keep(acc)) if k}
     assert spark_kept == np_kept == {0, 3, 4}
+
+
+def test_null_element_vs_nan_vector(spark, tmp_path, oracle_sf_dir):
+    """Round-9 review regression pin: a NULL ELEMENT poisons both
+    engines' folds to NULL and the row must DROP, while a genuine-NaN
+    vector folds to NaN and must be KEPT (NaN orders above every
+    number in Spark and DuckDB). Arrow hands the kernels NaN for both
+    cases, so the distinction is restored JVM-side (_whole_vecs) —
+    without it the kernels kept NULL-element rows the oracles drop."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sbs_suptech_etl_v2_spark.io import TABLES
+    from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
+    from tests.parity import assert_parity
+
+    fixture = tmp_path / "sf_nullelem"
+    fixture.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(
+                f"{oracle_sf_dir}/{t}.parquet", str(fixture / f"{t}.parquet")
+            )
+    tbl = pq.read_table(f"{oracle_sf_dir}/embeddings.parquet")
+    rows = tbl.slice(0, 60).to_pylist()
+    dim = len(rows[0]["embedding"])
+    # victim 1: inner NULL -> NULL fold -> dropped by both engines
+    rows[7]["embedding"][3] = None
+    # victim 2: genuine NaN vector -> NaN fold -> KEPT by both engines
+    rows[11]["embedding"] = [float("nan")] * dim
+    # victim 3: whole-NULL embedding -> dropped by both engines
+    rows[13]["embedding"] = None
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=tbl.schema),
+        str(fixture / "embeddings.parquet"),
+    )
+
+    for q in ("q24_topk_cosine", "q25_embedding_neardup"):
+        assert_parity(spark, QUERIES[q], ORACLE[q], str(fixture), q)
+
+    # the live-vector set itself: NULL-element + whole-NULL dropped,
+    # NaN kept
+    from sbs_suptech_etl_v2_spark.operators.similarity import _dbl, _unit
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(str(fixture / "embeddings.parquet"))
+    live = {
+        r["vec_id"]
+        for r in _unit(
+            emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+        ).collect()
+    }
+    assert rows[7]["vec_id"] not in live
+    assert rows[13]["vec_id"] not in live
+    assert rows[11]["vec_id"] in live

@@ -68,7 +68,7 @@ def test_null_payload_rows_match_oracle(spark, tmp_path, sf_dir):
 
     from sbs_suptech_etl_v2_spark.io import TABLES
     from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
-    from parity import assert_parity
+    from tests.parity import assert_parity
 
     fixture = tmp_path / "sf_null_img"
     fixture.mkdir()
