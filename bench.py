@@ -2,8 +2,24 @@
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+line with the headline totals, two fixed-work CALIBRATION probes, and
+compact per-query spark/oracle centisecond arrays.
+
+Output-size contract (round-10): the external harness archives only a
+~2 KB TAIL of stdout, which since round 4 truncated the verbose
+per-query maps mid-line and left the artifact unparseable — and left
+round 9's ~1.8× oracle-side environment drift undetectable per query.
+The printed line is therefore kept UNDER 2 KB and self-contained:
+
+- ``spark_cs`` / ``oracle_cs``: per-query medians in centiseconds,
+  ordered by sorted query name (``null`` where a query has no oracle);
+  the named full-precision maps go to ``.bench_archive/`` (and the
+  hand-promoted ``BENCH_local.json``).
+- ``calibration``: the SAME fixed-work probe (an integer-fold
+  aggregation over ``range(4e8)``, no IO, no data dependence) timed on
+  both engines — any cross-run comparison should first normalize by
+  these, making host-load drift visible instead of poisoning
+  per-query deltas.
 
 Methodology (BASELINE.md): per-query wall clock is the MEDIAN OF 3
 materializations (noop sink — forces the whole plan, no driver
@@ -21,6 +37,34 @@ import sys
 import time
 
 RUNS = 3
+# Fixed-work calibration size: an integer aggregation over range(N) —
+# pure compute, zero IO, zero data dependence. Both engines run the
+# IDENTICAL job every round, so the pair of probe times is a direct
+# read of the box's throughput for each engine during THIS run.
+CALIBRATION_N = 400_000_000
+CALIBRATION_EXPR = "sum(id * 2654435761 % 97)"
+
+
+def _calibrate_spark(spark) -> float:
+    ts = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        spark.range(CALIBRATION_N).selectExpr(CALIBRATION_EXPR).collect()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
+
+
+def _calibrate_duckdb(con) -> float:
+    ts = []
+    sql = (
+        f"SELECT {CALIBRATION_EXPR.replace('id', 'range')} "
+        f"FROM range({CALIBRATION_N})"
+    )
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
 
 
 def _materialize(df) -> None:
@@ -117,8 +161,11 @@ def main() -> None:
     # Spark runs — the Spark/oracle ratio from a paired run is robust
     # where either absolute number is not. Skippable for quick local
     # iteration via SPARK_GRAFT_SKIP_ORACLE=1 or when benching a subset.
+    spark_probe = _calibrate_spark(spark)
+
     oracle_total = None
     oracle_timings = None
+    duck_probe = None
     if not only and not os.environ.get("SPARK_GRAFT_SKIP_ORACLE"):
         try:
             import duckdb
@@ -148,26 +195,49 @@ def main() -> None:
                 n: round(statistics.median(s), 3) for n, s in osamples.items()
             }
             oracle_total = round(sum(oracle_timings.values()), 3)
+            duck_probe = _calibrate_duckdb(con)
         except Exception:  # noqa: BLE001 — the pairing is best-effort
             oracle_total = None
             oracle_timings = None
 
-    # KEY ORDER MATTERS: the driver artifact keeps only a TAIL of
-    # stdout, so anything early in this line can be truncated away.
-    # Put the per-query map first and the headline numbers LAST so any
-    # surviving tail still contains them.
     total = round(sum(timings.values()), 3)
+    # The printed artifact must survive a ~2 KB stdout-tail capture
+    # (see module docstring): ONE compact self-contained JSON line —
+    # headline totals, both calibration probes, and per-query medians
+    # as centisecond arrays in sorted-name order. The named
+    # full-precision maps ride the archive file below instead.
     out = {
         "metric": "total_query_wall_clock",
         "unit": "sec",
         "sf": sf_num,
         "runs_per_query": RUNS,
         "aggregation": "median",
-        "queries": timings,
-        # per-oracle medians make the per-query Spark/oracle ratio
-        # auditable from the artifact alone; placed before the headline
-        # keys so tail-truncation still keeps the totals
-        "oracle_queries": oracle_timings,
+        "n_queries": len(names),
+        "per_query_note": (
+            "spark_cs/oracle_cs = per-query medians in CENTISECONDS, "
+            "order = sorted query names (registry); null = no oracle; "
+            "named full-precision maps in .bench_archive/ + BENCH_local.json"
+        ),
+        "spark_cs": [int(round(timings[n] * 100)) for n in names],
+        "oracle_cs": (
+            [
+                (
+                    int(round(oracle_timings[n] * 100))
+                    if n in oracle_timings
+                    else None
+                )
+                for n in names
+            ]
+            if oracle_timings
+            else None
+        ),
+        # fixed-work probes: normalize any cross-run per-query
+        # comparison by these before calling something a regression
+        "calibration": {
+            "probe": f"{CALIBRATION_EXPR} over range({CALIBRATION_N})",
+            "spark_sec": spark_probe,
+            "duckdb_sec": duck_probe,
+        },
         "oracle_suite_sec": oracle_total,
         "spark_vs_oracle_ratio": (
             round(total / oracle_total, 3) if oracle_total else None
@@ -176,10 +246,14 @@ def main() -> None:
     }
     line = json.dumps(out)
     print(line)
-    # archive the full JSON to an UNTRACKED path (timestamped) —
-    # writing to a git-tracked file here let the driver's own bench
-    # run clobber the repo's committed quiet-box record (round-5
-    # verdict #3). BENCH_local.json is now only updated by hand.
+    # archive the FULL verbose JSON (named per-query maps) to an
+    # UNTRACKED path (timestamped) — writing to a git-tracked file here
+    # let the driver's own bench run clobber the repo's committed
+    # quiet-box record (round-5 verdict #3). BENCH_local.json is now
+    # only updated by hand.
+    full = dict(out)
+    full["queries"] = timings
+    full["oracle_queries"] = oracle_timings
     try:
         archive_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_archive"
@@ -187,7 +261,7 @@ def main() -> None:
         os.makedirs(archive_dir, exist_ok=True)
         stamp = time.strftime("%Y%m%dT%H%M%S")
         with open(os.path.join(archive_dir, f"bench_{stamp}.json"), "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(full) + "\n")
     except OSError:
         pass
     spark.stop()

@@ -177,6 +177,11 @@ def main() -> int:
     # special-case it).
     envelope = {
         "meta": {
+            # Artifact-shape version (round-10 ADVICE): format 1 was the
+            # flat per-query dict with a "_meta" pseudo-entry; format 2
+            # is this {meta, queries} envelope. Consumers should key on
+            # this field, not on structural sniffing.
+            "format": 2,
             "source_commit": head,
             "source_dirty": dirty,
             "generated_utc": dt.datetime.now(dt.timezone.utc).isoformat(

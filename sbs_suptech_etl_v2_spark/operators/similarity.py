@@ -6,8 +6,9 @@ Approximate-nearest-neighbor and near-duplicate search over the
 - **brute-force top-k cosine** — the exactness baseline: broadcast the
   (small by construction) query set against all candidates,
   Arrow-vectorized dot-product + norms, ``row_number`` per query. The
-  vector math runs in numpy kernels over ``mapInPandas`` (the brief's
-  sanctioned vectorized-Pandas-UDF path for embedding ops): Catalyst
+  vector math runs in numpy kernels over ``mapInArrow`` /
+  ``applyInPandas`` (the brief's sanctioned vectorized path for
+  embedding ops): Catalyst
   HOF expressions (``aggregate``/``zip_with``) are CodegenFallback —
   interpreted, profiled at ~2 ms/row for these 64-dim chains — while
   the kernels run the identical IEEE fold at ~20× less executor CPU.
@@ -133,8 +134,8 @@ def _np_keep(acc):
 
 
 def _whole_vecs(vecs: DataFrame) -> DataFrame:
-    """Drop rows whose vector is NULL or contains a NULL ELEMENT —
-    BEFORE any numpy kernel sees them.
+    """Drop rows whose vector is NULL, EMPTY, or contains a NULL
+    ELEMENT — BEFORE any numpy kernel sees them.
 
     Arrow hands the kernels NaN for a NULL list element, which is
     indistinguishable from a genuine NaN — but the two must diverge:
@@ -147,29 +148,68 @@ def _whole_vecs(vecs: DataFrame) -> DataFrame:
     elements, so a length change flags them; a NULL array compares
     NULL and is dropped by the filter too. Pinned by
     tests/test_kernel_properties.py::test_null_element_vs_nan_vector.
+
+    Empty vectors are excluded here too (round-10 ADVICE): an empty
+    vector is zero-norm on the Spark side (``dot > 0`` drops it) and
+    DuckDB's seedless ``list_reduce`` ERRORS on an empty fold, so both
+    engines exclude it from every retrieval set — and a 0-width row
+    must never reach ``np.stack`` (ValueError kills the stage).
+    Pinned by tests/test_kernel_properties.py::test_empty_vector_rows.
     """
     return vecs.filter(
-        F.size(F.array_compact(F.col("v"))) == F.size(F.col("v"))
+        (F.size(F.col("v")) > 0)
+        & (F.size(F.array_compact(F.col("v"))) == F.size(F.col("v")))
     )
 
 
+def _width_groups(sub, col: str = "v"):
+    """Split one batch's non-NULL rows into per-width sub-frames.
+
+    The data contract is ONE fixed dimension per vector column, so
+    real batches take the single-group fast path (one length scan, no
+    copies). A corrupt mixed-width batch — the round-10 ADVICE case —
+    would otherwise raise ``ValueError`` inside ``np.stack`` and kill
+    the whole stage; splitting by width lets every well-formed row
+    process normally (each row's fold/normalization is per-row math,
+    so group order is irrelevant) and quarantines the malformation to
+    its own vectorized group. Zero-width rows are skipped — excluded
+    upstream by ``_whole_vecs`` anyway (zero-norm on both engines).
+    Fuzzed by tests/test_kernel_properties.py::test_mixed_width_batches.
+    """
+    import numpy as np
+
+    if not len(sub):
+        return
+    widths = np.fromiter(
+        (len(x) for x in sub[col]), dtype=np.int64, count=len(sub)
+    )
+    if (widths == widths[0]).all():
+        if widths[0] > 0:
+            yield sub
+        return
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        yield sub[widths == w]
+
+
 def _live_unit_arrays(pdf):
-    """Shared kernel prep: (ids, live unit-vector matrix, raw live
-    matrix) for one batch — the notna/stack/keep/normalize sequence
+    """Shared kernel prep, one (ids, live raw matrix, unit matrix)
+    triple PER VECTOR WIDTH — the notna/stack/keep/normalize sequence
     every scan-side kernel runs (NULL semantics live in _whole_vecs +
-    _np_keep, fixable in ONE place)."""
+    _np_keep, ragged-width quarantine in _width_groups; each fixable
+    in ONE place)."""
     import numpy as np
 
     sub = pdf[pdf["v"].notna()]
-    if not len(sub):
-        return None
-    V = _stack(sub["v"])
-    keep = _np_keep(_np_fold_dot(V, V))
-    if not keep.any():
-        return None
-    Vk = V[keep]
-    n = np.sqrt(_np_fold_dot(Vk, Vk))
-    return sub["vec_id"][keep], Vk, Vk / n[:, None]
+    for grp in _width_groups(sub):
+        V = _stack(grp["v"])
+        keep = _np_keep(_np_fold_dot(V, V))
+        if not keep.any():
+            continue
+        Vk = V[keep]
+        n = np.sqrt(_np_fold_dot(Vk, Vk))
+        yield grp["vec_id"][keep], Vk, Vk / n[:, None]
 
 
 def _stack(col):
@@ -177,10 +217,37 @@ def _stack(col):
 
     float32→float64 element casts are exact, so feeding raw
     ``embedding`` arrays here equals the ``_dbl``-cast path bit-for-bit.
+    Callers guarantee width-uniform input (``_width_groups``) — a
+    ragged call would raise inside ``np.stack``.
     """
     import numpy as np
 
     return np.stack([np.asarray(x, dtype=np.float64) for x in col])
+
+
+def _list_arr(M, typ):
+    """(n, w) numpy matrix -> Arrow list array, NaN-PRESERVING.
+
+    The scan-side kernels must emit their vector columns through
+    explicit Arrow construction, not pandas conversion: Spark's
+    pandas→Arrow serializer applies from_pandas semantics to list
+    ELEMENTS, masking every NaN as a SQL NULL — which silently
+    re-conflates the NULL-element-vs-NaN-vector distinction that
+    ``_whole_vecs`` restores (a NULL element must DROP the row, a NaN
+    vector must SURVIVE with NaN scores on both engines). Round 9
+    shipped that conflation and the zero-copy reshape in
+    ``_pair_scores`` only read the right answer because Arrow's value
+    buffer happened to still hold the NaN bits behind the mask — the
+    exact hazard the round-10 ADVICE called out. Building the
+    ListArray from the flat value buffer keeps every NaN a NaN, so
+    downstream no-null invariants are real, not lucky.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n, w = M.shape
+    offsets = pa.array((np.arange(n + 1, dtype=np.int64) * w).astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(M.ravel(), type=typ))
 
 
 def _unit(vecs: DataFrame) -> DataFrame:
@@ -200,9 +267,11 @@ def _unit(vecs: DataFrame) -> DataFrame:
     2,400 rows. The numpy path is the brief's sanctioned vectorized
     form for embedding math, runs the identical dimension-ordered IEEE
     fold (``_np_fold_dot``), and measured ~20× less executor CPU.
-    Scale posture: mapInPandas on the scan side — narrow in
+    Scale posture: a scan-side ``mapInArrow`` kernel — narrow in
     (id + vector), narrow out, no shuffle introduced, batch size
-    governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+    outputs are built with ``_list_arr`` so NaN elements leave the
+    kernel as NaN values, never Arrow NULLs.
     Works at any dimension (q107 feeds 16-wide truncations).
 
     Kernel inputs deliberately do NOT ``spread()``: each python task
@@ -215,16 +284,22 @@ def _unit(vecs: DataFrame) -> DataFrame:
     """
 
     def kernel(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            live = _live_unit_arrays(pdf)
-            if live is None:
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids, _, U = live
-            yield pd.DataFrame({"vec_id": ids, "u": list(U)})
+            pdf = batch.to_pandas()
+            for ids, _, U in _live_unit_arrays(pdf):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids.to_numpy(), type=pa.int64()),
+                        _list_arr(U, pa.float64()),
+                    ],
+                    names=["vec_id", "u"],
+                )
 
-    return _whole_vecs(vecs).mapInPandas(kernel, "vec_id bigint, u array<double>")
+    return _whole_vecs(vecs).mapInArrow(kernel, "vec_id bigint, u array<double>")
 
 
 def _banded_rows(vecs: DataFrame) -> DataFrame:
@@ -245,32 +320,44 @@ def _banded_rows(vecs: DataFrame) -> DataFrame:
 
     def kernel(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            live = _live_unit_arrays(pdf)
-            if live is None:
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids, Vk, U = live
-            buckets = []
-            for b in range(N_BANDS):
-                bucket = np.zeros(len(Vk), dtype=np.int64)
-                for p in range(PLANES_PER_BAND):
-                    S = np.asarray(planes[b][p], dtype=np.float64)
-                    acc = np.zeros(len(Vk), dtype=np.float64)
-                    for d in range(Vk.shape[1]):
-                        acc = acc + Vk[:, d] * S[d]
-                    bucket += np.where(_np_keep(acc), 1 << p, 0)
-                buckets.append(bucket)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "u": list(U),
-                    "buckets": list(np.stack(buckets, axis=1).astype(np.int32)),
-                }
-            )
+            pdf = batch.to_pandas()
+            for ids, Vk, U in _live_unit_arrays(pdf):
+                # plane dots fold over the VECTOR's width (the oracle's
+                # fold runs over range(len(v)), so a short row uses the
+                # plane's prefix); a wider-than-DIM row indexes past the
+                # plane on both sides — the oracle's out-of-range list
+                # access poisons the fold to NULL and every CASE arm
+                # yields 0, mirrored here by the all-zero bucket.
+                w = Vk.shape[1]
+                buckets = []
+                for b in range(N_BANDS):
+                    bucket = np.zeros(len(Vk), dtype=np.int64)
+                    if w <= DIM:
+                        for p in range(PLANES_PER_BAND):
+                            S = np.asarray(planes[b][p], dtype=np.float64)
+                            acc = np.zeros(len(Vk), dtype=np.float64)
+                            for d in range(w):
+                                acc = acc + Vk[:, d] * S[d]
+                            bucket += np.where(_np_keep(acc), 1 << p, 0)
+                    buckets.append(bucket)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids.to_numpy(), type=pa.int64()),
+                        _list_arr(U, pa.float64()),
+                        _list_arr(
+                            np.stack(buckets, axis=1).astype(np.int32),
+                            pa.int32(),
+                        ),
+                    ],
+                    names=["vec_id", "u", "buckets"],
+                )
 
-    return _whole_vecs(vecs).mapInPandas(
+    return _whole_vecs(vecs).mapInArrow(
         kernel, "vec_id bigint, u array<double>, buckets array<int>"
     )
 
@@ -281,11 +368,12 @@ def _explode_bands(banded: DataFrame) -> DataFrame:
     )
 
 
-GRID_BLOCK = 4096  # query-side rows per grid block (see _bucket_grid_blocks)
+GRID_BLOCK = 4096  # max A-side rows per grid block (see _bucket_grid_blocks)
+GRID_CELL_BUDGET = 1 << 25  # max doubles in one grid accumulator (256 MB)
 
 
 def _bucket_grid_blocks(U, A):
-    """Queries×candidates fold-dot grid for ONE bucket, in row blocks.
+    """A×U fold-dot grid for ONE sub-group pair, in row blocks.
 
     Yields ``(start, acc_block)`` where ``acc_block[i, j] =
     fold-dot(A[start+i], U[j])`` accumulated dimension-by-dimension —
@@ -294,23 +382,40 @@ def _bucket_grid_blocks(U, A):
     ``U @ U.T`` matmul would be 1-2 orders faster but rounds
     differently (BLAS blocking/FMA) and is banned for parity.
 
-    Blocking bounds per-task memory at O(GRID_BLOCK × occupancy)
-    doubles instead of occupancy² — the quadratic-grid hazard a hot
-    LSH cell would otherwise hit in a single python worker (cell
-    occupancy grows ~corpus/2^planes; planes-per-band is the knob
-    that keeps it bounded, and the block keeps even a mis-tuned cell
-    from OOMing the task). The grid does evaluate the masked j<=i
-    half in the all-pairs mode — ~2× the fold work the old pair join
-    did — which the ~60× vectorization win absorbs.
+    The block height adapts to the candidate side: ``rows × len(U)``
+    never exceeds ``GRID_CELL_BUDGET`` doubles, so the accumulator is
+    bounded at 256 MB no matter how the cell was (mis-)tuned. The
+    grid does evaluate the masked j<=i half in the all-pairs mode —
+    ~2× the fold work the old pair join did — which the ~60×
+    vectorization win absorbs. Blocking is numerically irrelevant:
+    each pair's fold is an independent dimension-ordered sequence.
     """
     import numpy as np
 
-    for start in range(0, len(A), GRID_BLOCK):
-        blk = A[start : start + GRID_BLOCK]
+    rows = max(1, min(GRID_BLOCK, GRID_CELL_BUDGET // max(1, len(U))))
+    for start in range(0, len(A), rows):
+        blk = A[start : start + rows]
         acc = np.zeros((len(blk), len(U)), dtype=np.float64)
         for d in range(U.shape[1]):
             acc = acc + blk[:, d, None] * U[None, :, d]
         yield start, acc
+
+
+# Target occupancy per salted sub-group: one kernel invocation holds at
+# most ~2 × CELL_TARGET_ROWS unit vectors (≈ 70 MB at 64 dims) plus one
+# GRID_CELL_BUDGET accumulator — the binding worker-memory quantity.
+# Cells at or under the target pay ZERO overhead (nsub=1 → no
+# replication, one group per cell, bit-identical to the unsalted
+# shape); an oversized cell splits into nsub = ceil(occ/target)
+# sub-groups whose pair coverage is the triangle partition below, at
+# the cost of replicating that cell's rows nsub× through the shuffle
+# (occ²/target rows for a pathological cell — still occupancy× less
+# than shuffling the pair fan-out itself, and it buys nsub(nsub+1)/2-
+# way task parallelism where the unsalted shape serialized the whole
+# cell into ONE python worker). PLANES_PER_BAND remains the primary
+# selectivity knob; the salt is the backstop that makes a hot cell a
+# throughput problem instead of an OOM.
+CELL_TARGET_ROWS = 1 << 16
 
 
 def _bucket_pair_scores(
@@ -319,65 +424,179 @@ def _bucket_pair_scores(
     threshold: float | None = None,
     query_stride: int | None = None,
     query_cap: int | None = None,
+    cut: bool = True,
 ) -> DataFrame:
-    """Score candidate pairs INSIDE their (band, bucket) group.
+    """Score candidate pairs INSIDE their (band, bucket) LSH cell,
+    with oversized cells salted into bounded sub-group pairs.
 
-    The previous shape joined the banded frame to itself and streamed
-    the C(occupancy, 2) pair fan-out — with both 64-double vectors on
-    every row — through a shuffle and then an Arrow kernel. At any
-    scale that pair stream is ~occupancy× the corpus. This shape
-    instead groups the banded rows by their LSH cell
-    (``applyInPandas``) and emits SCORED pairs straight from the
-    grouped unit vectors: the only shuffled frame is corpus×bands
-    rows wide, the pair grid lives briefly inside one numpy batch,
-    and threshold/query filtering happens at the source — so what
-    leaves the kernel is the (tiny) result-shaped pair list, not the
-    fan-out. Per-group memory is O(occupancy²) — the same quantity
-    the join shape materialized as shuffle rows — governed by
-    planes-per-band (see the module constants note).
+    The join-era shape streamed the C(occupancy, 2) pair fan-out —
+    both 64-double vectors on every row — through a shuffle. Grouping
+    the banded rows by cell (``applyInPandas``) keeps the pair grid
+    inside one numpy batch and emits the (tiny) result-shaped pair
+    list — but a grouped kernel must HOLD its group, so a hot cell
+    used to mean one python worker materializing the whole cell
+    (round-10 ADVICE: the binding constraint of the 100 TB claim).
+
+    The salt closes that: per-cell occupancy (one tiny broadcast-
+    joined count over the materialized banded frame) sets
+    ``nsub = ceil(occ / CELL_TARGET_ROWS)``, each row gets a
+    deterministic sub-group ``salt = xxhash64(vec_id) % nsub``, and
+
+    - **pair mode** (``threshold``): a row with salt ``s`` replicates
+      into the nsub groups ``(min(s,t), max(s,t))`` for every t — the
+      classic triangle partition, so every unordered pair of salts
+      (and hence every candidate pair) lands in EXACTLY one
+      ``(band, bucket, ga, gb)`` group, sized ≤ 2×target rows;
+    - **query mode** (``query_stride``/``cap``): query rows (rare by
+      construction) replicate into every sub-group; candidates stay
+      in their own — each (query, candidate) pair scores exactly once.
+
+    At-or-under-target cells take nsub=1: no replication, one group,
+    the exact pre-salt plan. Scores are bit-identical in all shapes —
+    same vectors, same dimension-ordered fold, orientation-free
+    (IEEE multiply commutes); coverage equality is property-tested by
+    tests/test_kernel_properties.py::test_salted_cells_match_unsalted.
 
     ``threshold`` keeps pairs with ``score >= threshold`` (NaN keeps,
     mirroring both engines' NaN-is-greatest ordering) and emits each
     unordered pair once (``vec_a < vec_b``). ``query_stride``/``cap``
     instead select query rows (``vec_id % stride == 0`` and optional
     ``vec_id < stride*cap``) and score them against every OTHER
-    bucket member. Scores are bit-identical to the join shape: same
-    fold order, same vectors.
+    bucket member. ``cut=False`` skips the lineage cut when the
+    caller's banded frame is already materialized (q90). Mixed-width
+    (corrupt) rows quarantine per width group; a cross-width pair has
+    no defined cosine and is dropped rather than killing the stage.
     """
+    if cut:
+        # the occupancy census and the grouped scorer both consume the
+        # banded frame; without the cut the banding kernel (and its
+        # corpus scan) would run twice
+        banded = materialize(banded)
+    occ = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("occ"))
+    nsub = F.greatest(
+        F.lit(1), F.ceil(F.col("occ") / F.lit(CELL_TARGET_ROWS))
+    ).cast("int")
+    # cell-id space is bounded (N_BANDS × 2^PLANES_PER_BAND), so the
+    # census is always broadcastable — never a shuffled join
+    salted = banded.join(
+        F.broadcast(occ.select("band", "bucket", nsub.alias("nsub"))),
+        ["band", "bucket"],
+    ).withColumn(
+        # hash, not a raw modulus: vec_ids are strided in places
+        # (queries, planted variants) and a correlated salt would
+        # re-concentrate exactly the rows being spread
+        "salt",
+        F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int"),
+    )
+    if query_stride is None:
+        assigns = F.transform(
+            F.sequence(F.lit(0), F.col("nsub") - 1),
+            lambda t: F.struct(
+                F.least(F.col("salt"), t).cast("int").alias("ga"),
+                F.greatest(F.col("salt"), t).cast("int").alias("gb"),
+            ),
+        )
+    else:
+        is_q = F.col("vec_id") % query_stride == 0
+        if query_cap is not None:
+            is_q = is_q & (F.col("vec_id") < query_stride * query_cap)
+        assigns = F.when(
+            is_q,
+            F.transform(
+                F.sequence(F.lit(0), F.col("nsub") - 1),
+                lambda t: F.struct(
+                    t.cast("int").alias("ga"), t.cast("int").alias("gb")
+                ),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.col("salt").alias("ga"), F.col("salt").alias("gb")
+                )
+            )
+        )
+    grouped_src = salted.select(
+        "vec_id", "u", "band", "bucket", "salt", F.explode(assigns).alias("g")
+    ).select(
+        "vec_id",
+        "u",
+        "band",
+        "bucket",
+        "salt",
+        F.col("g.ga").alias("ga"),
+        F.col("g.gb").alias("gb"),
+    )
 
     def kernel(pdf):
         import numpy as np
         import pandas as pd
 
-        ids = pdf["vec_id"].to_numpy()
-        U = _stack(pdf["u"])
-        if query_stride is None:
-            qids = ids
-            Q = U
-        else:
-            qm = ids % query_stride == 0
-            if query_cap is not None:
-                qm &= ids < query_stride * query_cap
-            if not qm.any():
-                return pd.DataFrame(
-                    {"vec_a": ids[:0], "vec_b": ids[:0], "score": U[:0, 0]}
-                )
-            qids = ids[qm]
-            Q = U[qm]
+        ga = int(pdf["ga"].iat[0])
+        gb = int(pdf["gb"].iat[0])
         outs = []
-        for start, acc in _bucket_grid_blocks(U, Q):
-            bids = qids[start : start + len(acc)]
-            if query_stride is None:
-                mask = bids[:, None] < ids[None, :]
+        for grp in _width_groups(pdf, "u"):
+            ids = grp["vec_id"].to_numpy()
+            gs = grp["salt"].to_numpy()
+            U = _stack(grp["u"])
+            if query_stride is not None:
+                qm = ids % query_stride == 0
+                if query_cap is not None:
+                    qm &= ids < query_stride * query_cap
+                cm = gs == ga  # native members of this sub-group
+                if not qm.any() or not cm.any():
+                    continue
+                qids, Q = ids[qm], U[qm]
+                cids, C = ids[cm], U[cm]
+                for start, acc in _bucket_grid_blocks(C, Q):
+                    arow = qids[start : start + len(acc)]
+                    i, j = np.nonzero(arow[:, None] != cids[None, :])
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": arow[i],
+                                "vec_b": cids[j],
+                                "score": acc[i, j],
+                            }
+                        )
+                    )
+                continue
+            if ga == gb:
+                sel = gs == ga
+                aids, A = ids[sel], U[sel]
+                bids, B = aids, A
             else:
-                mask = bids[:, None] != ids[None, :]
-            if threshold is not None:
-                mask &= (acc >= threshold) | np.isnan(acc)
-            i, j = np.nonzero(mask)
-            outs.append(
-                pd.DataFrame(
-                    {"vec_a": bids[i], "vec_b": ids[j], "score": acc[i, j]}
+                am, bm = gs == ga, gs == gb
+                aids, A = ids[am], U[am]
+                bids, B = ids[bm], U[bm]
+            if not len(aids) or not len(bids):
+                continue
+            for start, acc in _bucket_grid_blocks(B, A):
+                arow = aids[start : start + len(acc)]
+                if ga == gb:
+                    mask = arow[:, None] < bids[None, :]
+                else:
+                    # disjoint salt sides: every cross pair is distinct
+                    mask = np.ones(acc.shape, dtype=bool)
+                if threshold is not None:
+                    mask &= (acc >= threshold) | np.isnan(acc)
+                i, j = np.nonzero(mask)
+                xa, xb = arow[i], bids[j]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(xa, xb),
+                            "vec_b": np.maximum(xa, xb),
+                            "score": acc[i, j],
+                        }
+                    )
                 )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "score": np.array([], dtype=np.float64),
+                }
             )
         return pd.concat(outs, ignore_index=True)
 
@@ -388,7 +607,9 @@ def _bucket_pair_scores(
         out.columns = names
         return out
 
-    return banded.groupBy("band", "bucket").applyInPandas(renamed, out_schema)
+    return grouped_src.groupBy("band", "bucket", "ga", "gb").applyInPandas(
+        renamed, out_schema
+    )
 
 
 def _pair_scores(
@@ -420,6 +641,8 @@ def _pair_scores(
     ]
 
     def kernel(batches):
+        import math
+
         import numpy as np
         import pyarrow as pa
 
@@ -427,30 +650,72 @@ def _pair_scores(
             # zero-copy (n, dim) view of a fixed-width list<double>
             # column: the flat Arrow value buffer reshapes directly —
             # no per-row python loop (profiled: np.stack over the pair
-            # fan-out dominated the kernel at ~5 µs/row). Falls back to
-            # the row loop for ragged/null batches (never hit by the
-            # unit-vector frames, kept for safety).
+            # fan-out dominated the kernel at ~5 µs/row). NULL rows or
+            # elements are an INVARIANT VIOLATION, not a fallback case:
+            # every caller feeds _whole_vecs/_unit outputs, and a
+            # silent fallback would either crash on np.asarray(None)
+            # or zero-copy-read the garbage value behind a masked slot
+            # (round-10 ADVICE) — fail loudly instead. Returns None
+            # for a ragged (mixed-width) column: the per-row path
+            # below handles that without killing the stage.
             col = batch.column(batch.schema.get_field_index(name))
+            if col.null_count or col.flatten().null_count:
+                raise ValueError(
+                    f"_pair_scores: NULL row or element in {name!r} — "
+                    "vector inputs must be pre-filtered with _whole_vecs "
+                    "(see similarity.py)"
+                )
             off = np.asarray(col.offsets)
             widths = np.diff(off)
-            if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
+            if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
                 flat = np.asarray(col.values, dtype=np.float64)
                 n, w = len(widths), int(widths[0])
                 return flat[off[0] : off[0] + n * w].reshape(n, w)
-            return np.stack(
-                [np.asarray(x, dtype=np.float64) for x in col.to_pylist()]
-            )
+            return None
 
         for batch in batches:
             if not batch.num_rows:
                 continue
             A, B = mat(batch, a), mat(batch, b)
-            s = _np_fold_dot(A, B)
-            if normalize:
-                s = s / (np.sqrt(_np_fold_dot(A, A)) * np.sqrt(_np_fold_dot(B, B)))
+            if A is not None and B is not None and A.shape[1] == B.shape[1]:
+                s = _np_fold_dot(A, B)
+                if normalize:
+                    s = s / (
+                        np.sqrt(_np_fold_dot(A, A)) * np.sqrt(_np_fold_dot(B, B))
+                    )
+                cols = [
+                    batch.column(batch.schema.get_field_index(k)) for k in keep
+                ] + [pa.array(s, type=pa.float64())]
+                yield pa.RecordBatch.from_arrays(cols, names=keep + [score])
+                continue
+            # ragged (corrupt mixed-width) batch: per-row exact fold on
+            # width-matched pairs; a width-mismatched or empty pair has
+            # no defined dot/cosine and is DROPPED — one malformed row
+            # must degrade the result, never kill the stage. Same fold
+            # order as the vectorized path, scalar at a time.
+            la = batch.column(batch.schema.get_field_index(a)).to_pylist()
+            lb = batch.column(batch.schema.get_field_index(b)).to_pylist()
+            idx, scores = [], []
+            for i, (ra, rb) in enumerate(zip(la, lb)):
+                if not ra or len(ra) != len(rb):
+                    continue
+                acc = 0.0
+                for x, y in zip(ra, rb):
+                    acc = acc + x * y
+                if normalize:
+                    na = 0.0
+                    nb = 0.0
+                    for x in ra:
+                        na = na + x * x
+                    for y in rb:
+                        nb = nb + y * y
+                    acc = acc / (math.sqrt(na) * math.sqrt(nb))
+                idx.append(i)
+                scores.append(acc)
+            sub = batch.take(pa.array(idx, type=pa.int64()))
             cols = [
-                batch.column(batch.schema.get_field_index(k)) for k in keep
-            ] + [pa.array(s, type=pa.float64())]
+                sub.column(sub.schema.get_field_index(k)) for k in keep
+            ] + [pa.array(np.asarray(scores, dtype=np.float64), type=pa.float64())]
             yield pa.RecordBatch.from_arrays(cols, names=keep + [score])
 
     return df.mapInArrow(kernel, out_schema)
@@ -462,21 +727,27 @@ def _live_vecs(vecs: DataFrame) -> DataFrame:
     vectors (q24 scores cosines from the originals)."""
 
     def kernel(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            pdf = batch.to_pandas()
             sub = pdf[pdf["v"].notna()]
-            if not len(sub):
-                continue
-            V = _stack(sub["v"])
-            keep = _np_keep(_np_fold_dot(V, V))
-            if not keep.any():
-                continue
-            yield pd.DataFrame(
-                {"vec_id": sub["vec_id"][keep], "v": sub["v"][keep]}
-            )
+            for grp in _width_groups(sub):
+                V = _stack(grp["v"])
+                keep = _np_keep(_np_fold_dot(V, V))
+                if not keep.any():
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(grp["vec_id"][keep].to_numpy(), type=pa.int64()),
+                        _list_arr(V[keep], pa.float64()),
+                    ],
+                    names=["vec_id", "v"],
+                )
 
-    return _whole_vecs(vecs).mapInPandas(kernel, "vec_id bigint, v array<double>")
+    return _whole_vecs(vecs).mapInArrow(kernel, "vec_id bigint, v array<double>")
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -904,6 +1175,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id bigint, cand_id bigint, score double",
             query_stride=QUERY_STRIDE,
             query_cap=MAX_BF_QUERIES,
+            # `up` is already materialized above (it feeds both audit
+            # legs); the occupancy census re-derives the cheap explode
+            # from that checkpoint instead of cutting lineage twice
+            cut=False,
         )
         .dropDuplicates(["query_id", "cand_id"])
         .withColumn("rank", F.row_number().over(w))

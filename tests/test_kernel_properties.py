@@ -254,3 +254,294 @@ def test_null_element_vs_nan_vector(spark, tmp_path, oracle_sf_dir):
     assert rows[7]["vec_id"] not in live
     assert rows[13]["vec_id"] not in live
     assert rows[11]["vec_id"] in live
+
+
+# -- round-10: fuzz the kernel-layer edges (VERDICT r09 directive #6) --------
+#
+# The two subtlest round-9 code paths — the NULL-element-vs-NaN-vector
+# boundary (_whole_vecs) and the zero-copy reshape's non-uniform-batch
+# handling (_pair_scores) — plus the round-10 additions (empty-vector
+# exclusion, per-width-group quarantine, adaptive cell salting) get the
+# same treatment the fold itself gets above: randomized corpora, exact
+# per-row reference semantics.
+#
+# Data contract note pinned here: mixed-width and empty vectors are
+# OUTSIDE the contract (one fixed dimension per vector column). The
+# pinned behavior is "one malformed row degrades the result, never
+# kills the stage": malformed rows/pairs DROP; well-formed same-width
+# rows are bit-identical to an all-clean run. The oracles are not
+# consulted on such corpora — DuckDB's seedless list_reduce ERRORS on
+# an empty fold, so ragged/empty fixtures have no runnable oracle.
+
+
+def _bits(x):
+    import math
+    import struct
+
+    if x is None:
+        return b"null"
+    if math.isnan(x):
+        return b"nan"
+    return struct.pack("<d", x)
+
+
+def _ref_fold(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _ref_live(v):
+    """Per-row reference of the live-vector predicate: non-NULL, no
+    NULL element, non-empty, and fold-dot(v, v) > 0 (NaN keeps)."""
+    import math
+
+    if v is None or len(v) == 0 or any(x is None for x in v):
+        return False
+    d = _ref_fold(v, v)
+    return d > 0 or math.isnan(d)
+
+
+_elem = st.one_of(
+    st.floats(
+        allow_nan=False, allow_infinity=False, width=32, min_value=-8, max_value=8
+    ),
+    st.just(0.0),
+    st.just(float("nan")),
+    st.none(),
+)
+_vec = st.one_of(
+    st.none(),
+    st.just([]),
+    st.lists(_elem, min_size=1, max_size=6),
+    # all-zero vector: zero norm, dropped by both engines
+    st.just([0.0, 0.0, 0.0]),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_vec, min_size=1, max_size=14))
+def test_unit_kernel_fuzz_null_empty_zero_rows(spark, vecs):
+    """Random NULL positions / whole-NULL rows / empty vectors / zero
+    vectors / NaN elements, all in one batch: _unit must keep exactly
+    the reference live set and emit bit-exact per-row normalization."""
+    import math
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import _unit
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+    )
+    got = {r["vec_id"]: r["u"] for r in _unit(df).collect()}
+    expect_live = {i for i, v in enumerate(vecs) if _ref_live(v)}
+    assert set(got) == expect_live, vecs
+    for i in expect_live:
+        n = math.sqrt(_ref_fold(vecs[i], vecs[i]))
+        ref_u = [x / n for x in vecs[i]]
+        assert [_bits(x) for x in got[i]] == [_bits(x) for x in ref_u], (
+            i,
+            vecs[i],
+        )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.sampled_from([0, 1, 3, 64, 65]),
+        min_size=2,
+        max_size=10,
+    ).flatmap(
+        lambda ws: st.tuples(
+            st.just(ws),
+            st.lists(
+                st.floats(width=32, min_value=-4, max_value=4),
+                min_size=sum(ws),
+                max_size=sum(ws),
+            ),
+        )
+    )
+)
+def test_mixed_width_batches_banded(spark, ws_vals):
+    """Ragged (mixed-width) batch through _banded_rows: no stage kill,
+    each width group processed at its own width — plane dots fold over
+    the VECTOR's width (the oracle folds over range(len(v))), and a
+    wider-than-DIM row gets the all-zero buckets its NULL-poisoned
+    oracle CASE arms would."""
+    import math
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import (
+        DIM,
+        N_BANDS,
+        PLANES,
+        PLANES_PER_BAND,
+        _banded_rows,
+    )
+
+    ws, vals = ws_vals
+    vecs, pos = [], 0
+    for w in ws:
+        vecs.append(vals[pos : pos + w])
+        pos += w
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+    )
+    rows = {r["vec_id"]: r for r in _banded_rows(df).collect()}
+    expect_live = {i for i, v in enumerate(vecs) if _ref_live(v)}
+    assert set(rows) == expect_live
+    for i in expect_live:
+        v = vecs[i]
+        expect_buckets = []
+        for b in range(N_BANDS):
+            bucket = 0
+            if len(v) <= DIM:
+                for p in range(PLANES_PER_BAND):
+                    acc = _ref_fold(v, PLANES[b][p][: len(v)])
+                    if acc > 0 or math.isnan(acc):
+                        bucket += 1 << p
+            expect_buckets.append(bucket)
+        assert list(rows[i]["buckets"]) == expect_buckets, (i, v)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([0, 2, 4]),
+            st.sampled_from([0, 2, 4]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pair_scores_ragged_fallback(spark, width_pairs):
+    """_pair_scores on a ragged batch: width-matched non-empty pairs
+    survive with the exact per-row fold score; width-mismatched or
+    empty pairs DROP (no defined dot) instead of killing the stage."""
+    from sbs_suptech_etl_v2_spark.operators.similarity import _pair_scores
+
+    rows = []
+    for i, (wa, wb) in enumerate(width_pairs):
+        a = [float(i + 1 + j) for j in range(wa)]
+        b = [float(2 * i + 1 + j) for j in range(wb)]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    got = {
+        r["i"]: r["score"]
+        for r in _pair_scores(df, "a", "b", "i long, score double").collect()
+    }
+    for i, a, b in rows:
+        if len(a) and len(a) == len(b):
+            assert _bits(got[i]) == _bits(_ref_fold(a, b)), (i, a, b)
+        else:
+            assert i not in got, (i, a, b)
+
+
+def test_pair_scores_null_invariant_raises(spark):
+    """A NULL element reaching _pair_scores is an invariant violation
+    (callers must pre-filter with _whole_vecs): the kernel fails
+    LOUDLY with a named error, never a zero-copy read of the garbage
+    value behind the mask (round-10 ADVICE)."""
+    import pytest
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import _pair_scores
+
+    df = spark.createDataFrame(
+        [(0, [1.0, None, 3.0], [1.0, 2.0, 3.0])],
+        "i long, a array<double>, b array<double>",
+    )
+    with pytest.raises(Exception, match="_pair_scores: NULL"):
+        _pair_scores(df, "a", "b", "i long, score double").collect()
+
+
+def test_empty_vector_rows(spark, tmp_path, oracle_sf_dir):
+    """Round-10 ADVICE pin: an EMPTY vector is excluded at the JVM
+    boundary (_whole_vecs) — it is zero-norm on the Spark side and
+    DuckDB's seedless list_reduce ERRORS on an empty fold, so no
+    retrieval set on either engine can contain it; without the filter
+    np.stack raises and one malformed row kills the stage."""
+    from pyspark.sql import functions as F
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import (
+        _banded_rows,
+        _dbl,
+        _live_vecs,
+        _unit,
+    )
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").limit(20)
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v")).union(
+        spark.createDataFrame(
+            [(990001, [])], "vec_id long, v array<double>"
+        )
+    )
+    for fn in (_unit, _live_vecs, _banded_rows):
+        ids = {r["vec_id"] for r in fn(base).collect()}
+        assert 990001 not in ids
+        assert len(ids) == 20
+
+
+def test_query_mode_empty_buckets(spark, oracle_sf_dir):
+    """Query-mode cells with no query member (or, after salting, no
+    native candidate) must yield clean empty frames — the pd.concat
+    empty edge. A corpus with NO query-stride ids returns zero rows
+    without crashing."""
+    from pyspark.sql import functions as F
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import (
+        QUERY_STRIDE,
+        _banded_rows,
+        _bucket_pair_scores,
+        _dbl,
+        _explode_bands,
+    )
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").limit(50)
+    base = emb.select(
+        (F.col("vec_id") * QUERY_STRIDE + 1).alias("vec_id"),
+        _dbl(F.col("embedding")).alias("v"),
+    )
+    out = _bucket_pair_scores(
+        _explode_bands(_banded_rows(base)),
+        "query_id bigint, cand_id bigint, score double",
+        query_stride=QUERY_STRIDE,
+    )
+    assert out.count() == 0
+
+
+def test_salted_cells_match_unsalted(spark, sf_dir, monkeypatch):
+    """The adaptive cell salt (round-10: oversized LSH cells split
+    into triangle-partitioned sub-group pairs so no cell must fit one
+    python worker) is a pure re-partitioning of the pair space:
+    forcing every cell oversized (CELL_TARGET_ROWS=8 → nsub ≈ occ/8)
+    must reproduce the default path's result rows BIT-exactly, for
+    both pair mode (q25) and query mode (q41)."""
+    import sbs_suptech_etl_v2_spark.operators.similarity as sim
+    from sbs_suptech_etl_v2_spark.registry import QUERIES
+
+    def grid(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(_bits(v) if isinstance(v, float) else v for v in (row[c] for c in cols))
+            for row in df.collect()
+        )
+
+    for q in ("q25_embedding_neardup", "q41_ann_bucketed_topk"):
+        base = grid(QUERIES[q](spark, sf_dir))
+        assert base, q  # non-trivial corpus
+        monkeypatch.setattr(sim, "CELL_TARGET_ROWS", 8)
+        salted = grid(QUERIES[q](spark, sf_dir))
+        monkeypatch.undo()
+        assert salted == base, q

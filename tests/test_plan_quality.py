@@ -130,19 +130,24 @@ def test_q21_minhash_band_join_is_checkpointed_hash_join(spark, sf_dir):
 
 
 def test_q25_embedding_neardup_is_bucket_grouped_kernel(spark, sf_dir):
-    # round-9 shape: pair mining + exact verify run INSIDE the
-    # (band, bucket) groups (FlatMapGroupsInPandas) — the only keyed
-    # exchange is the cell-key shuffle of corpus×bands rows, the pair
-    # fan-out never leaves the kernel, and with a single consumer the
-    # self-join era's lineage cut is gone
+    # round-10 shape: pair mining + exact verify run INSIDE the
+    # (band, bucket, ga, gb) sub-groups (FlatMapGroupsInPandas); the
+    # banded frame is materialized ONCE (ExistingRDD) and feeds both
+    # the occupancy census (a tiny band/bucket count whose result is
+    # BROADCAST back — the cell-id space is bounded, so this join may
+    # never shuffle) and the salted cell-key exchange; the pair
+    # fan-out never leaves the kernel
     plan = _plan(spark, sf_dir, "q25_embedding_neardup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
-    # exactly two physical shuffles — the cell-key grouping and the
-    # pair-dedup regroup over the (tiny, already-thresholded) pair
-    # list; "formatted" prints each node in tree + detail, hence <= 4
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+    assert "ExistingRDD" in plan  # checkpointed banded frame
+    assert "BroadcastHashJoin" in plan  # census joins broadcast-side
+    # exactly three physical shuffles — the bounded-size census
+    # count, the salted cell-key grouping, and the pair-dedup regroup
+    # over the (tiny, already-thresholded) pair list; "formatted"
+    # prints each node in tree + detail, hence <= 6
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 6
 
 
 def test_q50_clusters_runs_unroll_as_one_job(spark, sf_dir):
