@@ -54,6 +54,29 @@ def _calibrate_spark(spark) -> float:
     return round(statistics.median(ts), 3)
 
 
+def _job_latency(spark) -> float:
+    """Median wall clock of a 1-row, 2-stage job (``range(1).count()``)
+    — the box's per-job SCHEDULING floor, the second calibration axis.
+
+    The fixed-work probe above reads compute throughput; this one
+    reads the fixed cost every Spark job pays regardless of data.
+    Measured because it varies 30× across hosts for identical code:
+    the round-10 quiet-box investigation found ``range(1).count()``
+    takes ~0.15 s in this sandbox (bare session, any core count — an
+    environment property, virtualized scheduler/clock) where the
+    round-9 driver box ran entire 3-stage queries in 0.02 s. A query
+    whose driver-box time is ≤ a few × this floor is FLOOR-DOMINATED
+    on the slow box and its wall-clock cannot be compared across
+    boxes except through this number.
+    """
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
+
+
 def _calibrate_duckdb(con) -> float:
     ts = []
     sql = (
@@ -237,6 +260,10 @@ def main() -> None:
             "probe": f"{CALIBRATION_EXPR} over range({CALIBRATION_N})",
             "spark_sec": spark_probe,
             "duckdb_sec": duck_probe,
+            # per-job scheduling floor (median range(1).count()): a
+            # query's cross-box delta is only meaningful after
+            # subtracting ~n_jobs x the floor delta — see _job_latency
+            "spark_job_floor_sec": _job_latency(spark),
         },
         "oracle_suite_sec": oracle_total,
         "spark_vs_oracle_ratio": (

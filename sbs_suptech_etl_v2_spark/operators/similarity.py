@@ -118,8 +118,12 @@ def _np_fold_dot(A, B):
     import numpy as np
 
     acc = np.zeros(len(A), dtype=np.float64)
-    for d in range(A.shape[1]):
-        acc = acc + A[:, d] * B[:, d]
+    # inf*0 / inf-inf legitimately produce NaN here (NaN-vector rows
+    # are KEPT by _np_keep); silence the per-batch IEEE-invalid
+    # warning so it can't spam every executor's stderr at scale
+    with np.errstate(invalid="ignore"):
+        for d in range(A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
     return acc
 
 
@@ -396,8 +400,10 @@ def _bucket_grid_blocks(U, A):
     for start in range(0, len(A), rows):
         blk = A[start : start + rows]
         acc = np.zeros((len(blk), len(U)), dtype=np.float64)
-        for d in range(U.shape[1]):
-            acc = acc + blk[:, d, None] * U[None, :, d]
+        # same IEEE-invalid silencing rationale as _np_fold_dot
+        with np.errstate(invalid="ignore"):
+            for d in range(U.shape[1]):
+                acc = acc + blk[:, d, None] * U[None, :, d]
         yield start, acc
 
 
