@@ -197,23 +197,34 @@ def _width_groups(sub, col: str = "v"):
         yield sub[widths == w]
 
 
-def _live_unit_arrays(pdf):
-    """Shared kernel prep, one (ids, live raw matrix, unit matrix)
-    triple PER VECTOR WIDTH — the notna/stack/keep/normalize sequence
-    every scan-side kernel runs (NULL semantics live in _whole_vecs +
-    _np_keep, ragged-width quarantine in _width_groups; each fixable
-    in ONE place)."""
-    import numpy as np
-
+def _live_arrays(pdf):
+    """Shared kernel prep, one (ids, live raw matrix) pair PER VECTOR
+    WIDTH — the notna/stack/keep sequence every scan-side kernel runs
+    (NULL semantics live in _whole_vecs + _np_keep, ragged-width
+    quarantine in _width_groups; each fixable in ONE place — every
+    scan-side kernel, unit-normalizing or not, routes through here)."""
     sub = pdf[pdf["v"].notna()]
     for grp in _width_groups(sub):
         V = _stack(grp["v"])
         keep = _np_keep(_np_fold_dot(V, V))
         if not keep.any():
             continue
-        Vk = V[keep]
+        yield grp["vec_id"][keep], V[keep]
+
+
+def _live_unit_arrays(pdf):
+    """``_live_arrays`` plus the unit-normalized matrix — (ids, raw,
+    unit) triples for the kernels that score cosines on pre-normalized
+    vectors."""
+    import numpy as np
+
+    for ids, Vk in _live_arrays(pdf):
         n = np.sqrt(_np_fold_dot(Vk, Vk))
-        yield grp["vec_id"][keep], Vk, Vk / n[:, None]
+        # inf/inf -> NaN is legitimate here (inf-element vectors are
+        # kept); silence the IEEE-invalid warning like _np_fold_dot
+        with np.errstate(invalid="ignore"):
+            U = Vk / n[:, None]
+        yield ids, Vk, U
 
 
 def _stack(col):
@@ -345,8 +356,11 @@ def _banded_rows(vecs: DataFrame) -> DataFrame:
                         for p in range(PLANES_PER_BAND):
                             S = np.asarray(planes[b][p], dtype=np.float64)
                             acc = np.zeros(len(Vk), dtype=np.float64)
-                            for d in range(w):
-                                acc = acc + Vk[:, d] * S[d]
+                            # same IEEE-invalid silencing as
+                            # _np_fold_dot (inf-inf -> NaN is valid)
+                            with np.errstate(invalid="ignore"):
+                                for d in range(w):
+                                    acc = acc + Vk[:, d] * S[d]
                             bucket += np.where(_np_keep(acc), 1 << p, 0)
                     buckets.append(bucket)
                 yield pa.RecordBatch.from_arrays(
@@ -613,8 +627,21 @@ def _bucket_pair_scores(
         out.columns = names
         return out
 
-    return grouped_src.groupBy("band", "bucket", "ga", "gb").applyInPandas(
+    scored = grouped_src.groupBy("band", "bucket", "ga", "gb").applyInPandas(
         renamed, out_schema
+    )
+    # applyInPandas serializes the kernel's pandas frame with
+    # from_pandas semantics, which masks a float64 NaN to SQL NULL —
+    # the exact conflation _list_arr exists to prevent on the vector
+    # columns, recurring here on the SCALAR score column. The kernel
+    # never emits a missing score (every row carries a computed
+    # float), so any NULL in the serialized column IS a masked NaN:
+    # restore it JVM-side, keeping NaN-vector pairs NaN like the
+    # oracle (both engines then order them greatest in the top-k).
+    score_col = names[2]
+    return scored.withColumn(
+        score_col,
+        F.coalesce(F.col(score_col), F.lit(float("nan"))),
     )
 
 
@@ -686,9 +713,13 @@ def _pair_scores(
             if A is not None and B is not None and A.shape[1] == B.shape[1]:
                 s = _np_fold_dot(A, B)
                 if normalize:
-                    s = s / (
-                        np.sqrt(_np_fold_dot(A, A)) * np.sqrt(_np_fold_dot(B, B))
-                    )
+                    # inf/inf -> NaN is legitimate; silence the
+                    # IEEE-invalid warning like _np_fold_dot
+                    with np.errstate(invalid="ignore"):
+                        s = s / (
+                            np.sqrt(_np_fold_dot(A, A))
+                            * np.sqrt(_np_fold_dot(B, B))
+                        )
                 cols = [
                     batch.column(batch.schema.get_field_index(k)) for k in keep
                 ] + [pa.array(s, type=pa.float64())]
@@ -739,16 +770,11 @@ def _live_vecs(vecs: DataFrame) -> DataFrame:
             if not batch.num_rows:
                 continue
             pdf = batch.to_pandas()
-            sub = pdf[pdf["v"].notna()]
-            for grp in _width_groups(sub):
-                V = _stack(grp["v"])
-                keep = _np_keep(_np_fold_dot(V, V))
-                if not keep.any():
-                    continue
+            for ids, Vk in _live_arrays(pdf):
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(grp["vec_id"][keep].to_numpy(), type=pa.int64()),
-                        _list_arr(V[keep], pa.float64()),
+                        pa.array(ids.to_numpy(), type=pa.int64()),
+                        _list_arr(Vk, pa.float64()),
                     ],
                     names=["vec_id", "v"],
                 )

@@ -545,3 +545,69 @@ def test_salted_cells_match_unsalted(spark, sf_dir, monkeypatch):
         salted = grid(QUERIES[q](spark, sf_dir))
         monkeypatch.undo()
         assert salted == base, q
+
+
+def test_nan_scores_survive_bucket_scorer(spark, oracle_sf_dir):
+    """A genuine-NaN vector must flow through _bucket_pair_scores with
+    score=NaN, never NULL: the kernel keeps NaN pairs by design (both
+    engines order NaN greatest), but applyInPandas serializes pandas
+    float64 with from_pandas semantics, masking NaN to SQL NULL — the
+    scalar-column twin of the _list_arr problem. The JVM-side coalesce
+    in _bucket_pair_scores restores it; this pins both modes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sbs_suptech_etl_v2_spark.operators.similarity import (
+        COSINE_THRESHOLD,
+        QUERY_STRIDE,
+        _banded_rows,
+        _bucket_pair_scores,
+        _dbl,
+        _explode_bands,
+    )
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").limit(20)
+    dim = len(emb.select("embedding").first()[0])
+    nan_vec = [float("nan")] * dim
+    # two NaN vectors land in the same all-bits bucket of every band
+    # (NaN plane dots are "kept" -> bit set), so they always pair;
+    # ids chosen so query mode sees one query and one candidate
+    extra = spark.createDataFrame(
+        [(QUERY_STRIDE * 7, nan_vec), (QUERY_STRIDE * 7 + 1, nan_vec)],
+        "vec_id long, v array<double>",
+    )
+    base = emb.select(
+        # shift real ids off the query stride so the query set is
+        # exactly the injected NaN row
+        (F.col("vec_id") * QUERY_STRIDE + 3).alias("vec_id"),
+        _dbl(F.col("embedding")).alias("v"),
+    ).unionByName(extra)
+
+    pair_rows = (
+        _bucket_pair_scores(
+            _explode_bands(_banded_rows(base)),
+            "vec_a bigint, vec_b bigint, cosine double",
+            threshold=COSINE_THRESHOLD,
+        )
+        .filter(F.col("vec_a") == QUERY_STRIDE * 7)
+        .collect()
+    )
+    assert pair_rows, "NaN pair must survive the threshold"
+    assert all(
+        r["cosine"] is not None and math.isnan(r["cosine"]) for r in pair_rows
+    )
+
+    query_rows = (
+        _bucket_pair_scores(
+            _explode_bands(_banded_rows(base)),
+            "query_id bigint, cand_id bigint, score double",
+            query_stride=QUERY_STRIDE,
+        )
+        .filter(F.col("query_id") == QUERY_STRIDE * 7)
+        .collect()
+    )
+    assert query_rows, "the NaN query must score against its bucket"
+    assert all(
+        r["score"] is not None and math.isnan(r["score"]) for r in query_rows
+    )
