@@ -584,3 +584,19 @@ def test_q104_two_linear_windows_over_broadcast_grid(spark, sf_dir):
     assert sum(1 for l in nums if "Window" in l) == 2
     assert "unboundedfollowing$()" not in plan  # no quadratic frame
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds -> calendar
+
+
+def test_bucket_scorer_census_join_is_broadcast(spark, sf_dir):
+    """The salted scorer's occupancy census (round-10: per-cell counts
+    set nsub) joins back onto the banded frame. The cell-id space is
+    bounded (N_BANDS x 2^PLANES_PER_BAND rows at most), so the join
+    carries an explicit broadcast hint — if it ever regressed to a
+    sort-merge join, the corpus-sized banded frame would pay a SECOND
+    (band, bucket)-keyed exchange that the shuffle-byte budgets in
+    test_shuffle_volume would not distinguish from the legitimate
+    cell-key exchange."""
+    plan = _plan(spark, sf_dir, "q25_embedding_neardup")
+    assert "BroadcastHashJoin" in plan
+    # exactly one banded-frame exchange feeds the grouped scorer: the
+    # applyInPandas group key (band, bucket, ga, gb)
+    assert plan.count("SortMergeJoin") == 0
