@@ -1853,6 +1853,11 @@ def _attribution_kernel(cl: "pd.DataFrame", pu: "pd.DataFrame") -> "pd.DataFrame
     else:
         n = np.zeros(n_p, dtype="int64")
         gap = np.full(n_p, np.nan)
+    # np.nan here is the MISSING sentinel: applyInPandas's NaN->NULL
+    # serialization is load-bearing (the oracle's no-ELSE CASE yields
+    # NULL for zero-click purchases) — do NOT "restore" NaN the way
+    # similarity._bucket_pair_scores must; a genuine NaN cannot arise
+    # from these integer-derived timestamps.
     return pd.DataFrame(
         {
             "user_id": p_user,
