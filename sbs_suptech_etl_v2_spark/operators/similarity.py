@@ -1304,6 +1304,22 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     that form: exact HALF_UP rounding, IEEE-identical multiply/divide,
     and a dimension-ordered left-fold error sum (NOT pairwise
     ``np.sum``). Plan stays one scan → one MapInPandas, no shuffle.
+
+    Malformed-row policy (round-10): a row quantizes only when its
+    scale is a finite positive number — i.e. ``0 < max|x| < inf``.
+    Everything else keeps its row with NULL outputs: NULL embeddings
+    (the oracle's ``list_max(NULL)`` is NULL → NULL propagation) and
+    all-zero vectors (DuckDB float ``127.0/0.0`` is NULL, NOT inf —
+    measured — so the oracle also yields the NULL triple) are
+    oracle-parity cases; EMPTY embeddings (DuckDB's seedless
+    ``list_reduce`` errors on an empty fold) and NaN/inf-element
+    vectors (``CAST(round(nan) AS INTEGER)`` raises) CRASH the oracle
+    outright, while the previous kernel fed NaN codes into an
+    UNDEFINED ``astype(int64)`` — one poison row must degrade to
+    NULLs, never garbage or a dead stage. Ragged batches quantize per
+    width group (each row's math is independent; the grouping only
+    keeps ``np.stack`` rectangular). All pinned by
+    tests/test_kernel_properties.py::test_quantize_malformed_vectors.
     """
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
@@ -1314,67 +1330,71 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            emb = list(pdf["embedding"])
-            keep = [i for i, v in enumerate(emb) if v is not None]
-            if len(keep) < len(pdf):
-                # NULL embedding -> NULL quantization outputs, row
-                # preserved — matches the oracle's NULL-list propagation
-                # (CAST(NULL AS DOUBLE[]) flows NULL through every list
-                # op). Split the batch: recurse on the dense remainder
-                # (bit-identical fast path below), then stitch the NULL
-                # rows back by position via object-dtype columns (Arrow
-                # renders None as SQL NULL; plain float64 would surface
-                # NaN instead).
-                dense = (
-                    next(iter(kernel([pdf.iloc[keep].reset_index(drop=True)])))
-                    if keep
-                    else None
+            vecs = list(pdf["embedding"])
+            n = len(pdf)
+            # object-dtype None columns: Arrow renders None as SQL
+            # NULL (plain float64 would mask the distinction as NaN)
+            cols: dict[str, list] = {
+                "vec_id": list(pdf["vec_id"]),
+                "scale": [None] * n,
+                "code_checksum": [None] * n,
+                "mean_abs_err": [None] * n,
+            }
+            groups: dict[int, list[int]] = {}
+            for i, v in enumerate(vecs):
+                if v is None or len(v) == 0:
+                    continue
+                groups.setdefault(len(v), []).append(i)
+            for w, idxs in groups.items():
+                # float32 → float64 cast is exact (CAST(.. AS DOUBLE[])).
+                V = np.stack(
+                    [np.asarray(vecs[i], dtype=np.float64) for i in idxs]
                 )
-                n = len(pdf)
-                cols: dict[str, list] = {
-                    "vec_id": list(pdf["vec_id"]),
-                    "scale": [None] * n,
-                    "code_checksum": [None] * n,
-                    "mean_abs_err": [None] * n,
-                }
-                if dense is not None:
-                    for j, i in enumerate(keep):
-                        cols["scale"][i] = float(dense["scale"].iloc[j])
-                        cols["code_checksum"][i] = int(
-                            dense["code_checksum"].iloc[j]
-                        )
-                        cols["mean_abs_err"][i] = float(
-                            dense["mean_abs_err"].iloc[j]
-                        )
+                maxabs = np.abs(V).max(axis=1)
+                live = np.isfinite(maxabs) & (maxabs > 0)
+                if not live.any():
+                    continue
+                Vk = V[live]
+                scale = 127.0 / maxabs[live]
+                Y = Vk * scale[:, None]
+                # Exact HALF_UP (away-from-zero) rounding — numpy's
+                # np.round is half-even and floor(y+0.5) has an FP edge
+                # at 0.49999…94, so split on the exact fractional part
+                # instead (y - trunc(y) is exact for |y| ≤ 127ish by
+                # Sterbenz).
+                t = np.trunc(Y)
+                codes = (
+                    t + np.where(np.abs(Y - t) >= 0.5, np.sign(Y), 0.0)
+                ).astype(np.int64)
+                E = np.abs(Vk - codes / scale[:, None])
+                # Sequential left fold to match F.aggregate /
+                # list_reduce bit-for-bit: accumulate dimension-by-
+                # dimension (vectorized over rows), NOT np.sum
+                # (pairwise summation differs).
+                acc = np.zeros(len(Vk), dtype=np.float64)
+                for d in range(w):
+                    acc = acc + E[:, d]
+                checksum = codes.sum(axis=1)
+                err = acc / w
+                if live.all() and len(idxs) == n:
+                    # common case — whole batch well-formed, one width:
+                    # emit the numpy columns directly (no per-row
+                    # object stitch on the hot path)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "scale": scale,
+                            "code_checksum": checksum,
+                            "mean_abs_err": err,
+                        }
+                    )
+                    break
+                for j, i in enumerate(np.asarray(idxs)[live]):
+                    cols["scale"][i] = float(scale[j])
+                    cols["code_checksum"][i] = int(checksum[j])
+                    cols["mean_abs_err"][i] = float(err[j])
+            else:
                 yield pd.DataFrame(cols, dtype=object)
-                continue
-            # float32 → float64 cast is exact, matching CAST(.. AS DOUBLE[]).
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            scale = 127.0 / np.abs(V).max(axis=1)
-            Y = V * scale[:, None]
-            # Exact HALF_UP (away-from-zero) rounding — numpy's np.round is
-            # half-even and floor(y+0.5) has an FP edge at 0.49999…94, so
-            # split on the exact fractional part instead (y - trunc(y) is
-            # exact for |y| ≤ 127ish by Sterbenz).
-            t = np.trunc(Y)
-            codes = (t + np.where(np.abs(Y - t) >= 0.5, np.sign(Y), 0.0)).astype(
-                np.int64
-            )
-            E = np.abs(V - codes / scale[:, None])
-            # Sequential left fold to match F.aggregate / list_reduce
-            # bit-for-bit: accumulate dimension-by-dimension (vectorized
-            # over rows), NOT np.sum (pairwise summation differs).
-            acc = np.zeros(len(V), dtype=np.float64)
-            for d in range(V.shape[1]):
-                acc = acc + E[:, d]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "scale": scale,
-                    "code_checksum": codes.sum(axis=1),
-                    "mean_abs_err": acc / V.shape[1],
-                }
-            )
 
     return spread(emb).mapInPandas(
         kernel,

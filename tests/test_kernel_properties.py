@@ -611,3 +611,100 @@ def test_nan_scores_survive_bucket_scorer(spark, oracle_sf_dir):
     assert all(
         r["score"] is not None and math.isnan(r["score"]) for r in query_rows
     )
+
+
+def test_quantize_malformed_vectors(spark, tmp_path, oracle_sf_dir):
+    """Round-10 q51 policy pin: a row quantizes only when its scale is
+    finite-positive (0 < max|x| < inf); everything else keeps the row
+    with the NULL triple.
+
+    Oracle-runnable half: NULL and ALL-ZERO embeddings — the oracle
+    yields the NULL triple for each (list_max(NULL) is NULL; DuckDB
+    float 127.0/0.0 is NULL, not inf), so full value parity is
+    asserted. Non-runnable half: NaN/inf-element vectors make the
+    oracle RAISE (CAST(round(nan) AS INTEGER)) and an EMPTY embedding
+    raises in list_reduce, while the kernel must degrade those rows to
+    NULLs — the previous kernel fed NaN codes through an undefined
+    astype(int64). Ragged widths quantize per width group, bit-equal
+    to a clean same-width run."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sbs_suptech_etl_v2_spark.io import TABLES
+    from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
+    from tests.parity import assert_parity, run_oracle_full
+
+    q = "q51_quantize_embeddings"
+    tbl = pq.read_table(f"{oracle_sf_dir}/embeddings.parquet")
+    rows = tbl.slice(0, 40).to_pylist()
+    dim = len(rows[0]["embedding"])
+
+    def fixture(name, mutate):
+        d = tmp_path / name
+        d.mkdir()
+        for t in TABLES:
+            if t != "embeddings":
+                os.symlink(
+                    f"{oracle_sf_dir}/{t}.parquet", str(d / f"{t}.parquet")
+                )
+        muts = [dict(r) for r in rows]
+        mutate(muts)
+        pq.write_table(
+            pa.Table.from_pylist(muts, schema=tbl.schema),
+            str(d / "embeddings.parquet"),
+        )
+        return str(d), muts
+
+    # --- oracle-runnable: NULL / all-zero -> NULL triple --------------
+    def mut_a(m):
+        m[3]["embedding"] = None
+        m[9]["embedding"] = [0.0] * dim
+
+    sf_a, mut_rows = fixture("sf_q51a", mut_a)
+    assert_parity(spark, QUERIES[q], ORACLE[q], sf_a, q)
+    out = {
+        r["vec_id"]: r for r in QUERIES[q](spark, sf_a).collect()
+    }
+    assert len(out) == len(rows)  # every row preserved
+    for i in (3, 9):
+        r = out[mut_rows[i]["vec_id"]]
+        assert r["scale"] is None
+        assert r["code_checksum"] is None
+        assert r["mean_abs_err"] is None
+
+    # --- oracle-raising: NaN / inf / empty + ragged width -------------
+    def mut_b(m):
+        m[2]["embedding"] = [float("nan")] * dim
+        m[4]["embedding"][0] = float("inf")
+        m[5]["embedding"] = []
+        m[6]["embedding"] = m[6]["embedding"][: dim // 2]  # ragged
+
+    sf_b, mut_rows_b = fixture("sf_q51b", mut_b)
+    with pytest.raises(Exception):
+        run_oracle_full(ORACLE[q], sf_b)
+    out_b = {r["vec_id"]: r for r in QUERIES[q](spark, sf_b).collect()}
+    assert len(out_b) == len(rows)
+    for i in (2, 4, 5):  # non-finite / undefined scale -> NULL triple
+        r = out_b[mut_rows_b[i]["vec_id"]]
+        assert r["scale"] is None and r["code_checksum"] is None
+    # the ragged row still quantizes (independent per-row math)
+    ragged = out_b[mut_rows_b[6]["vec_id"]]
+    assert ragged["scale"] is not None and math.isfinite(ragged["scale"])
+    # untouched rows are BIT-identical to the clean-corpus run
+    clean = {
+        r["vec_id"]: r
+        for r in QUERIES[q](spark, oracle_sf_dir).collect()
+    }
+    for i, src in enumerate(mut_rows_b):
+        if i in (2, 4, 5, 6):
+            continue
+        vid = src["vec_id"]
+        assert _bits(out_b[vid]["scale"]) == _bits(clean[vid]["scale"])
+        assert out_b[vid]["code_checksum"] == clean[vid]["code_checksum"]
+        assert _bits(out_b[vid]["mean_abs_err"]) == _bits(
+            clean[vid]["mean_abs_err"]
+        )
