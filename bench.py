@@ -184,7 +184,13 @@ def main() -> None:
     # Spark runs — the Spark/oracle ratio from a paired run is robust
     # where either absolute number is not. Skippable for quick local
     # iteration via SPARK_GRAFT_SKIP_ORACLE=1 or when benching a subset.
-    spark_probe = _calibrate_spark(spark)
+    # Calibration probes only run on FULL suites: a named-subset
+    # invocation is the quick-iteration path and must not pay 3×
+    # range(4e8) aggregations plus the 7-job latency probe for a
+    # sub-second query (the probes are only meaningful on archived
+    # full runs anyway).
+    spark_probe = _calibrate_spark(spark) if not only else None
+    job_floor = _job_latency(spark) if not only else None
 
     oracle_total = None
     oracle_timings = None
@@ -218,10 +224,18 @@ def main() -> None:
                 n: round(statistics.median(s), 3) for n, s in osamples.items()
             }
             oracle_total = round(sum(oracle_timings.values()), 3)
-            duck_probe = _calibrate_duckdb(con)
         except Exception:  # noqa: BLE001 — the pairing is best-effort
             oracle_total = None
             oracle_timings = None
+        else:
+            # The probe runs in its OWN try: a late failure here (e.g.
+            # memory pressure on the 400M-row fold after a long run)
+            # must not discard the oracle suite the run just spent
+            # minutes computing — duck_probe is best-effort-null.
+            try:
+                duck_probe = _calibrate_duckdb(con)
+            except Exception:  # noqa: BLE001
+                duck_probe = None
 
     total = round(sum(timings.values()), 3)
     # The printed artifact must survive a ~2 KB stdout-tail capture
@@ -263,7 +277,7 @@ def main() -> None:
             # per-job scheduling floor (median range(1).count()): a
             # query's cross-box delta is only meaningful after
             # subtracting ~n_jobs x the floor delta — see _job_latency
-            "spark_job_floor_sec": _job_latency(spark),
+            "spark_job_floor_sec": job_floor,
         },
         "oracle_suite_sec": oracle_total,
         "spark_vs_oracle_ratio": (

@@ -179,6 +179,11 @@ def _width_groups(sub, col: str = "v"):
     its own vectorized group. Zero-width rows are skipped — excluded
     upstream by ``_whole_vecs`` anyway (zero-norm on both engines).
     Fuzzed by tests/test_kernel_properties.py::test_mixed_width_batches.
+
+    This is the RETRIEVAL-family policy (malformed rows leave the
+    working set). ``quantize_embeddings`` intentionally does not share
+    it: quantization keeps every row and stitches NULL outputs back by
+    position, so its kernel groups by width inline over row indices.
     """
     import numpy as np
 
@@ -261,6 +266,19 @@ def _list_arr(M, typ):
     import pyarrow as pa
 
     n, w = M.shape
+    # ListArray offsets are int32: a batch with n*w > 2^31 values would
+    # WRAP under a silent astype and zero-copy-read garbage vectors —
+    # the exact corruption class this helper exists to prevent. Spark's
+    # arrow.maxRecordsPerBatch (default 10k) keeps real batches ~5
+    # orders below the line; refuse loudly if a misconfiguration ever
+    # crosses it (the fix is a smaller batch size, not LargeListArray —
+    # Spark's reader expects list<>, not large_list<>).
+    if n * w > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"_list_arr: batch of {n} rows × {w} dims overflows int32 "
+            "ListArray offsets; lower spark.sql.execution.arrow."
+            "maxRecordsPerBatch"
+        )
     offsets = pa.array((np.arange(n + 1, dtype=np.int64) * w).astype(np.int32))
     return pa.ListArray.from_arrays(offsets, pa.array(M.ravel(), type=typ))
 
@@ -439,7 +457,7 @@ CELL_TARGET_ROWS = 1 << 16
 
 
 def _bucket_pair_scores(
-    banded: DataFrame,
+    banded_rows: DataFrame,
     out_schema: str,
     threshold: float | None = None,
     query_stride: int | None = None,
@@ -449,6 +467,11 @@ def _bucket_pair_scores(
     """Score candidate pairs INSIDE their (band, bucket) LSH cell,
     with oversized cells salted into bounded sub-group pairs.
 
+    Takes the UN-exploded ``_banded_rows`` output ``(vec_id, u,
+    buckets)`` and explodes internally — so the ``cut=True`` lineage
+    cut checkpoints each unit vector ONCE, not N_BANDS times (the
+    explode is re-derived from the checkpoint on both consumers).
+
     The join-era shape streamed the C(occupancy, 2) pair fan-out —
     both 64-double vectors on every row — through a shuffle. Grouping
     the banded rows by cell (``applyInPandas``) keeps the pair grid
@@ -457,25 +480,37 @@ def _bucket_pair_scores(
     used to mean one python worker materializing the whole cell
     (round-10 ADVICE: the binding constraint of the 100 TB claim).
 
-    The salt closes that: per-cell occupancy (one tiny broadcast-
-    joined count over the materialized banded frame) sets
-    ``nsub = ceil(occ / CELL_TARGET_ROWS)``, each row gets a
-    deterministic sub-group ``salt = xxhash64(vec_id) % nsub``, and
+    The salt closes that: a per-cell census (one tiny broadcast-
+    joined count over the materialized banded frame) splits hot cells
+    into sub-groups of ≤ ``CELL_TARGET_ROWS`` rows each, and
 
-    - **pair mode** (``threshold``): a row with salt ``s`` replicates
-      into the nsub groups ``(min(s,t), max(s,t))`` for every t — the
+    - **pair mode** (``threshold``): ``nsub = ceil(occ / target)``;
+      a row with salt ``s = xxhash64(vec_id) % nsub`` replicates into
+      the nsub groups ``(min(s,t), max(s,t))`` for every t — the
       classic triangle partition, so every unordered pair of salts
       (and hence every candidate pair) lands in EXACTLY one
       ``(band, bucket, ga, gb)`` group, sized ≤ 2×target rows;
-    - **query mode** (``query_stride``/``cap``): query rows (rare by
-      construction) replicate into every sub-group; candidates stay
-      in their own — each (query, candidate) pair scores exactly once.
+    - **query mode** (``query_stride``/``cap``): TWO salt axes — the
+      census counts all rows (``nsc`` candidate subs) AND query rows
+      (``nsq`` query subs), so the per-group row load is bounded even
+      when the query side is corpus-proportional (an uncapped stride
+      on a hot cell — the round-10 review case; one global salt axis
+      replicated EVERY query row into EVERY sub-group, growing groups
+      linearly with occupancy). Every row sits as CANDIDATE in groups
+      ``(sc, t)`` for t < nsq; a query row additionally sits as QUERY
+      in groups ``(s, sq)`` for s < nsc; the one colliding seat
+      ``(sc, sq)`` merges into a both-roles row, so each (query,
+      candidate) pair meets in exactly one group of
+      ≤ target candidates + target queries. Dormant cells (occ and
+      query count ≤ target) emit exactly one row per input row, the
+      pre-salt plan.
 
-    At-or-under-target cells take nsub=1: no replication, one group,
-    the exact pre-salt plan. Scores are bit-identical in all shapes —
-    same vectors, same dimension-ordered fold, orientation-free
-    (IEEE multiply commutes); coverage equality is property-tested by
-    tests/test_kernel_properties.py::test_salted_cells_match_unsalted.
+    At-or-under-target cells pay zero overhead in both modes. Scores
+    are bit-identical in all shapes — same vectors, same
+    dimension-ordered fold, orientation-free (IEEE multiply
+    commutes); coverage equality is property-tested by
+    tests/test_kernel_properties.py::test_salted_cells_match_unsalted
+    and ::test_query_salt_axes_match_unsalted.
 
     ``threshold`` keeps pairs with ``score >= threshold`` (NaN keeps,
     mirroring both engines' NaN-is-greatest ordering) and emits each
@@ -483,58 +518,91 @@ def _bucket_pair_scores(
     instead select query rows (``vec_id % stride == 0`` and optional
     ``vec_id < stride*cap``) and score them against every OTHER
     bucket member. ``cut=False`` skips the lineage cut when the
-    caller's banded frame is already materialized (q90). Mixed-width
-    (corrupt) rows quarantine per width group; a cross-width pair has
-    no defined cosine and is dropped rather than killing the stage.
+    caller's banded-rows frame is already materialized (q90).
+    Mixed-width (corrupt) rows quarantine per width group; a
+    cross-width pair has no defined cosine and is dropped rather than
+    killing the stage.
     """
     if cut:
         # the occupancy census and the grouped scorer both consume the
         # banded frame; without the cut the banding kernel (and its
-        # corpus scan) would run twice
-        banded = materialize(banded)
-    occ = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("occ"))
-    nsub = F.greatest(
-        F.lit(1), F.ceil(F.col("occ") / F.lit(CELL_TARGET_ROWS))
-    ).cast("int")
-    # cell-id space is bounded (N_BANDS × 2^PLANES_PER_BAND), so the
-    # census is always broadcastable — never a shuffled join
-    salted = banded.join(
-        F.broadcast(occ.select("band", "bucket", nsub.alias("nsub"))),
-        ["band", "bucket"],
-    ).withColumn(
-        # hash, not a raw modulus: vec_ids are strided in places
-        # (queries, planted variants) and a correlated salt would
-        # re-concentrate exactly the rows being spread
-        "salt",
-        F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int"),
-    )
-    if query_stride is None:
-        assigns = F.transform(
-            F.sequence(F.lit(0), F.col("nsub") - 1),
-            lambda t: F.struct(
-                F.least(F.col("salt"), t).cast("int").alias("ga"),
-                F.greatest(F.col("salt"), t).cast("int").alias("gb"),
-            ),
-        )
-    else:
+        # corpus scan) would run twice. Cut BEFORE the band explode:
+        # the checkpoint then stores each 64-double unit vector once,
+        # not once per band.
+        banded_rows = materialize(banded_rows)
+    banded = _explode_bands(banded_rows)
+    is_q = None
+    if query_stride is not None:
         is_q = F.col("vec_id") % query_stride == 0
         if query_cap is not None:
             is_q = is_q & (F.col("vec_id") < query_stride * query_cap)
-        assigns = F.when(
-            is_q,
+    # cell-id space is bounded (N_BANDS × 2^PLANES_PER_BAND), so the
+    # census is always broadcastable — never a shuffled join
+    census_aggs = [F.count(F.lit(1)).alias("occ")]
+    if is_q is not None:
+        census_aggs.append(
+            F.sum(F.when(is_q, 1).otherwise(0)).alias("qocc")
+        )
+    occ = banded.groupBy("band", "bucket").agg(*census_aggs)
+
+    def _nsub(count_col: str) -> Column:
+        return F.greatest(
+            F.lit(1), F.ceil(F.col(count_col) / F.lit(CELL_TARGET_ROWS))
+        ).cast("int")
+
+    census_cols = ["band", "bucket", _nsub("occ").alias("nsc")]
+    if is_q is not None:
+        census_cols.append(_nsub("qocc").alias("nsq"))
+    salted = banded.join(F.broadcast(occ.select(*census_cols)), ["band", "bucket"])
+    # hash, not a raw modulus: vec_ids are strided in places
+    # (queries, planted variants) and a correlated salt would
+    # re-concentrate exactly the rows being spread
+    salted = salted.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.col("nsc")).cast("int")
+    )
+    if query_stride is None:
+        assigns = F.transform(
+            F.sequence(F.lit(0), F.col("nsc") - 1),
+            lambda t: F.struct(
+                F.least(F.col("salt"), t).cast("int").alias("ga"),
+                F.greatest(F.col("salt"), t).cast("int").alias("gb"),
+                F.lit(1).cast("int").alias("role"),
+            ),
+        )
+    else:
+        salted = salted.withColumn(
+            "qsalt", F.pmod(F.xxhash64("vec_id"), F.col("nsq")).cast("int")
+        )
+        # candidate seats: (sc, t) for every query sub t; a query
+        # row's seat at t == its own query salt doubles as its query
+        # seat (role 3 = both), so the dormant case stays one row
+        cand_assigns = F.transform(
+            F.sequence(F.lit(0), F.col("nsq") - 1),
+            lambda t: F.struct(
+                F.col("salt").alias("ga"),
+                t.cast("int").alias("gb"),
+                F.when(is_q & (t == F.col("qsalt")), F.lit(3))
+                .otherwise(F.lit(1))
+                .cast("int")
+                .alias("role"),
+            ),
+        )
+        # query seats: (s, sq) for every candidate sub s EXCEPT the
+        # row's own (already covered by the role-3 candidate seat)
+        query_assigns = F.filter(
             F.transform(
-                F.sequence(F.lit(0), F.col("nsub") - 1),
-                lambda t: F.struct(
-                    t.cast("int").alias("ga"), t.cast("int").alias("gb")
+                F.sequence(F.lit(0), F.col("nsc") - 1),
+                lambda s: F.struct(
+                    s.cast("int").alias("ga"),
+                    F.col("qsalt").alias("gb"),
+                    F.lit(2).cast("int").alias("role"),
                 ),
             ),
-        ).otherwise(
-            F.array(
-                F.struct(
-                    F.col("salt").alias("ga"), F.col("salt").alias("gb")
-                )
-            )
+            lambda st: st.getField("ga") != F.col("salt"),
         )
+        assigns = F.when(
+            is_q, F.concat(cand_assigns, query_assigns)
+        ).otherwise(cand_assigns)
     grouped_src = salted.select(
         "vec_id", "u", "band", "bucket", "salt", F.explode(assigns).alias("g")
     ).select(
@@ -545,6 +613,7 @@ def _bucket_pair_scores(
         "salt",
         F.col("g.ga").alias("ga"),
         F.col("g.gb").alias("gb"),
+        F.col("g.role").alias("role"),
     )
 
     def kernel(pdf):
@@ -559,10 +628,9 @@ def _bucket_pair_scores(
             gs = grp["salt"].to_numpy()
             U = _stack(grp["u"])
             if query_stride is not None:
-                qm = ids % query_stride == 0
-                if query_cap is not None:
-                    qm &= ids < query_stride * query_cap
-                cm = gs == ga  # native members of this sub-group
+                role = grp["role"].to_numpy()
+                qm = (role & 2) != 0
+                cm = (role & 1) != 0
                 if not qm.any() or not cm.any():
                     continue
                 qids, Q = ids[qm], U[qm]
@@ -876,11 +944,11 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
     # pair scoring happens INSIDE each (band, bucket) group — the
     # banded frame shuffles once on its cell key and the pair fan-out
-    # never leaves the kernel (see _bucket_pair_scores); with a single
-    # consumer the lineage cut the self-join needed is gone too
-    banded = _explode_bands(_banded_rows(base))
+    # never leaves the kernel (see _bucket_pair_scores, which also
+    # cuts lineage pre-explode so the occupancy census and the scorer
+    # share one un-duplicated checkpoint of the banding kernel)
     scored = _bucket_pair_scores(
-        banded,
+        _banded_rows(base),
         "query_id bigint, cand_id bigint, score double",
         query_stride=QUERY_STRIDE,
     ).dropDuplicates(["query_id", "cand_id"])
@@ -1096,9 +1164,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair mining + exact verify live inside the bucket groups (see
     # _bucket_pair_scores): only corpus×bands rows shuffle, and what
     # comes back is the already-thresholded near-dup pair list
-    banded = _explode_bands(_banded_rows(corpus))
     return _bucket_pair_scores(
-        banded,
+        _banded_rows(corpus),
         "vec_a bigint, vec_b bigint, cosine double",
         threshold=COSINE_THRESHOLD,
     ).dropDuplicates(["vec_a", "vec_b"])
@@ -1203,7 +1270,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = (
         _bucket_pair_scores(
-            _explode_bands(up),
+            up,
             "query_id bigint, cand_id bigint, score double",
             query_stride=QUERY_STRIDE,
             query_cap=MAX_BF_QUERIES,
@@ -1340,6 +1407,15 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "code_checksum": [None] * n,
                 "mean_abs_err": [None] * n,
             }
+            # Inline width grouping, deliberately NOT _width_groups:
+            # that helper implements the retrieval-family policy (drop
+            # malformed rows from the working set), while quantization
+            # must KEEP every input row and stitch NULL outputs back
+            # by position — it needs row indices, not filtered frames.
+            # The two policies are pinned by separate tests
+            # (test_mixed_width_batches vs test_quantize_malformed_
+            # vectors); a change to one must not silently alter the
+            # other.
             groups: dict[int, list[int]] = {}
             for i, v in enumerate(vecs):
                 if v is None or len(v) == 0:

@@ -505,7 +505,6 @@ def test_query_mode_empty_buckets(spark, oracle_sf_dir):
         _banded_rows,
         _bucket_pair_scores,
         _dbl,
-        _explode_bands,
     )
 
     emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").limit(50)
@@ -514,7 +513,7 @@ def test_query_mode_empty_buckets(spark, oracle_sf_dir):
         _dbl(F.col("embedding")).alias("v"),
     )
     out = _bucket_pair_scores(
-        _explode_bands(_banded_rows(base)),
+        _banded_rows(base),
         "query_id bigint, cand_id bigint, score double",
         query_stride=QUERY_STRIDE,
     )
@@ -547,6 +546,48 @@ def test_salted_cells_match_unsalted(spark, sf_dir, monkeypatch):
         assert salted == base, q
 
 
+def test_query_salt_axes_match_unsalted(spark, oracle_sf_dir, monkeypatch):
+    """Query mode salts on TWO axes (round-10 review): the census
+    counts query rows separately, so a cell whose QUERY side is
+    corpus-proportional (here stride=1 — every row is a query, the
+    adversarial worst case for the old everything-replicates-
+    everywhere scheme) still splits into groups of ≤ target candidates
+    + target queries. Forcing both axes to engage (target=8 → nsc and
+    nsq both > 1 in every occupied cell) must reproduce the unsalted
+    (query, candidate, score) set BIT-exactly — each ordered pair
+    scored exactly once via the merged role-3 seat."""
+    from pyspark.sql import functions as F
+
+    import sbs_suptech_etl_v2_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").limit(120)
+    base = emb.select("vec_id", sim._dbl(F.col("embedding")).alias("v"))
+
+    def grid(target):
+        monkeypatch.setattr(sim, "CELL_TARGET_ROWS", target)
+        out = sim._bucket_pair_scores(
+            sim._banded_rows(base),
+            "query_id bigint, cand_id bigint, score double",
+            query_stride=1,  # every row is a query AND a candidate
+        ).dropDuplicates(["query_id", "cand_id"])
+        rows = sorted(
+            (r["query_id"], r["cand_id"], _bits(r["score"]))
+            for r in out.collect()
+        )
+        monkeypatch.undo()
+        return rows
+
+    unsalted = grid(1 << 16)
+    assert unsalted  # non-trivial: every cell pairs its members
+    # both axes engaged: 120 rows / target 8 → nsc = nsq ≈ occ/8
+    assert grid(8) == unsalted
+    # asymmetric engagement: candidate axis splits, query axis dormant
+    # is covered by test_salted_cells_match_unsalted (stride=100 → few
+    # queries per cell); here also pin a mid target where only SOME
+    # cells split
+    assert grid(40) == unsalted
+
+
 def test_nan_scores_survive_bucket_scorer(spark, oracle_sf_dir):
     """A genuine-NaN vector must flow through _bucket_pair_scores with
     score=NaN, never NULL: the kernel keeps NaN pairs by design (both
@@ -564,7 +605,6 @@ def test_nan_scores_survive_bucket_scorer(spark, oracle_sf_dir):
         _banded_rows,
         _bucket_pair_scores,
         _dbl,
-        _explode_bands,
     )
 
     emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").limit(20)
@@ -586,7 +626,7 @@ def test_nan_scores_survive_bucket_scorer(spark, oracle_sf_dir):
 
     pair_rows = (
         _bucket_pair_scores(
-            _explode_bands(_banded_rows(base)),
+            _banded_rows(base),
             "vec_a bigint, vec_b bigint, cosine double",
             threshold=COSINE_THRESHOLD,
         )
@@ -600,7 +640,7 @@ def test_nan_scores_survive_bucket_scorer(spark, oracle_sf_dir):
 
     query_rows = (
         _bucket_pair_scores(
-            _explode_bands(_banded_rows(base)),
+            _banded_rows(base),
             "query_id bigint, cand_id bigint, score double",
             query_stride=QUERY_STRIDE,
         )
