@@ -588,6 +588,60 @@ def test_query_salt_axes_match_unsalted(spark, oracle_sf_dir, monkeypatch):
     assert grid(40) == unsalted
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.data(),
+)
+def test_salt_coverage_fuzz(spark, data):
+    """Hypothesis fuzz of the salted scorer's COVERAGE math: for
+    random corpora (random vectors incl. negatives/zeros, random id
+    gaps), random sub-group targets, and random query strides, the
+    salted output must equal the unsalted output as a SET — every
+    pair exactly once, none missed, bit-identical scores. The fixed-
+    corpus pins (test_salted_cells_match_unsalted /
+    test_query_salt_axes_match_unsalted) exercise two cell shapes;
+    this explores the space of occupancy patterns, nsc/nsq mixes, and
+    triangle-partition layouts around them. dropDuplicates is NOT
+    applied on either side, so a double-emitted pair fails here even
+    though the production queries would mask it."""
+    import sbs_suptech_etl_v2_spark.operators.similarity as sim
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    n = data.draw(st.integers(min_value=2, max_value=40))
+    width = data.draw(st.integers(min_value=2, max_value=6))
+    target = data.draw(st.sampled_from([1, 2, 3, 5, 8]))
+    stride = data.draw(st.sampled_from([1, 2, 3]))
+    ids = rng.sample(range(0, 400), n)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(width)]) for i in ids
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def run(mode_kwargs, schema):
+        out = sim._bucket_pair_scores(sim._banded_rows(base), schema, **mode_kwargs)
+        a, b, s = [f.strip().split()[0] for f in schema.split(",")]
+        return sorted(
+            (r[a], r[b], _bits(r[s])) for r in out.collect()
+        )
+
+    old_target = sim.CELL_TARGET_ROWS
+    try:
+        for kwargs, schema in (
+            ({"threshold": -10.0}, "vec_a bigint, vec_b bigint, cosine double"),
+            ({"query_stride": stride}, "query_id bigint, cand_id bigint, score double"),
+        ):
+            sim.CELL_TARGET_ROWS = 1 << 16
+            unsalted = run(kwargs, schema)
+            sim.CELL_TARGET_ROWS = target
+            assert run(kwargs, schema) == unsalted, (n, width, target, stride, kwargs)
+    finally:
+        sim.CELL_TARGET_ROWS = old_target
+
+
 def test_nan_scores_survive_bucket_scorer(spark, oracle_sf_dir):
     """A genuine-NaN vector must flow through _bucket_pair_scores with
     score=NaN, never NULL: the kernel keeps NaN pairs by design (both
