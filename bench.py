@@ -190,7 +190,6 @@ def main() -> None:
     # sub-second query (the probes are only meaningful on archived
     # full runs anyway).
     spark_probe = _calibrate_spark(spark) if not only else None
-    job_floor = _job_latency(spark) if not only else None
 
     oracle_total = None
     oracle_timings = None
@@ -236,6 +235,13 @@ def main() -> None:
                 duck_probe = _calibrate_duckdb(con)
             except Exception:  # noqa: BLE001
                 duck_probe = None
+
+    # The job-floor probe keeps its ORIGINAL sampling point — after the
+    # oracle suite, at artifact-build time — so its box-state context
+    # matches every archived artifact it will be compared against
+    # (hoisting it above the oracle run would put a systematic offset
+    # in exactly the number used as the cross-run denominator).
+    job_floor = _job_latency(spark) if not only else None
 
     total = round(sum(timings.values()), 3)
     # The printed artifact must survive a ~2 KB stdout-tail capture

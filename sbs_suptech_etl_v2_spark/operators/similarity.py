@@ -566,7 +566,6 @@ def _bucket_pair_scores(
             lambda t: F.struct(
                 F.least(F.col("salt"), t).cast("int").alias("ga"),
                 F.greatest(F.col("salt"), t).cast("int").alias("gb"),
-                F.lit(1).cast("int").alias("role"),
             ),
         )
     else:
@@ -603,6 +602,16 @@ def _bucket_pair_scores(
         assigns = F.when(
             is_q, F.concat(cand_assigns, query_assigns)
         ).otherwise(cand_assigns)
+    # Each mode ships exactly the side-selector column its kernel
+    # reads through the cell-key exchange — pair mode the salt, query
+    # mode the per-seat role bits — never both (the exchange is the
+    # biggest in q25/q41/q47; a dead int per replicated row is pure
+    # shuffle overhead).
+    mode_cols = (
+        [F.col("salt")]
+        if query_stride is None
+        else [F.col("g.role").alias("role")]
+    )
     grouped_src = salted.select(
         "vec_id", "u", "band", "bucket", "salt", F.explode(assigns).alias("g")
     ).select(
@@ -610,10 +619,9 @@ def _bucket_pair_scores(
         "u",
         "band",
         "bucket",
-        "salt",
         F.col("g.ga").alias("ga"),
         F.col("g.gb").alias("gb"),
-        F.col("g.role").alias("role"),
+        *mode_cols,
     )
 
     def kernel(pdf):
@@ -625,7 +633,6 @@ def _bucket_pair_scores(
         outs = []
         for grp in _width_groups(pdf, "u"):
             ids = grp["vec_id"].to_numpy()
-            gs = grp["salt"].to_numpy()
             U = _stack(grp["u"])
             if query_stride is not None:
                 role = grp["role"].to_numpy()
@@ -648,6 +655,7 @@ def _bucket_pair_scores(
                         )
                     )
                 continue
+            gs = grp["salt"].to_numpy()
             if ga == gb:
                 sel = gs == ga
                 aids, A = ids[sel], U[sel]
