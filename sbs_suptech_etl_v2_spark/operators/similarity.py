@@ -119,9 +119,11 @@ def _np_fold_dot(A, B):
 
     acc = np.zeros(len(A), dtype=np.float64)
     # inf*0 / inf-inf legitimately produce NaN here (NaN-vector rows
-    # are KEPT by _np_keep); silence the per-batch IEEE-invalid
-    # warning so it can't spam every executor's stderr at scale
-    with np.errstate(invalid="ignore"):
+    # are KEPT by _np_keep), and huge finite elements legitimately
+    # overflow to inf — the same values the Catalyst/DuckDB folds
+    # produce silently; silence both per-batch IEEE warnings so they
+    # can't spam every executor's stderr at scale
+    with np.errstate(invalid="ignore", over="ignore"):
         for d in range(A.shape[1]):
             acc = acc + A[:, d] * B[:, d]
     return acc
@@ -227,7 +229,7 @@ def _live_unit_arrays(pdf):
         n = np.sqrt(_np_fold_dot(Vk, Vk))
         # inf/inf -> NaN is legitimate here (inf-element vectors are
         # kept); silence the IEEE-invalid warning like _np_fold_dot
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore", over="ignore"):
             U = Vk / n[:, None]
         yield ids, Vk, U
 
@@ -376,7 +378,7 @@ def _banded_rows(vecs: DataFrame) -> DataFrame:
                             acc = np.zeros(len(Vk), dtype=np.float64)
                             # same IEEE-invalid silencing as
                             # _np_fold_dot (inf-inf -> NaN is valid)
-                            with np.errstate(invalid="ignore"):
+                            with np.errstate(invalid="ignore", over="ignore"):
                                 for d in range(w):
                                     acc = acc + Vk[:, d] * S[d]
                             bucket += np.where(_np_keep(acc), 1 << p, 0)
@@ -433,7 +435,7 @@ def _bucket_grid_blocks(U, A):
         blk = A[start : start + rows]
         acc = np.zeros((len(blk), len(U)), dtype=np.float64)
         # same IEEE-invalid silencing rationale as _np_fold_dot
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore", over="ignore"):
             for d in range(U.shape[1]):
                 acc = acc + blk[:, d, None] * U[None, :, d]
         yield start, acc
@@ -791,7 +793,7 @@ def _pair_scores(
                 if normalize:
                     # inf/inf -> NaN is legitimate; silence the
                     # IEEE-invalid warning like _np_fold_dot
-                    with np.errstate(invalid="ignore"):
+                    with np.errstate(invalid="ignore", over="ignore"):
                         s = s / (
                             np.sqrt(_np_fold_dot(A, A))
                             * np.sqrt(_np_fold_dot(B, B))
