@@ -123,6 +123,66 @@ def _warmup(spark, sf_dir: str) -> None:
     )
 
 
+def build_artifact(
+    names: list[str],
+    timings: dict[str, float],
+    oracle_timings: dict[str, float] | None,
+    spark_probe: float | None,
+    duck_probe: float | None,
+    job_floor: float | None,
+    sf_num,
+) -> dict:
+    """The ONE printed JSON line, as a dict — kept pure so
+    tests/test_bench_contract.py can pin the output contract (parses,
+    self-contained, < 2 KB stdout-tail) against registry growth."""
+    oracle_total = (
+        round(sum(oracle_timings.values()), 3) if oracle_timings else None
+    )
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "total_query_wall_clock",
+        "unit": "sec",
+        "sf": sf_num,
+        "runs_per_query": RUNS,
+        "aggregation": "median",
+        "n_queries": len(names),
+        "per_query_note": (
+            "spark_cs/oracle_cs = per-query medians in CENTISECONDS, "
+            "order = sorted query names (registry); null = no oracle; "
+            "named full-precision maps in .bench_archive/ + BENCH_local.json"
+        ),
+        "spark_cs": [int(round(timings[n] * 100)) for n in names],
+        "oracle_cs": (
+            [
+                (
+                    int(round(oracle_timings[n] * 100))
+                    if n in oracle_timings
+                    else None
+                )
+                for n in names
+            ]
+            if oracle_timings
+            else None
+        ),
+        # fixed-work probes: normalize any cross-run per-query
+        # comparison by these before calling something a regression
+        "calibration": {
+            "probe": f"{CALIBRATION_EXPR} over range({CALIBRATION_N})",
+            "spark_sec": spark_probe,
+            "duckdb_sec": duck_probe,
+            # per-job scheduling floor (median range(1).count()): a
+            # query's cross-box delta is only meaningful after
+            # subtracting ~n_jobs x the floor delta — see _job_latency
+            "spark_job_floor_sec": job_floor,
+        },
+        "oracle_suite_sec": oracle_total,
+        "spark_vs_oracle_ratio": (
+            round(total / oracle_total, 3) if oracle_total else None
+        ),
+        "value": total,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -191,7 +251,6 @@ def main() -> None:
     # full runs anyway).
     spark_probe = _calibrate_spark(spark) if not only else None
 
-    oracle_total = None
     oracle_timings = None
     duck_probe = None
     if not only and not os.environ.get("SPARK_GRAFT_SKIP_ORACLE"):
@@ -222,9 +281,7 @@ def main() -> None:
             oracle_timings = {
                 n: round(statistics.median(s), 3) for n, s in osamples.items()
             }
-            oracle_total = round(sum(oracle_timings.values()), 3)
         except Exception:  # noqa: BLE001 — the pairing is best-effort
-            oracle_total = None
             oracle_timings = None
         else:
             # The probe runs in its OWN try: a late failure here (e.g.
@@ -243,54 +300,15 @@ def main() -> None:
     # in exactly the number used as the cross-run denominator).
     job_floor = _job_latency(spark) if not only else None
 
-    total = round(sum(timings.values()), 3)
     # The printed artifact must survive a ~2 KB stdout-tail capture
     # (see module docstring): ONE compact self-contained JSON line —
     # headline totals, both calibration probes, and per-query medians
     # as centisecond arrays in sorted-name order. The named
     # full-precision maps ride the archive file below instead.
-    out = {
-        "metric": "total_query_wall_clock",
-        "unit": "sec",
-        "sf": sf_num,
-        "runs_per_query": RUNS,
-        "aggregation": "median",
-        "n_queries": len(names),
-        "per_query_note": (
-            "spark_cs/oracle_cs = per-query medians in CENTISECONDS, "
-            "order = sorted query names (registry); null = no oracle; "
-            "named full-precision maps in .bench_archive/ + BENCH_local.json"
-        ),
-        "spark_cs": [int(round(timings[n] * 100)) for n in names],
-        "oracle_cs": (
-            [
-                (
-                    int(round(oracle_timings[n] * 100))
-                    if n in oracle_timings
-                    else None
-                )
-                for n in names
-            ]
-            if oracle_timings
-            else None
-        ),
-        # fixed-work probes: normalize any cross-run per-query
-        # comparison by these before calling something a regression
-        "calibration": {
-            "probe": f"{CALIBRATION_EXPR} over range({CALIBRATION_N})",
-            "spark_sec": spark_probe,
-            "duckdb_sec": duck_probe,
-            # per-job scheduling floor (median range(1).count()): a
-            # query's cross-box delta is only meaningful after
-            # subtracting ~n_jobs x the floor delta — see _job_latency
-            "spark_job_floor_sec": job_floor,
-        },
-        "oracle_suite_sec": oracle_total,
-        "spark_vs_oracle_ratio": (
-            round(total / oracle_total, 3) if oracle_total else None
-        ),
-        "value": total,
-    }
+    out = build_artifact(
+        names, timings, oracle_timings, spark_probe, duck_probe,
+        job_floor, sf_num,
+    )
     line = json.dumps(out)
     print(line)
     # archive the FULL verbose JSON (named per-query maps) to an
