@@ -37,7 +37,9 @@ QUERIES: dict[str, QueryFn] = {
     # salt with a pre-explode lineage cut; a changed query must re-earn
     # its verdict the same round); slots 11-41 are the 31 queries whose newest
     # driver verdicts are r07 (q14-q23, q62, q97, q101-q106, q108-q110,
-    # q112-q121); slots 42-50 backfill from the oldest r08 block,
+    # q112-q121 — q62 ALSO changed in round 10, the codegen-side gram
+    # stream, so its window seat doubles as the re-earn slot);
+    # slots 42-50 backfill from the oldest r08 block,
     # leading with the rare-construct queries (the HUGEINT-history pair
     # q65/q88, cogroup q89, json_extract q36/q48, time_bucket q45).
     # CORRECTNESS_local[_sf0.001|_sf0.1].json carry the full registry
