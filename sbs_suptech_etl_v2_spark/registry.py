@@ -46,6 +46,13 @@ QUERIES: dict[str, QueryFn] = {
     # every round. Numeric order carries no semantic meaning; ORACLE
     # stays sorted for readability and tests iterate the full dict.
     # New queries, if any, enter at slot 1.
+    #
+    # Round-11 rotation (precomputed from CORRECTNESS_r01–r09; verify
+    # against CORRECTNESS_r10 before applying): lead with any
+    # round-11-changed queries, then the 30 queries whose newest
+    # verdict is r08 (q01, q06, q26–q35, q37, q39, q40, q42–q44, q46,
+    # q49, q50, q52–q54, q56, q57, q59, q60, q66, q95), backfilled
+    # from the oldest-r09 block (q02–q13 first).
     # ------------------------------------------------------------------
     "q93_semantic_dedup": X2.semantic_dedup,
     "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
