@@ -953,6 +953,14 @@ def test_repetition_stats_matches_bruteforce(spark, tmp_path):
         "a b a b a",  # repeated bigram both directions
         "u1 u2 u3 u4",  # all unique
         "t t",  # 100% duplicate
+        # empty tokens mid-stream / at the edges: split(' ') keeps
+        # them, so "a  b" is 3 tokens with bigrams ("a","") and
+        # ("","b") — pins the round-10 posexplode+lead gram build on
+        # the same degenerate shapes the HOF build handled
+        "a  b",  # double space -> empty middle token
+        " x",  # leading space -> empty first token
+        "y ",  # trailing space -> empty last token
+        "  ",  # three empty tokens, all-duplicate, bigram "( , )"
     ] + [
         " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30)))
         for _ in range(60)
