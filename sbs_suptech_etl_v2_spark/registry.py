@@ -30,96 +30,28 @@ QUERIES: dict[str, QueryFn] = {
     # ------------------------------------------------------------------
     # Ordering note: the external correctness harness samples a
     # fixed-size prefix of this dict (50 entries, insertion order).
-    # Round-10 rotation (VERDICT r09 directive #1): slots 1-10 are the
-    # similarity family — its module changed this round (empty/ragged
-    # vector quarantine, NaN-preserving Arrow emission, adaptive salting
-    # of oversized LSH cells, later hardened to a two-axis query-mode
-    # salt with a pre-explode lineage cut; a changed query must re-earn
-    # its verdict the same round); slots 11-41 are the 31 queries whose newest
-    # driver verdicts are r07 (q14-q23, q62, q97, q101-q106, q108-q110,
-    # q112-q121 — q62 ALSO changed in round 10, the codegen-side gram
-    # stream, so its window seat doubles as the re-earn slot);
-    # slots 42-50 backfill from the oldest r08 block,
-    # leading with the rare-construct queries (the HUGEINT-history pair
-    # q65/q88, cogroup q89, json_extract q36/q48, time_bucket q45).
+    # Round-11 rotation (VERDICT r10 directive #1): no query code
+    # changed this round, so the window is pure freshness rotation —
+    # slots 1-30 are the 30 queries whose newest driver verdict is r08
+    # (q01, q06, q26-q35, q37, q39, q40, q42-q44, q46, q49, q50,
+    # q52-q54, q56, q57, q59, q60, q66, q95 — the verdict's precomputed
+    # list, re-verified against CORRECTNESS_r01-r10 this round); slots
+    # 31-41 backfill from the oldest-r09 block q02-q13 (directive #1's
+    # named lead); slots 42-50 continue the r09 block in numeric order
+    # (q38, q55, q58, q61, q63, q64, q67, q68, q69). The 21 remaining
+    # r09-fresh queries sit immediately after the prefix so round 12's
+    # rotation is the natural next slice. The prefix is PINNED by
+    # tests/test_registry_window.py (VERDICT r10 directive #2): any
+    # reorder must update that test's committed list consciously.
     # CORRECTNESS_local[_sf0.001|_sf0.1].json carry the full registry
     # every round. Numeric order carries no semantic meaning; ORACLE
     # stays sorted for readability and tests iterate the full dict.
-    # New queries, if any, enter at slot 1.
-    #
-    # Round-11 rotation (precomputed from CORRECTNESS_r01–r09; verify
-    # against CORRECTNESS_r10 before applying): lead with any
-    # round-11-changed queries, then the 30 queries whose newest
-    # verdict is r08 (q01, q06, q26–q35, q37, q39, q40, q42–q44, q46,
-    # q49, q50, q52–q54, q56, q57, q59, q60, q66, q95), backfilled
-    # from the oldest-r09 block (q02–q13 first).
+    # New queries, if any, enter at slot 1 (a changed query must
+    # re-earn its verdict the same round and therefore takes a seat).
     # ------------------------------------------------------------------
-    "q93_semantic_dedup": X2.semantic_dedup,
-    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
-    "q90_ann_recall_audit": X2.ann_recall_audit,
-    "q24_topk_cosine": X2.topk_cosine,
-    "q25_embedding_neardup": X2.embedding_neardup,
-    "q47_ivf_topk": X2.ivf_topk,
-    "q71_kmeans_update": X2.kmeans_update,
-    "q107_matryoshka_audit": X2.matryoshka_audit,
-    "q86_pq_quantize": X2.pq_quantize,
-    "q51_quantize_embeddings": X2.quantize_embeddings,
-    # -- slots 11-41: stale r07-verdict block --
-    "q14_scalar_refinement": D.scalar_refinement,
-    "q15_path_parse": D.path_parse,
-    "q16_pages_concat": D.pages_concat,
-    "q17_metadata_merge": D.metadata_merge,
-    "q18_stage_gate_notifications": D.stage_gate_notifications,
-    "q19_pages_explode": D.pages_explode,
-    "q20_exact_dedup": X1.exact_dedup,
-    "q21_minhash_neardup": X1.minhash_neardup,
-    "q22_simhash_signatures": X1.simhash_signatures,
-    "q23_ngram_jaccard": X1.ngram_jaccard,
-    "q62_repetition_stats": X5.repetition_stats,
-    "q97_weighted_sample": X5.weighted_sample,
-    "q101_rag_chunking": X5.rag_chunking,
-    "q102_inverted_index": X4.inverted_index,
-    "q103_funnel_conversion": R.funnel_conversion,
-    "q104_revenue_interpolation": R.revenue_interpolation,
-    "q105_zscore_anomalies": R.zscore_anomalies,
-    "q106_idle_rich_customers": R.idle_rich_customers,
-    "q108_nucleus_vocab": X4.nucleus_vocab,
-    "q109_activity_history_scd2": R.activity_history_scd2,
-    "q110_join_key_skew_profile": R.join_key_skew_profile,
-    "q112_decayed_user_score": R.decayed_user_score,
-    "q113_cohort_retention": R.cohort_retention,
-    "q114_bm25_retrieval": X4.bm25_retrieval,
-    "q115_langid_confusion": X4.langid_confusion,
-    "q116_cumulative_distinct": R.cumulative_distinct_users,
-    "q117_segment_spend_gini": R.segment_spend_gini,
-    "q118_part_pair_baskets": R.part_pair_baskets,
-    "q119_incremental_totals": R.incremental_priority_totals,
-    "q120_monthly_momentum": R.monthly_revenue_momentum,
-    "q121_cusum_changepoints": R.cusum_changepoints,
-    # -- slots 42-50: oldest r08 backfill --
-    "q65_sequence_packing": X5.sequence_packing,
-    "q88_scene_segments": X3.scene_segments,
-    "q89_cogroup_attribution": R.cogroup_attribution,
-    "q36_request_decode": J.request_decode,
-    "q45_events_sliding": R.events_sliding_window,
-    "q48_props_decode": J.props_decode,
-    "q94_quantity_price_stats": R.quantity_price_stats,
-    "q96_only_late_supplier": R.only_late_supplier,
-    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
-    # -- beyond the 50-entry prefix ------------------------------------
+    # -- slots 1-30: the r08-verdict block (oldest on the board) --
     "q01_pricing_summary": R.pricing_summary,
-    "q02_metadata_lookup_join": R.metadata_lookup_join,
-    "q03_top_orders_per_customer": R.top_orders_per_customer,
-    "q04_semi_join_open_orders": R.customers_with_open_orders,
-    "q05_anti_join_no_orders": R.customers_without_orders,
     "q06_revenue_by_nation": R.revenue_by_nation,
-    "q07_branch_union": R.order_branches_union,
-    "q08_priority_rollup": R.order_priority_rollup,
-    "q09_distinct_agg": R.supplier_distinct_parts,
-    "q10_running_window": R.running_order_totals,
-    "q11_positional_pick": R.positional_pick,
-    "q12_set_ops": R.segment_set_ops,
-    "q13_events_tumbling": R.events_tumbling_window,
     "q26_text_stats": X4.text_stats,
     "q27_token_topk": X4.token_topk,
     "q28_tfidf_top_terms": X4.tfidf_top_terms,
@@ -131,7 +63,6 @@ QUERIES: dict[str, QueryFn] = {
     "q34_blocks_page_text": B.blocks_page_text,
     "q35_notification_encode": J.notification_encode,
     "q37_artifact_keys": D.artifact_keys,
-    "q38_image_features": X3.image_features,
     "q39_frame_sample": X3.frame_sample,
     "q40_nation_set_ops": R.nation_set_ops,
     "q42_token_counts": X4.token_counts,
@@ -143,19 +74,37 @@ QUERIES: dict[str, QueryFn] = {
     "q52_status_cube": R.order_status_cube,
     "q53_approx_distinct": R.segment_distinct_customers,
     "q54_purchase_asof_click": R.purchase_asof_click,
-    "q55_image_resize": X3.image_resize,
     "q56_audio_features": X3.audio_features,
     "q57_range_frame": R.rolling_spend_range_frame,
-    "q58_salted_agg": R.salted_status_totals,
     "q59_percentiles": R.priority_price_percentiles,
     "q60_grouping_sets": R.status_priority_grouping_sets,
+    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
+    "q95_calendar_resample": R.order_calendar_resample,
+    # -- slots 31-41: oldest-r09 backfill, q02-q13 first --
+    "q02_metadata_lookup_join": R.metadata_lookup_join,
+    "q03_top_orders_per_customer": R.top_orders_per_customer,
+    "q04_semi_join_open_orders": R.customers_with_open_orders,
+    "q05_anti_join_no_orders": R.customers_without_orders,
+    "q07_branch_union": R.order_branches_union,
+    "q08_priority_rollup": R.order_priority_rollup,
+    "q09_distinct_agg": R.supplier_distinct_parts,
+    "q10_running_window": R.running_order_totals,
+    "q11_positional_pick": R.positional_pick,
+    "q12_set_ops": R.segment_set_ops,
+    "q13_events_tumbling": R.events_tumbling_window,
+    # -- slots 42-50: next-oldest r09 backfill (numeric order) --
+    "q38_image_features": X3.image_features,
+    "q55_image_resize": X3.image_resize,
+    "q58_salted_agg": R.salted_status_totals,
     "q61_contamination_check": X5.contamination_check,
     "q63_lexicon_scrub": X5.lexicon_scrub,
     "q64_stratified_sample": X5.stratified_sample,
-    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
     "q67_acctbal_deciles": R.acctbal_deciles,
     "q68_interval_join": R.click_purchase_interval_join,
     "q69_status_pivot": R.status_priority_pivot,
+    # -- beyond the 50-entry prefix ------------------------------------
+    # r09-fresh leftovers first (they are the oldest block after this
+    # rotation lands, so round 12 rotates them in by taking this slice)
     "q70_brand_argmax": R.top_brand_per_size,
     "q72_status_unpivot": R.status_counts_unpivot,
     "q73_order_calendar": R.order_calendar,
@@ -174,10 +123,61 @@ QUERIES: dict[str, QueryFn] = {
     "q87_surrogate_keys": R.surrogate_keys,
     "q91_unigram_surprisal": X4.unigram_surprisal,
     "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
-    "q95_calendar_resample": R.order_calendar_resample,
     "q98_user_snapshot_diff": R.user_snapshot_diff,
     "q99_bigram_pmi": X4.bigram_pmi,
     "q100_purchase_nearest_click": R.purchase_nearest_click,
+    # r10-fresh block (numeric order)
+    "q14_scalar_refinement": D.scalar_refinement,
+    "q15_path_parse": D.path_parse,
+    "q16_pages_concat": D.pages_concat,
+    "q17_metadata_merge": D.metadata_merge,
+    "q18_stage_gate_notifications": D.stage_gate_notifications,
+    "q19_pages_explode": D.pages_explode,
+    "q20_exact_dedup": X1.exact_dedup,
+    "q21_minhash_neardup": X1.minhash_neardup,
+    "q22_simhash_signatures": X1.simhash_signatures,
+    "q23_ngram_jaccard": X1.ngram_jaccard,
+    "q24_topk_cosine": X2.topk_cosine,
+    "q25_embedding_neardup": X2.embedding_neardup,
+    "q36_request_decode": J.request_decode,
+    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
+    "q45_events_sliding": R.events_sliding_window,
+    "q47_ivf_topk": X2.ivf_topk,
+    "q48_props_decode": J.props_decode,
+    "q51_quantize_embeddings": X2.quantize_embeddings,
+    "q62_repetition_stats": X5.repetition_stats,
+    "q65_sequence_packing": X5.sequence_packing,
+    "q71_kmeans_update": X2.kmeans_update,
+    "q86_pq_quantize": X2.pq_quantize,
+    "q88_scene_segments": X3.scene_segments,
+    "q89_cogroup_attribution": R.cogroup_attribution,
+    "q90_ann_recall_audit": X2.ann_recall_audit,
+    "q93_semantic_dedup": X2.semantic_dedup,
+    "q94_quantity_price_stats": R.quantity_price_stats,
+    "q96_only_late_supplier": R.only_late_supplier,
+    "q97_weighted_sample": X5.weighted_sample,
+    "q101_rag_chunking": X5.rag_chunking,
+    "q102_inverted_index": X4.inverted_index,
+    "q103_funnel_conversion": R.funnel_conversion,
+    "q104_revenue_interpolation": R.revenue_interpolation,
+    "q105_zscore_anomalies": R.zscore_anomalies,
+    "q106_idle_rich_customers": R.idle_rich_customers,
+    "q107_matryoshka_audit": X2.matryoshka_audit,
+    "q108_nucleus_vocab": X4.nucleus_vocab,
+    "q109_activity_history_scd2": R.activity_history_scd2,
+    "q110_join_key_skew_profile": R.join_key_skew_profile,
+    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
+    "q112_decayed_user_score": R.decayed_user_score,
+    "q113_cohort_retention": R.cohort_retention,
+    "q114_bm25_retrieval": X4.bm25_retrieval,
+    "q115_langid_confusion": X4.langid_confusion,
+    "q116_cumulative_distinct": R.cumulative_distinct_users,
+    "q117_segment_spend_gini": R.segment_spend_gini,
+    "q118_part_pair_baskets": R.part_pair_baskets,
+    "q119_incremental_totals": R.incremental_priority_totals,
+    "q120_monthly_momentum": R.monthly_revenue_momentum,
+    "q121_cusum_changepoints": R.cusum_changepoints,
+
 }
 
 ORACLE: dict[str, str] = {
