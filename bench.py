@@ -15,6 +15,12 @@ The printed line is therefore kept UNDER 2 KB and self-contained:
   ordered by sorted query name (``null`` where a query has no oracle);
   the named full-precision maps go to ``.bench_archive/`` (and the
   hand-promoted ``BENCH_local.json``).
+- ``n_jobs``: Spark job count per query, packed as zero-padded
+  2-digit pairs in the same sorted-name order (capped at 99; the
+  uncapped named map rides the archive file) — with the per-job
+  scheduling floor in ``calibration``, this makes per-query
+  floor-normalized ratios computable from the artifact alone:
+  ``(spark_cs/100 - n_jobs*floor) / (oracle_cs/100)``.
 - ``calibration``: the SAME fixed-work probe (an integer-fold
   aggregation over ``range(4e8)``, no IO, no data dependence) timed on
   both engines — any cross-run comparison should first normalize by
@@ -42,7 +48,7 @@ RUNS = 3
 # IDENTICAL job every round, so the pair of probe times is a direct
 # read of the box's throughput for each engine during THIS run.
 CALIBRATION_N = 400_000_000
-CALIBRATION_EXPR = "sum(id * 2654435761 % 97)"
+CALIBRATION_EXPR = "sum(id*2654435761%97)"
 
 
 def _calibrate_spark(spark) -> float:
@@ -123,6 +129,13 @@ def _warmup(spark, sf_dir: str) -> None:
     )
 
 
+# n_jobs clamp: 2 digits keeps the worst-case printed line inside the
+# harness's 2000-byte stdout tail. Lossless in practice — the heaviest
+# registry query runs ~40 jobs; >=99 jobs x the ~0.08 s floor would be
+# an 8 s fixed cost no registry query is anywhere near.
+N_JOBS_CAP = 99
+
+
 def build_artifact(
     names: list[str],
     timings: dict[str, float],
@@ -131,10 +144,13 @@ def build_artifact(
     duck_probe: float | None,
     job_floor: float | None,
     sf_num,
+    n_jobs: dict[str, int] | None = None,
 ) -> dict:
     """The ONE printed JSON line, as a dict — kept pure so
     tests/test_bench_contract.py can pin the output contract (parses,
-    self-contained, < 2 KB stdout-tail) against registry growth."""
+    self-contained, fits the 2000-byte stdout-tail) against registry
+    growth. Serialize with ``compact_line`` — default json.dumps
+    separators waste ~270 bytes of the tail budget on spaces."""
     oracle_total = (
         round(sum(oracle_timings.values()), 3) if oracle_timings else None
     )
@@ -143,15 +159,22 @@ def build_artifact(
         "metric": "total_query_wall_clock",
         "unit": "sec",
         "sf": sf_num,
-        "runs_per_query": RUNS,
-        "aggregation": "median",
-        "n_queries": len(names),
-        "per_query_note": (
-            "spark_cs/oracle_cs = per-query medians in CENTISECONDS, "
-            "order = sorted query names (registry); null = no oracle; "
-            "named full-precision maps in .bench_archive/ + BENCH_local.json"
+        "note": (
+            "arrays sorted by query name;cs=centisec median-of-3;"
+            "null=no oracle;n_jobs=2-digit pairs cap 99;"
+            "full maps .bench_archive/"
         ),
         "spark_cs": [int(round(timings[n] * 100)) for n in names],
+        # Spark job count per query (median across rounds), packed as
+        # zero-padded 2-digit pairs in the same sorted-name order (a
+        # JSON int array costs ~120 more tail bytes) — per-query
+        # floor-normalized cross-box ratios are
+        # (spark_cs/100 - n_jobs*floor) / (oracle_cs/100)
+        "n_jobs": (
+            "".join(f"{min(n_jobs[n], N_JOBS_CAP):02d}" for n in names)
+            if n_jobs
+            else None
+        ),
         "oracle_cs": (
             [
                 (
@@ -167,7 +190,7 @@ def build_artifact(
         # fixed-work probes: normalize any cross-run per-query
         # comparison by these before calling something a regression
         "calibration": {
-            "probe": f"{CALIBRATION_EXPR} over range({CALIBRATION_N})",
+            "probe": f"{CALIBRATION_EXPR} over range(4e8)",
             "spark_sec": spark_probe,
             "duckdb_sec": duck_probe,
             # per-job scheduling floor (median range(1).count()): a
@@ -181,6 +204,13 @@ def build_artifact(
         ),
         "value": total,
     }
+
+
+def compact_line(artifact: dict) -> str:
+    """Serialize the printed artifact with compact separators — the
+    ONLY sanctioned serialization for stdout (the tail budget is pinned
+    by tests/test_bench_contract.py against this function)."""
+    return json.dumps(artifact, separators=(",", ":"))
 
 
 def main() -> None:
@@ -220,17 +250,34 @@ def main() -> None:
     import gc
 
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(RUNS):
+    # Per-query Spark job counts, via job groups: everything the query
+    # does — builder-time actions (e.g. the dedup fixpoint's 1-row
+    # convergence probes) AND the noop materialization — runs on this
+    # thread between setJobGroup and the read, so the count is exactly
+    # the jobs a driver box pays the per-job scheduling floor for.
+    # Counts are plan properties (stable across rounds modulo AQE);
+    # median-of-rounds smooths the rare AQE wobble.
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    job_samples: dict[str, list[int]] = {n: [] for n in names}
+    for rnd in range(RUNS):
         for name in names:
+            group = f"bench:{name}:{rnd}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            job_samples[name].append(len(tracker.getJobIdsForGroup(group)))
             # drop the Python-side refs so Spark's ContextCleaner can
             # reclaim this query's localCheckpoint blocks — without the
             # nudge, dozens of checkpointed frames accumulate across the
             # suite and later queries pay BlockManager spill churn
             gc.collect()
+    sc.setLocalProperty("spark.jobGroup.id", None)
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    n_jobs = {
+        n: int(statistics.median(s)) for n, s in job_samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -307,9 +354,9 @@ def main() -> None:
     # full-precision maps ride the archive file below instead.
     out = build_artifact(
         names, timings, oracle_timings, spark_probe, duck_probe,
-        job_floor, sf_num,
+        job_floor, sf_num, n_jobs,
     )
-    line = json.dumps(out)
+    line = compact_line(out)
     print(line)
     # archive the FULL verbose JSON (named per-query maps) to an
     # UNTRACKED path (timestamped) — writing to a git-tracked file here
@@ -319,6 +366,7 @@ def main() -> None:
     full = dict(out)
     full["queries"] = timings
     full["oracle_queries"] = oracle_timings
+    full["n_jobs_by_query"] = n_jobs  # named + uncapped
     try:
         archive_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_archive"

@@ -1,6 +1,8 @@
 """Contract tests for the bench artifact line.
 
-The external harness archives only a ~2 KB TAIL of bench.py's stdout.
+The external harness archives only a TAIL of bench.py's stdout —
+measured at exactly 2000 bytes in BENCH_r10.json (``len(tail)``), with
+Spark progress-bar noise preceding the JSON line inside that capture.
 Rounds 4–9 lost their per-query evidence to exactly this: the verbose
 per-query maps pushed the line past the tail and the capture cut it
 mid-JSON (BENCH_r09.json stores ``parsed: None``). The compact-line
@@ -8,53 +10,73 @@ format exists so that can never happen again — these tests pin it
 against registry growth and careless edits:
 
 - the line must parse as ONE self-contained JSON object;
-- it must stay under 2 KB even at worst-case value magnitudes
-  (4-digit centiseconds — a 99 s query — across all entries);
-- the centisecond arrays must align 1:1 with sorted registry names,
+- at worst-case value magnitudes (4-digit centiseconds everywhere —
+  a 99 s query — and every n_jobs pair at the 2-digit cap) it must
+  fit the measured 2000-byte tail WITH real headroom (round-10
+  ADVICE: the old bound left 14 bytes of margin and called it safe);
+- the per-query arrays must align 1:1 with sorted registry names,
   with ``null`` exactly where a query has no oracle (q43's uuid).
 
-Pure-function tests (no SparkSession, no subprocess): build_artifact
-is the single source of the printed dict.
+Pure-function tests (no SparkSession, no subprocess): build_artifact +
+compact_line are the single source of the printed bytes.
 """
 
 from __future__ import annotations
 
 import json
 
-from bench import build_artifact
+from bench import N_JOBS_CAP, build_artifact, compact_line
 from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
 
-# the harness tail capture; the real bound is "~2 KB" — leave margin
-TAIL_BYTES = 2048
+# the harness tail capture, measured from the driver's own BENCH_r10
+# artifact (len(tail) == 2000); the line itself must leave room for a
+# trailing newline and any same-line noise, so demand real headroom
+TAIL_BYTES = 2000
+MIN_HEADROOM = 100
 
 
-def _artifact(per_query_sec: float):
+def _artifact(per_query_sec: float, jobs: int):
     names = sorted(QUERIES)
     timings = {n: per_query_sec for n in names}
     oracle = {n: per_query_sec for n in ORACLE}
+    n_jobs = {n: jobs for n in names}
     return names, build_artifact(
-        names, timings, oracle, 99.999, 99.999, 0.999, 0.1
+        names, timings, oracle, 99.999, 99.999, 0.999, 0.1, n_jobs
     )
 
 
 def test_line_fits_tail_at_worst_case_magnitudes():
     # 99 s per query = 4-digit centiseconds everywhere — far beyond
-    # any observed driver box (worst real suite: ~82 s TOTAL)
-    _, art = _artifact(99.0)
-    line = json.dumps(art)
-    assert len(line.encode()) <= TAIL_BYTES, (
-        f"bench line is {len(line)} bytes; the harness tail keeps ~2 KB. "
-        "Registry grew or a verbose field crept back in — trim the line "
-        "or move the field to the .bench_archive/ file."
+    # any observed driver box (worst real suite: ~82 s TOTAL) — and
+    # every n_jobs entry at the 2-digit cap
+    _, art = _artifact(99.0, 10_000)
+    line = compact_line(art)
+    assert len(line.encode()) <= TAIL_BYTES - MIN_HEADROOM, (
+        f"worst-case bench line is {len(line)} bytes; the harness tail "
+        f"keeps {TAIL_BYTES} and we demand {MIN_HEADROOM} headroom. "
+        "Registry grew or a verbose field crept back in — trim the "
+        "line or move the field to the .bench_archive/ file."
     )
 
 
+def test_compact_line_has_no_separator_padding():
+    # default json.dumps separators waste ~270 bytes of tail budget on
+    # spaces; the printed artifact must use the compact form
+    _, art = _artifact(1.0, 5)
+    line = compact_line(art)
+    assert '", "' not in line and '": ' not in line
+
+
 def test_line_roundtrips_and_aligns_with_registry():
-    names, art = _artifact(1.234)
-    rt = json.loads(json.dumps(art))
+    names, art = _artifact(1.234, 7)
+    rt = json.loads(compact_line(art))
     assert rt["metric"] == "total_query_wall_clock" and rt["unit"] == "sec"
-    assert rt["n_queries"] == len(names) == len(rt["spark_cs"])
+    assert len(names) == len(rt["spark_cs"])
     assert len(rt["oracle_cs"]) == len(names)
+    # n_jobs: zero-padded 2-digit pairs, sorted-name order
+    assert len(rt["n_jobs"]) == 2 * len(names)
+    decoded = [int(rt["n_jobs"][i : i + 2]) for i in range(0, len(rt["n_jobs"]), 2)]
+    assert decoded == [7] * len(names)
     # cs encoding: 1.234 s -> 123 cs
     assert set(rt["spark_cs"]) == {123}
     # null exactly at the no-oracle queries, in sorted-name order
@@ -67,6 +89,13 @@ def test_line_roundtrips_and_aligns_with_registry():
     assert rt["calibration"]["spark_job_floor_sec"] == 0.999
 
 
+def test_n_jobs_capped_and_fixed_width():
+    names, art = _artifact(1.0, 12_345)
+    assert art["n_jobs"] == f"{N_JOBS_CAP:02d}" * len(names)
+    _, art = _artifact(1.0, 3)
+    assert art["n_jobs"] == "03" * len(names)
+
+
 def test_no_oracle_side_is_optional():
     names = sorted(QUERIES)
     art = build_artifact(
@@ -75,4 +104,5 @@ def test_no_oracle_side_is_optional():
     assert art["oracle_cs"] is None
     assert art["oracle_suite_sec"] is None
     assert art["spark_vs_oracle_ratio"] is None
-    assert json.loads(json.dumps(art))["value"] == round(0.5 * len(names), 3)
+    assert art["n_jobs"] is None
+    assert json.loads(compact_line(art))["value"] == round(0.5 * len(names), 3)
