@@ -48,6 +48,17 @@ QUERIES: dict[str, QueryFn] = {
     # stays sorted for readability and tests iterate the full dict.
     # New queries, if any, enter at slot 1 (a changed query must
     # re-earn its verdict the same round and therefore takes a seat).
+    #
+    # Round-12 rotation (precomputed from CORRECTNESS_r01-r10 + this
+    # round's window; verify against CORRECTNESS_r11 before applying):
+    # lead with any round-12-changed queries, then the 21 r09-fresh
+    # leftovers (q70, q72-q85 minus absent numbers, q87, q91, q92,
+    # q98-q100 — exactly the block directly below this prefix), then
+    # backfill with the 29 oldest r10-fresh in numeric order (q14-q25,
+    # q36, q41, q45, q47, q48, q51, q62, q65, q71, q86, q88-q90, q93,
+    # q94, q96, q97), leaving q101-q121 (21 queries) as the r13 lead.
+    # Update tests/test_registry_window.py's ROTATION list in the
+    # same commit.
     # ------------------------------------------------------------------
     # -- slots 1-30: the r08-verdict block (oldest on the board) --
     "q01_pricing_summary": R.pricing_summary,

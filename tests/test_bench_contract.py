@@ -106,3 +106,28 @@ def test_no_oracle_side_is_optional():
     assert art["spark_vs_oracle_ratio"] is None
     assert art["n_jobs"] is None
     assert json.loads(compact_line(art))["value"] == round(0.5 * len(names), 3)
+
+
+def test_job_group_counting_measures_spark_jobs(spark):
+    """The n_jobs measurement rides job groups: every job submitted
+    from this thread between setJobGroup and the read lands in the
+    group (bench.py's run loop). Pin the mechanism — if a Spark
+    upgrade changes group attribution, the bench artifact's n_jobs
+    silently becomes garbage and every floor-normalized ratio with it.
+    """
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("bench-contract-test-a", "a")
+    spark.range(10).count()
+    spark.range(10).count()
+    a = len(tracker.getJobIdsForGroup("bench-contract-test-a"))
+    # a fresh group starts at zero — counts don't leak across groups
+    sc.setJobGroup("bench-contract-test-b", "b")
+    spark.range(10).count()
+    b = len(tracker.getJobIdsForGroup("bench-contract-test-b"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    # jobs-per-action varies with AQE (a count can run 1 or 2 jobs),
+    # so pin proportionality, not absolutes: two identical actions
+    # register exactly twice one action's jobs, in their own group
+    assert b >= 1, b
+    assert a == 2 * b, (a, b)
