@@ -131,3 +131,40 @@ def test_job_group_counting_measures_spark_jobs(spark):
     # register exactly twice one action's jobs, in their own group
     assert b >= 1, b
     assert a == 2 * b, (a, b)
+
+
+def test_bench_main_subset_prints_parseable_line_with_n_jobs():
+    """End-to-end smoke of the driver's actual entry path: run bench.py
+    as a subprocess in quick-iteration mode (one query, oracle and
+    probes skipped) and assert the printed line parses and carries a
+    decodable n_jobs pair. This is the only test that exercises the
+    run loop's job-group wiring the way the round harness does — a
+    regression there silently voids a whole round's bench artifact.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_SKIP_ORACLE="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "q37_artifact_keys"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith('{"metric"')]
+    assert len(lines) == 1, proc.stdout[-2000:]
+    art = json.loads(lines[0])
+    assert art["value"] > 0
+    assert len(art["spark_cs"]) == 1
+    # n_jobs: one 2-digit pair, at least one job ran
+    assert len(art["n_jobs"]) == 2
+    assert int(art["n_jobs"]) >= 1
