@@ -600,3 +600,29 @@ def test_bucket_scorer_census_join_is_broadcast(spark, sf_dir):
     # exactly one banded-frame exchange feeds the grouped scorer: the
     # applyInPandas group key (band, bucket, ga, gb)
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_no_cartesian_or_rowwise_python_anywhere(spark, sf_dir):
+    """Registry-wide anti-pattern sweep (round 11). The per-query
+    guards above pin plans we tuned by hand; this sweep pins the two
+    absolute prohibitions over EVERY registered query, present and
+    future, so a new or edited query can't reintroduce them unguarded:
+
+    - ``CartesianProduct`` — an all-pairs physical join. Every
+      intentional crossJoin in the package is against a broadcast
+      fixed-size frame and must plan as BroadcastNestedLoopJoin.
+    - ``BatchEvalPython`` — a row-at-a-time Python UDF. All Python
+      execution rides Arrow batches (ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas and friends).
+
+    Uses the executed plan string directly (cheaper than the
+    formatted explain across 121 queries; builder-time jobs for the
+    iterative queries run at sf0.001).
+    """
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("CartesianProduct", "BatchEvalPython"):
+            if marker in plan:
+                offenders.append((name, marker))
+    assert not offenders, offenders
