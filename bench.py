@@ -96,6 +96,26 @@ def _calibrate_duckdb(con) -> float:
     return round(statistics.median(ts), 3)
 
 
+def _settled_group_count(tracker, group: str) -> int:
+    """Job count for a group, read AFTER the status store settles.
+
+    Actions return when the JobWaiter completes, but the
+    AppStatusStore behind ``getJobIdsForGroup`` is fed by the ASYNC
+    listener bus — immediately after a heavy query the last JobStart
+    may still be queued, silently undercounting the group (and with
+    it every floor-normalized ratio derived from n_jobs). Poll until
+    two consecutive reads agree; in the common settled case this
+    costs one extra read."""
+    n = len(tracker.getJobIdsForGroup(group))
+    for _ in range(50):
+        time.sleep(0.01)
+        m = len(tracker.getJobIdsForGroup(group))
+        if m == n:
+            return m
+        n = m
+    return n
+
+
 def _materialize(df) -> None:
     try:
         df.write.format("noop").mode("overwrite").save()
@@ -160,8 +180,8 @@ def build_artifact(
         "unit": "sec",
         "sf": sf_num,
         "note": (
-            "arrays sorted by query name;cs=centisec median-of-3;"
-            "null=no oracle;n_jobs=2-digit pairs cap 99;"
+            f"arrays sorted by query name;cs=centisec median-of-{RUNS};"
+            f"null=no oracle;n_jobs=2-digit pairs cap {N_JOBS_CAP};"
             "full maps .bench_archive/"
         ),
         "spark_cs": [int(round(timings[n] * 100)) for n in names],
@@ -190,7 +210,9 @@ def build_artifact(
         # fixed-work probes: normalize any cross-run per-query
         # comparison by these before calling something a regression
         "calibration": {
-            "probe": f"{CALIBRATION_EXPR} over range(4e8)",
+            # derived from the constants so the label can never
+            # desynchronize from the actual workload across rounds
+            "probe": f"{CALIBRATION_EXPR} over range({CALIBRATION_N:.0e})",
             "spark_sec": spark_probe,
             "duckdb_sec": duck_probe,
             # per-job scheduling floor (median range(1).count()): a
@@ -267,7 +289,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
-            job_samples[name].append(len(tracker.getJobIdsForGroup(group)))
+            job_samples[name].append(_settled_group_count(tracker, group))
             # drop the Python-side refs so Spark's ContextCleaner can
             # reclaim this query's localCheckpoint blocks — without the
             # nudge, dozens of checkpointed frames accumulate across the

@@ -7,16 +7,23 @@ algorithm must observe convergence somewhere, and a 1-row aggregate
 probe is the bounded way to do it). Until now that claim was re-audited
 by hand each round; this test pins it: a `.collect(`/`.toPandas(`/
 `.first(` appearing anywhere else in the package fails the suite and
-names the site. Streaming/sink modules go through foreachBatch and
-executor-side writers, so they are covered by the same rule. The scan
-strips comments and excludes pandas/pyarrow namesakes (see MARKERS).
+names the file. Streaming/sink modules go through foreachBatch and
+executor-side writers, so they are covered by the same rule.
+
+The scan tokenizes each file and drops COMMENT and STRING tokens
+before matching, so a marker inside a comment or docstring doesn't
+false-positive AND a '#' inside a string literal can't truncate a
+line and hide a real call after it (naive `line.split('#')[0]`
+stripping had exactly that false-negative hole).
 
 Pure source scan — no SparkSession.
 """
 
 from __future__ import annotations
 
+import io
 import pathlib
+import tokenize
 
 import sbs_suptech_etl_v2_spark as pkg
 
@@ -36,17 +43,40 @@ ALLOWED = {
 # below have no in-kernel namesakes in this codebase.
 MARKERS = (".collect(", ".toPandas(", ".first(")
 
+# FSTRING_* token kinds exist only on Python >= 3.12 (PEP 701);
+# on older runtimes f-strings arrive as single STRING tokens
+_CODE_IRRELEVANT = {
+    tokenize.COMMENT,
+    tokenize.STRING,
+    tokenize.NL,
+    tokenize.NEWLINE,
+    tokenize.INDENT,
+    tokenize.DEDENT,
+} | {
+    getattr(tokenize, k)
+    for k in ("FSTRING_START", "FSTRING_MIDDLE", "FSTRING_END")
+    if hasattr(tokenize, k)
+}
+
+
+def _code_text(path: pathlib.Path) -> str:
+    """The file's code tokens joined with spaces, comments and string
+    literals removed — `.collect(` survives as `. collect (`
+    regardless of line breaks, but never from prose."""
+    toks = tokenize.generate_tokens(io.StringIO(path.read_text()).readline)
+    return " ".join(t.string for t in toks if t.type not in _CODE_IRRELEVANT)
+
 
 def _scan() -> dict[str, dict[str, int]]:
     found: dict[str, dict[str, int]] = {}
     for path in sorted(PKG_ROOT.rglob("*.py")):
         rel = str(path.relative_to(PKG_ROOT))
-        for ln, line in enumerate(path.read_text().splitlines(), 1):
-            code = line.split("#", 1)[0]  # ignore comments
-            for m in MARKERS:
-                if m in code:
-                    found.setdefault(rel, {}).setdefault(m, 0)
-                    found[rel][m] += 1
+        code = _code_text(path)
+        for m in MARKERS:
+            spaced = f". {m[1:-1]} ("
+            n = code.count(spaced)
+            if n:
+                found.setdefault(rel, {})[m] = n
     return found
 
 
@@ -57,3 +87,19 @@ def test_only_allowed_driver_actions_in_package():
         f".first() is intentional and bounded (1-row probe), add it "
         f"to ALLOWED with a justification; found={found}"
     )
+
+
+def test_scanner_is_not_fooled_by_hash_in_string(tmp_path):
+    """Self-check for the false-negative hole the tokenizing scan
+    closes: a real call after a '#'-bearing string literal must be
+    seen, and a docstring mentioning the marker must not count."""
+    f = tmp_path / "probe.py"
+    f.write_text(
+        '"""docstring mentions .collect( but is prose."""\n'
+        "def go(df):\n"
+        "    # comment mentions .collect( too\n"
+        "    x = df.filter('#').collect()\n"
+        "    return x\n"
+    )
+    code = _code_text(f)
+    assert code.count(". collect (") == 1

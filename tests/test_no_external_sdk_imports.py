@@ -21,11 +21,13 @@ import sbs_suptech_etl_v2_spark as pkg
 
 PKG_ROOT = pathlib.Path(pkg.__file__).parent
 
-# top-level module names that must never be imported anywhere in the
-# package (any submodule counts): cloud SDKs, vendor LLM clients,
-# agent frameworks, and raw HTTP clients (all network access goes
-# through injected ports with deterministic fakes)
-FORBIDDEN = {
+# module-name prefixes that must never be imported anywhere in the
+# package (dotted-prefix match, so any submodule counts): cloud SDKs,
+# vendor LLM clients, agent frameworks, and raw HTTP clients — both
+# third-party AND the stdlib ones (urllib.request / http.client);
+# urllib.parse and friends stay allowed, they do no network IO. All
+# network access goes through injected ports with deterministic fakes.
+FORBIDDEN_PREFIXES = (
     "boto3",
     "botocore",
     "awscli",
@@ -40,23 +42,47 @@ FORBIDDEN = {
     "urllib3",
     "httpx",
     "aiohttp",
-}
+    "urllib.request",
+    "http.client",
+    "socket",
+)
+
+
+def _is_forbidden(dotted: str) -> bool:
+    return any(
+        dotted == p or dotted.startswith(p + ".") for p in FORBIDDEN_PREFIXES
+    )
 
 
 def _imports(path: pathlib.Path):
+    """Every imported dotted name, fully qualified: `import a.b` ->
+    'a.b'; `from a.b import c` -> 'a.b.c' (so `from urllib import
+    request` and `from urllib.request import urlopen` both resolve
+    under the urllib.request prefix)."""
     tree = ast.parse(path.read_text())
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for alias in node.names:
-                yield alias.name.split(".")[0]
+                yield alias.name
         elif isinstance(node, ast.ImportFrom) and node.module and node.level == 0:
-            yield node.module.split(".")[0]
+            for alias in node.names:
+                yield f"{node.module}.{alias.name}"
 
 
 def test_no_forbidden_imports_in_package():
     offenders = []
     for path in sorted(PKG_ROOT.rglob("*.py")):
         for mod in _imports(path):
-            if mod in FORBIDDEN:
+            if _is_forbidden(mod):
                 offenders.append((str(path.relative_to(PKG_ROOT)), mod))
     assert not offenders, offenders
+
+
+def test_prefix_matcher_covers_stdlib_http_paths():
+    assert _is_forbidden("urllib.request")
+    assert _is_forbidden("urllib.request.urlopen")
+    assert _is_forbidden("http.client.HTTPSConnection")
+    assert _is_forbidden("socket")
+    assert not _is_forbidden("urllib.parse")
+    assert not _is_forbidden("urllib.parse.quote")
+    assert not _is_forbidden("hashlib")
