@@ -559,7 +559,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.groupBy().agg(F.count(F.col("text")).alias("n_docs"))
     totals = (
         uni.agg(F.sum("c").alias("n_tokens"))
-        .crossJoin(n_docs)
+        .crossJoin(F.broadcast(n_docs))
         .select("n_tokens", (F.col("n_tokens") - F.col("n_docs")).alias("n_bigrams"))
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))

@@ -30,18 +30,18 @@ QUERIES: dict[str, QueryFn] = {
     # ------------------------------------------------------------------
     # Ordering note: the external correctness harness samples a
     # fixed-size prefix of this dict (50 entries, insertion order).
-    # Round-11 rotation (VERDICT r10 directive #1): no query code
-    # changed this round, so the window is pure freshness rotation —
-    # slots 1-30 are the 30 queries whose newest driver verdict is r08
-    # (q01, q06, q26-q35, q37, q39, q40, q42-q44, q46, q49, q50,
-    # q52-q54, q56, q57, q59, q60, q66, q95 — the verdict's precomputed
-    # list, re-verified against CORRECTNESS_r01-r10 this round); slots
-    # 31-41 backfill from the oldest-r09 block q02-q13 (directive #1's
-    # named lead); slots 42-50 continue the r09 block in numeric order
-    # (q38, q55, q58, q61, q63, q64, q67, q68, q69). The 21 remaining
-    # r09-fresh queries sit immediately after the prefix so round 12's
-    # rotation is the natural next slice. The prefix is PINNED by
-    # tests/test_registry_window.py (VERDICT r10 directive #2): any
+    # Round-12 rotation (VERDICT r11 directive #1, precompute verified
+    # against CORRECTNESS_r01-r11 this round): slots 1-2 are this
+    # round's CHANGED queries (textops.py gained an explicit
+    # F.broadcast() hint on bigram_pmi's 1-row n_docs crossJoin —
+    # VERDICT r11 directive #6 — so q99 and its module-mate q102
+    # re-earn their verdicts per the changed-query rule); slots 3-22
+    # are the remaining 20 r09-fresh leftovers in numeric order (q70,
+    # q72-q85, q87, q91, q92, q98, q100); slots 23-50 backfill with
+    # the 28 oldest r10-fresh in numeric order (q14-q25, q36, q41,
+    # q45, q47, q48, q51, q62, q65, q71, q86, q88-q90, q93, q94, q96
+    # — q97 is displaced by q102's seat and leads round 13 instead).
+    # The prefix is PINNED by tests/test_registry_window.py: any
     # reorder must update that test's committed list consciously.
     # CORRECTNESS_local[_sf0.001|_sf0.1].json carry the full registry
     # every round. Numeric order carries no semantic meaning; ORACLE
@@ -49,73 +49,19 @@ QUERIES: dict[str, QueryFn] = {
     # New queries, if any, enter at slot 1 (a changed query must
     # re-earn its verdict the same round and therefore takes a seat).
     #
-    # Round-12 rotation (precomputed from CORRECTNESS_r01-r10 + this
-    # round's window; verify against CORRECTNESS_r11 before applying):
-    # lead with any round-12-changed queries, then the 21 r09-fresh
-    # leftovers (q70, q72-q85 minus absent numbers, q87, q91, q92,
-    # q98-q100 — exactly the block directly below this prefix), then
-    # backfill with the 29 oldest r10-fresh in numeric order (q14-q25,
-    # q36, q41, q45, q47, q48, q51, q62, q65, q71, q86, q88-q90, q93,
-    # q94, q96, q97), leaving q101-q121 (21 queries) as the r13 lead.
-    # Update tests/test_registry_window.py's ROTATION list in the
-    # same commit.
+    # Round-13 rotation (precomputed from the above; verify against
+    # CORRECTNESS_r12 before applying): lead with any round-13-changed
+    # queries, then the 21 r10-fresh leftovers (q97, q101, q103-q121
+    # — exactly the block directly below this prefix), then backfill
+    # with the 29 oldest r11-fresh in numeric order (q01-q13, q26-q35,
+    # q37-q40, q42, q43), leaving q44, q46, q49, q50, q52-q61, q63,
+    # q64, q66-q69, q95 (21 queries) as the r14 lead. Update
+    # tests/test_registry_window.py's ROTATION list in the same commit.
     # ------------------------------------------------------------------
-    # -- slots 1-30: the r08-verdict block (oldest on the board) --
-    "q01_pricing_summary": R.pricing_summary,
-    "q06_revenue_by_nation": R.revenue_by_nation,
-    "q26_text_stats": X4.text_stats,
-    "q27_token_topk": X4.token_topk,
-    "q28_tfidf_top_terms": X4.tfidf_top_terms,
-    "q29_language_id": X4.language_id,
-    "q30_doc_fingerprint": X4.doc_fingerprint,
-    "q31_extract_polizas": E.extract_polizas,
-    "q32_extract_tasaciones": E.extract_tasaciones,
-    "q33_extract_inscripciones": E.extract_inscripciones,
-    "q34_blocks_page_text": B.blocks_page_text,
-    "q35_notification_encode": J.notification_encode,
-    "q37_artifact_keys": D.artifact_keys,
-    "q39_frame_sample": X3.frame_sample,
-    "q40_nation_set_ops": R.nation_set_ops,
-    "q42_token_counts": X4.token_counts,
-    "q43_notification_ids": J.notification_ids,  # C7 uuid — no oracle (rows-only)
-    "q44_ocr_extract_pages": E.ocr_extract_pages,
-    "q46_events_session": R.events_session_window,
-    "q49_promo_revenue": R.promo_revenue_share,
-    "q50_neardup_clusters": X1.neardup_clusters,
-    "q52_status_cube": R.order_status_cube,
-    "q53_approx_distinct": R.segment_distinct_customers,
-    "q54_purchase_asof_click": R.purchase_asof_click,
-    "q56_audio_features": X3.audio_features,
-    "q57_range_frame": R.rolling_spend_range_frame,
-    "q59_percentiles": R.priority_price_percentiles,
-    "q60_grouping_sets": R.status_priority_grouping_sets,
-    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
-    "q95_calendar_resample": R.order_calendar_resample,
-    # -- slots 31-41: oldest-r09 backfill, q02-q13 first --
-    "q02_metadata_lookup_join": R.metadata_lookup_join,
-    "q03_top_orders_per_customer": R.top_orders_per_customer,
-    "q04_semi_join_open_orders": R.customers_with_open_orders,
-    "q05_anti_join_no_orders": R.customers_without_orders,
-    "q07_branch_union": R.order_branches_union,
-    "q08_priority_rollup": R.order_priority_rollup,
-    "q09_distinct_agg": R.supplier_distinct_parts,
-    "q10_running_window": R.running_order_totals,
-    "q11_positional_pick": R.positional_pick,
-    "q12_set_ops": R.segment_set_ops,
-    "q13_events_tumbling": R.events_tumbling_window,
-    # -- slots 42-50: next-oldest r09 backfill (numeric order) --
-    "q38_image_features": X3.image_features,
-    "q55_image_resize": X3.image_resize,
-    "q58_salted_agg": R.salted_status_totals,
-    "q61_contamination_check": X5.contamination_check,
-    "q63_lexicon_scrub": X5.lexicon_scrub,
-    "q64_stratified_sample": X5.stratified_sample,
-    "q67_acctbal_deciles": R.acctbal_deciles,
-    "q68_interval_join": R.click_purchase_interval_join,
-    "q69_status_pivot": R.status_priority_pivot,
-    # -- beyond the 50-entry prefix ------------------------------------
-    # r09-fresh leftovers first (they are the oldest block after this
-    # rotation lands, so round 12 rotates them in by taking this slice)
+    # -- slots 1-2: round-12-changed (textops broadcast-hint polish) --
+    "q99_bigram_pmi": X4.bigram_pmi,
+    "q102_inverted_index": X4.inverted_index,
+    # -- slots 3-22: r09-fresh leftovers (oldest on the board) --
     "q70_brand_argmax": R.top_brand_per_size,
     "q72_status_unpivot": R.status_counts_unpivot,
     "q73_order_calendar": R.order_calendar,
@@ -135,9 +81,8 @@ QUERIES: dict[str, QueryFn] = {
     "q91_unigram_surprisal": X4.unigram_surprisal,
     "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
     "q98_user_snapshot_diff": R.user_snapshot_diff,
-    "q99_bigram_pmi": X4.bigram_pmi,
     "q100_purchase_nearest_click": R.purchase_nearest_click,
-    # r10-fresh block (numeric order)
+    # -- slots 23-50: oldest-r10 backfill (numeric order; q97 displaced) --
     "q14_scalar_refinement": D.scalar_refinement,
     "q15_path_parse": D.path_parse,
     "q16_pages_concat": D.pages_concat,
@@ -166,9 +111,11 @@ QUERIES: dict[str, QueryFn] = {
     "q93_semantic_dedup": X2.semantic_dedup,
     "q94_quantity_price_stats": R.quantity_price_stats,
     "q96_only_late_supplier": R.only_late_supplier,
+    # -- beyond the 50-entry prefix ------------------------------------
+    # r10-fresh leftovers first (they are the oldest block after this
+    # rotation lands, so round 13 rotates them in by taking this slice)
     "q97_weighted_sample": X5.weighted_sample,
     "q101_rag_chunking": X5.rag_chunking,
-    "q102_inverted_index": X4.inverted_index,
     "q103_funnel_conversion": R.funnel_conversion,
     "q104_revenue_interpolation": R.revenue_interpolation,
     "q105_zscore_anomalies": R.zscore_anomalies,
@@ -188,7 +135,57 @@ QUERIES: dict[str, QueryFn] = {
     "q119_incremental_totals": R.incremental_priority_totals,
     "q120_monthly_momentum": R.monthly_revenue_momentum,
     "q121_cusum_changepoints": R.cusum_changepoints,
-
+    # r11-fresh block (numeric order)
+    "q01_pricing_summary": R.pricing_summary,
+    "q02_metadata_lookup_join": R.metadata_lookup_join,
+    "q03_top_orders_per_customer": R.top_orders_per_customer,
+    "q04_semi_join_open_orders": R.customers_with_open_orders,
+    "q05_anti_join_no_orders": R.customers_without_orders,
+    "q06_revenue_by_nation": R.revenue_by_nation,
+    "q07_branch_union": R.order_branches_union,
+    "q08_priority_rollup": R.order_priority_rollup,
+    "q09_distinct_agg": R.supplier_distinct_parts,
+    "q10_running_window": R.running_order_totals,
+    "q11_positional_pick": R.positional_pick,
+    "q12_set_ops": R.segment_set_ops,
+    "q13_events_tumbling": R.events_tumbling_window,
+    "q26_text_stats": X4.text_stats,
+    "q27_token_topk": X4.token_topk,
+    "q28_tfidf_top_terms": X4.tfidf_top_terms,
+    "q29_language_id": X4.language_id,
+    "q30_doc_fingerprint": X4.doc_fingerprint,
+    "q31_extract_polizas": E.extract_polizas,
+    "q32_extract_tasaciones": E.extract_tasaciones,
+    "q33_extract_inscripciones": E.extract_inscripciones,
+    "q34_blocks_page_text": B.blocks_page_text,
+    "q35_notification_encode": J.notification_encode,
+    "q37_artifact_keys": D.artifact_keys,
+    "q38_image_features": X3.image_features,
+    "q39_frame_sample": X3.frame_sample,
+    "q40_nation_set_ops": R.nation_set_ops,
+    "q42_token_counts": X4.token_counts,
+    "q43_notification_ids": J.notification_ids,  # C7 uuid — no oracle (rows-only)
+    "q44_ocr_extract_pages": E.ocr_extract_pages,
+    "q46_events_session": R.events_session_window,
+    "q49_promo_revenue": R.promo_revenue_share,
+    "q50_neardup_clusters": X1.neardup_clusters,
+    "q52_status_cube": R.order_status_cube,
+    "q53_approx_distinct": R.segment_distinct_customers,
+    "q54_purchase_asof_click": R.purchase_asof_click,
+    "q55_image_resize": X3.image_resize,
+    "q56_audio_features": X3.audio_features,
+    "q57_range_frame": R.rolling_spend_range_frame,
+    "q58_salted_agg": R.salted_status_totals,
+    "q59_percentiles": R.priority_price_percentiles,
+    "q60_grouping_sets": R.status_priority_grouping_sets,
+    "q61_contamination_check": X5.contamination_check,
+    "q63_lexicon_scrub": X5.lexicon_scrub,
+    "q64_stratified_sample": X5.stratified_sample,
+    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
+    "q67_acctbal_deciles": R.acctbal_deciles,
+    "q68_interval_join": R.click_purchase_interval_join,
+    "q69_status_pivot": R.status_priority_pivot,
+    "q95_calendar_resample": R.order_calendar_resample,
 }
 
 ORACLE: dict[str, str] = {
