@@ -21,6 +21,13 @@ The printed line is therefore kept UNDER 2 KB and self-contained:
   scheduling floor in ``calibration``, this makes per-query
   floor-normalized ratios computable from the artifact alone:
   ``(spark_cs/100 - n_jobs*floor) / (oracle_cs/100)``.
+- per-query EXECUTED-STAGE counts (``n_stages_by_query``) ride the
+  archive file and the hand-promoted ``BENCH_local.json`` (2-digit
+  pairs on the line would blow the tail budget); the line carries the
+  per-stage floor (``spark_stage_floor_sec``) so a reader can tighten
+  the job-floor normalization to the two-axis form ``n_jobs·J +
+  n_stages·S`` with S = stage_floor and J = job_floor/2 −
+  stage_floor — see _job_latency for the probe algebra.
 - ``calibration``: the SAME fixed-work probe (an integer-fold
   aggregation over ``range(4e8)``, no IO, no data dependence) timed on
   both engines — any cross-run comparison should first normalize by
@@ -60,27 +67,66 @@ def _calibrate_spark(spark) -> float:
     return round(statistics.median(ts), 3)
 
 
-def _job_latency(spark) -> float:
-    """Median wall clock of a 1-row, 2-stage job (``range(1).count()``)
-    — the box's per-job SCHEDULING floor, the second calibration axis.
+def _job_latency(spark) -> tuple[float, float]:
+    """(job_floor, stage_floor): the box's per-job and per-stage
+    SCHEDULING floors, the second calibration axis.
 
-    The fixed-work probe above reads compute throughput; this one
-    reads the fixed cost every Spark job pays regardless of data.
-    Measured because it varies 30× across hosts for identical code:
-    the round-10 quiet-box investigation found ``range(1).count()``
-    takes ~0.15 s in this sandbox (bare session, any core count — an
+    ``job_floor`` is the median wall clock of a 1-row, TWO-stage job
+    (``range(1).count()`` — partial agg + exchange + final), unchanged
+    since round 10 so it stays comparable across archived rounds. The
+    fixed-work probe above reads compute throughput; this one reads
+    the fixed cost every Spark job pays regardless of data. Measured
+    because it varies 30× across hosts for identical code: the
+    round-10 quiet-box investigation found ``range(1).count()`` takes
+    ~0.15 s in this sandbox (bare session, any core count — an
     environment property, virtualized scheduler/clock) where the
     round-9 driver box ran entire 3-stage queries in 0.02 s. A query
     whose driver-box time is ≤ a few × this floor is FLOOR-DOMINATED
     on the slow box and its wall-clock cannot be compared across
     boxes except through this number.
+
+    ``stage_floor`` separates the per-stage component (round-11
+    verdict #2: ``n_jobs × job_floor`` under-counts multi-stage fixed
+    cost because AQE materializes a stage per exchange). Probe shapes,
+    measured (tracker-verified) on this Spark:
+
+    - t1 = ``range(1).collect()``: 1 job, 1 executed stage  → J + S
+    - t2 = ``range(1).count()`` under AQE: the exchange materializes
+      as its own job, so 2 jobs, 2 executed stages → 2J + 2S (NOT the
+      1-job/2-stage shape the pre-r12 docstring assumed — t1 and t2
+      are collinear and cannot separate J from S by themselves)
+    - t3 = ``range(1).count()`` with AQE off: 1 job, 2 stages → J + 2S
+
+    so S = t3 − t1 and J = 2·t1 − t3. Only t2 (the cross-round
+    comparable since r10) and S are printed; a reader recovers
+    J = job_floor/2 − stage_floor (t2 = 2(J+S)) and a query's fixed
+    scheduling cost as ``n_jobs·J + n_stages·S`` (n_stages from the
+    archived per-query map). The three probes interleave so all
+    medians see the same box state; S clamps at 0 against noise. The
+    AQE toggle is scoped to the t3 sample and restored immediately —
+    the probes run after the suite, nothing else is planning.
     """
-    ts = []
+    t1s, t2s, t3s = [], [], []
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_orig = spark.conf.get(aqe_key)
     for _ in range(7):
         t0 = time.perf_counter()
+        spark.range(1).collect()
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         spark.range(1).count()
-        ts.append(time.perf_counter() - t0)
-    return round(statistics.median(ts), 3)
+        t2s.append(time.perf_counter() - t0)
+        spark.conf.set(aqe_key, "false")
+        try:
+            t0 = time.perf_counter()
+            spark.range(1).count()
+            t3s.append(time.perf_counter() - t0)
+        finally:
+            spark.conf.set(aqe_key, aqe_orig)
+    t1 = statistics.median(t1s)
+    t2 = statistics.median(t2s)
+    t3 = statistics.median(t3s)
+    return round(t2, 3), round(max(0.0, t3 - t1), 3)
 
 
 def _calibrate_duckdb(con) -> float:
@@ -113,6 +159,33 @@ def _settled_group_count(tracker, group: str) -> int:
         if m == n:
             return m
         n = m
+    return n
+
+
+def _group_stage_count(tracker, group: str) -> int:
+    """EXECUTED stages across a group's jobs, distinct by stage id.
+
+    ``SparkJobInfo.stageIds`` lists every stage in the job DAG,
+    including ones the scheduler skips via shuffle reuse; a skipped
+    stage pays no scheduling, so counting it would overstate the fixed
+    cost this number exists to model (``n_stages × stage_floor``, the
+    per-stage leg of the two-axis floor normalization — see
+    _job_latency). A stage the status store has no record of (never
+    submitted) or that attempted zero tasks is therefore excluded.
+    Call AFTER _settled_group_count so the async listener bus has
+    drained for this group's jobs."""
+    sids: set[int] = set()
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            sids.update(info.stageIds)
+    n = 0
+    for sid in sids:
+        si = tracker.getStageInfo(sid)
+        if si is not None and (
+            si.numCompletedTasks + si.numFailedTasks + si.numActiveTasks
+        ) > 0:
+            n += 1
     return n
 
 
@@ -165,6 +238,7 @@ def build_artifact(
     job_floor: float | None,
     sf_num,
     n_jobs: dict[str, int] | None = None,
+    stage_floor: float | None = None,
 ) -> dict:
     """The ONE printed JSON line, as a dict — kept pure so
     tests/test_bench_contract.py can pin the output contract (parses,
@@ -179,10 +253,15 @@ def build_artifact(
         "metric": "total_query_wall_clock",
         "unit": "sec",
         "sf": sf_num,
+        # per-query n_stages pairs would cost ~256 bytes the 2 KB
+        # stdout-tail budget doesn't have (worst-case line is pinned
+        # ≤1900 by tests/test_bench_contract.py); the named map rides
+        # the archive file and the hand-promoted BENCH_local.json —
+        # stage counts are plan properties, stable across boxes, so a
+        # cross-box reader pairs them with THIS line's floors.
         "note": (
-            f"arrays sorted by query name;cs=centisec median-of-{RUNS};"
-            f"null=no oracle;n_jobs=2-digit pairs cap {N_JOBS_CAP};"
-            "full maps .bench_archive/"
+            f"name-sorted;cs=centisec med{RUNS};null=no oracle;"
+            f"n_jobs 2digit cap{N_JOBS_CAP};n_stages+maps .bench_archive/"
         ),
         "spark_cs": [int(round(timings[n] * 100)) for n in names],
         # Spark job count per query (median across rounds), packed as
@@ -211,14 +290,23 @@ def build_artifact(
         # comparison by these before calling something a regression
         "calibration": {
             # derived from the constants so the label can never
-            # desynchronize from the actual workload across rounds
+            # desynchronize from the actual workload across rounds.
+            # NOTE: records promoted before round 12 carry the older
+            # hand-written spelling 'range(4e8)' where this derived
+            # form prints 'range(4e+08)' — any cross-round probe
+            # comparison must match on the CONSTANTS, not the label
+            # string (the spellings converge as new runs are promoted)
             "probe": f"{CALIBRATION_EXPR} over range({CALIBRATION_N:.0e})",
             "spark_sec": spark_probe,
             "duckdb_sec": duck_probe,
-            # per-job scheduling floor (median range(1).count()): a
-            # query's cross-box delta is only meaningful after
-            # subtracting ~n_jobs x the floor delta — see _job_latency
+            # two-axis scheduling floor (see _job_latency): job_floor
+            # is the AQE range(1).count() probe (2 jobs + 2 stages,
+            # cross-round comparable since r10), stage_floor the
+            # marginal per-stage cost S. A query's fixed cost is
+            # n_jobs·J + n_stages·S with J = job_floor/2 −
+            # stage_floor; n_stages rides the archived named map.
             "spark_job_floor_sec": job_floor,
+            "spark_stage_floor_sec": stage_floor,
         },
         "oracle_suite_sec": oracle_total,
         "spark_vs_oracle_ratio": (
@@ -282,6 +370,7 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     job_samples: dict[str, list[int]] = {n: [] for n in names}
+    stage_samples: dict[str, list[int]] = {n: [] for n in names}
     for rnd in range(RUNS):
         for name in names:
             group = f"bench:{name}:{rnd}"
@@ -290,15 +379,24 @@ def main() -> None:
             _materialize(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
             job_samples[name].append(_settled_group_count(tracker, group))
+            stage_samples[name].append(_group_stage_count(tracker, group))
             # drop the Python-side refs so Spark's ContextCleaner can
             # reclaim this query's localCheckpoint blocks — without the
             # nudge, dozens of checkpointed frames accumulate across the
             # suite and later queries pay BlockManager spill churn
             gc.collect()
-    sc.setLocalProperty("spark.jobGroup.id", None)
+    # the calibration probes below must not inherit the last query's
+    # group/description attribution (cosmetic, but it made the UI and
+    # any group-keyed reader misattribute the probe jobs) — run them
+    # under their own group; ALL job-group properties are cleared
+    # together after the probes
+    sc.setJobGroup("bench:calibration", "calibration probes")
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     n_jobs = {
         n: int(statistics.median(s)) for n, s in job_samples.items()
+    }
+    n_stages = {
+        n: int(statistics.median(s)) for n, s in stage_samples.items()
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -367,7 +465,18 @@ def main() -> None:
     # matches every archived artifact it will be compared against
     # (hoisting it above the oracle run would put a systematic offset
     # in exactly the number used as the cross-run denominator).
-    job_floor = _job_latency(spark) if not only else None
+    job_floor, stage_floor = (
+        _job_latency(spark) if not only else (None, None)
+    )
+    # clear every job-group property the run set (group id AND the
+    # description/interruptOnCancel that setJobGroup sets alongside it
+    # — leaving those dangling misattributed any later jobs)
+    for prop in (
+        "spark.jobGroup.id",
+        "spark.job.description",
+        "spark.job.interruptOnCancel",
+    ):
+        sc.setLocalProperty(prop, None)
 
     # The printed artifact must survive a ~2 KB stdout-tail capture
     # (see module docstring): ONE compact self-contained JSON line —
@@ -376,7 +485,7 @@ def main() -> None:
     # full-precision maps ride the archive file below instead.
     out = build_artifact(
         names, timings, oracle_timings, spark_probe, duck_probe,
-        job_floor, sf_num, n_jobs,
+        job_floor, sf_num, n_jobs, stage_floor,
     )
     line = compact_line(out)
     print(line)
@@ -389,6 +498,11 @@ def main() -> None:
     full["queries"] = timings
     full["oracle_queries"] = oracle_timings
     full["n_jobs_by_query"] = n_jobs  # named + uncapped
+    # executed-stage counts (plan properties, stable across boxes):
+    # too wide for the printed line's tail budget, so they live here
+    # and in the hand-promoted BENCH_local.json — pair with the
+    # printed line's job/stage floors for two-axis normalization
+    full["n_stages_by_query"] = n_stages
     try:
         archive_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_archive"

@@ -41,7 +41,7 @@ def _artifact(per_query_sec: float, jobs: int):
     oracle = {n: per_query_sec for n in ORACLE}
     n_jobs = {n: jobs for n in names}
     return names, build_artifact(
-        names, timings, oracle, 99.999, 99.999, 0.999, 0.1, n_jobs
+        names, timings, oracle, 99.999, 99.999, 0.999, 0.1, n_jobs, 0.123
     )
 
 
@@ -87,6 +87,7 @@ def test_line_roundtrips_and_aligns_with_registry():
     assert rt["value"] == round(1.234 * len(names), 3)
     assert rt["spark_vs_oracle_ratio"] is not None
     assert rt["calibration"]["spark_job_floor_sec"] == 0.999
+    assert rt["calibration"]["spark_stage_floor_sec"] == 0.123
 
 
 def test_n_jobs_capped_and_fixed_width():
@@ -109,28 +110,46 @@ def test_no_oracle_side_is_optional():
 
 
 def test_job_group_counting_measures_spark_jobs(spark):
-    """The n_jobs measurement rides job groups: every job submitted
-    from this thread between setJobGroup and the read lands in the
-    group (bench.py's run loop). Pin the mechanism — if a Spark
+    """The n_jobs/n_stages measurements ride job groups: every job
+    submitted from this thread between setJobGroup and the read lands
+    in the group (bench.py's run loop). Pin the mechanism — if a Spark
     upgrade changes group attribution, the bench artifact's n_jobs
     silently becomes garbage and every floor-normalized ratio with it.
+
+    Both reads go through bench's settled/drained readers, not raw
+    ``getJobIdsForGroup`` — the status store behind the tracker is fed
+    by the ASYNC listener bus, and an immediate raw read races it (the
+    exact undercount _settled_group_count exists to avoid; round-11
+    ADVICE caught this test itself re-introducing the race).
     """
+    from bench import _group_stage_count, _settled_group_count
+
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     sc.setJobGroup("bench-contract-test-a", "a")
     spark.range(10).count()
     spark.range(10).count()
-    a = len(tracker.getJobIdsForGroup("bench-contract-test-a"))
+    a = _settled_group_count(tracker, "bench-contract-test-a")
+    a_stages = _group_stage_count(tracker, "bench-contract-test-a")
     # a fresh group starts at zero — counts don't leak across groups
     sc.setJobGroup("bench-contract-test-b", "b")
     spark.range(10).count()
-    b = len(tracker.getJobIdsForGroup("bench-contract-test-b"))
+    b = _settled_group_count(tracker, "bench-contract-test-b")
+    b_stages = _group_stage_count(tracker, "bench-contract-test-b")
     sc.setLocalProperty("spark.jobGroup.id", None)
     # jobs-per-action varies with AQE (a count can run 1 or 2 jobs),
     # so pin proportionality, not absolutes: two identical actions
-    # register exactly twice one action's jobs, in their own group
+    # register exactly twice one action's jobs/stages, in their own
+    # group (separate actions build separate plans — no cross-plan
+    # shuffle reuse exists to skip stages between them)
     assert b >= 1, b
     assert a == 2 * b, (a, b)
+    # every job runs at least one executed stage (its result stage —
+    # under AQE a count() is 2 jobs and 2 EXECUTED stages: the reused
+    # map stage in the final job is skipped and must not be counted),
+    # and a count is at least 2 stages end-to-end (partial + final)
+    assert b_stages >= max(b, 2), (b_stages, b)
+    assert a_stages == 2 * b_stages, (a_stages, b_stages)
 
 
 def test_bench_main_subset_prints_parseable_line_with_n_jobs():
