@@ -160,10 +160,13 @@ def test_bench_main_subset_prints_parseable_line_with_n_jobs():
     run loop's job-group wiring the way the round harness does — a
     regression there silently voids a whole round's bench artifact.
     """
+    import glob
     import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    before = set(glob.glob(os.path.join(repo, ".bench_archive", "*.json")))
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -176,7 +179,7 @@ def test_bench_main_subset_prints_parseable_line_with_n_jobs():
         text=True,
         timeout=420,
         env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.startswith('{"metric"')]
@@ -187,3 +190,18 @@ def test_bench_main_subset_prints_parseable_line_with_n_jobs():
     # n_jobs: one 2-digit pair, at least one job ran
     assert len(art["n_jobs"]) == 2
     assert int(art["n_jobs"]) >= 1
+    # the archive file is the contractual home of the named per-query
+    # maps — n_stages_by_query above all, since it is NOT on the
+    # printed line (tail budget) and BENCH_local promotion copies the
+    # archive verbatim; a regression here silently drops the stage
+    # evidence from every promoted record
+    new = set(glob.glob(os.path.join(repo, ".bench_archive", "*.json"))) - before
+    assert len(new) == 1, "bench run should write exactly one archive file"
+    full = json.loads(open(new.pop()).read())
+    for key in ("queries", "n_jobs_by_query", "n_stages_by_query"):
+        assert key in full, key
+    assert full["n_stages_by_query"]["q37_artifact_keys"] >= 1
+    assert (
+        full["n_stages_by_query"]["q37_artifact_keys"]
+        >= full["n_jobs_by_query"]["q37_artifact_keys"]
+    )
