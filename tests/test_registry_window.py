@@ -17,78 +17,78 @@ from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
 
 WINDOW_SIZE = 50
 
-# Round-12 rotation (VERDICT r11 directive #1): slots 1-2 = this
-# round's changed queries (q99/q102 — textops broadcast-hint polish,
-# directive #6, re-earning per the changed-query rule); slots 3-22 =
-# the 20 remaining r09-fresh leftovers in numeric order; slots 23-50 =
-# the 28 oldest r10-fresh in numeric order (q97 displaced by q102's
-# seat; it leads round 13). Update this literal TOGETHER with
-# registry.py each rotation.
-ROTATION_R12 = [
-    # slots 1-2: round-12-changed (textops broadcast-hint polish)
-    "q99_bigram_pmi",
-    "q102_inverted_index",
-    # slots 3-22: r09-fresh leftovers (numeric order)
-    "q70_brand_argmax",
-    "q72_status_unpivot",
-    "q73_order_calendar",
-    "q74_edit_distance",
-    "q75_neardup_fixpoint",
-    "q76_session_paths",
-    "q77_rank_functions",
-    "q78_notification_ids_det",
-    "q79_chunk_dedup",
-    "q80_pii_redaction",
-    "q81_source_mixture",
-    "q82_distribution_windows",
-    "q83_nation_presence",
-    "q84_shingle_containment",
-    "q85_length_histogram",
-    "q87_surrogate_keys",
-    "q91_unigram_surprisal",
-    "q92_dedup_keep_canonical",
-    "q98_user_snapshot_diff",
-    "q100_purchase_nearest_click",
-    # slots 23-50: oldest-r10 backfill (numeric order; q97 displaced)
-    "q14_scalar_refinement",
-    "q15_path_parse",
-    "q16_pages_concat",
-    "q17_metadata_merge",
-    "q18_stage_gate_notifications",
-    "q19_pages_explode",
-    "q20_exact_dedup",
-    "q21_minhash_neardup",
-    "q22_simhash_signatures",
-    "q23_ngram_jaccard",
-    "q24_topk_cosine",
-    "q25_embedding_neardup",
-    "q36_request_decode",
-    "q41_ann_bucketed_topk",
-    "q45_events_sliding",
-    "q47_ivf_topk",
-    "q48_props_decode",
-    "q51_quantize_embeddings",
-    "q62_repetition_stats",
-    "q65_sequence_packing",
-    "q71_kmeans_update",
-    "q86_pq_quantize",
-    "q88_scene_segments",
-    "q89_cogroup_attribution",
-    "q90_ann_recall_audit",
-    "q93_semantic_dedup",
-    "q94_quantity_price_stats",
-    "q96_only_late_supplier",
+# Round-13 rotation (VERDICT r12 directive #1): no query or operator
+# module changed this round (bench instrumentation + docs only), so
+# there are no changed-query seats; slots 1-21 = the 21 r10-fresh in
+# numeric order (q97 — displaced by q102's r12 module-mate seat —
+# q101, q103-q121); slots 22-50 = the 29 oldest r11-fresh in numeric
+# order (q01-q13, q26-q35, q37-q40, q42, q43 — q43's driver row reads
+# no_oracle BY DESIGN; q78 is its hash-checked sibling). Update this
+# literal TOGETHER with registry.py each rotation.
+ROTATION_R13 = [
+    # slots 1-21: r10-fresh lead (numeric order)
+    "q97_weighted_sample",
+    "q101_rag_chunking",
+    "q103_funnel_conversion",
+    "q104_revenue_interpolation",
+    "q105_zscore_anomalies",
+    "q106_idle_rich_customers",
+    "q107_matryoshka_audit",
+    "q108_nucleus_vocab",
+    "q109_activity_history_scd2",
+    "q110_join_key_skew_profile",
+    "q111_supplier_hops_bfs",
+    "q112_decayed_user_score",
+    "q113_cohort_retention",
+    "q114_bm25_retrieval",
+    "q115_langid_confusion",
+    "q116_cumulative_distinct",
+    "q117_segment_spend_gini",
+    "q118_part_pair_baskets",
+    "q119_incremental_totals",
+    "q120_monthly_momentum",
+    "q121_cusum_changepoints",
+    # slots 22-50: oldest-r11 backfill (numeric order)
+    "q01_pricing_summary",
+    "q02_metadata_lookup_join",
+    "q03_top_orders_per_customer",
+    "q04_semi_join_open_orders",
+    "q05_anti_join_no_orders",
+    "q06_revenue_by_nation",
+    "q07_branch_union",
+    "q08_priority_rollup",
+    "q09_distinct_agg",
+    "q10_running_window",
+    "q11_positional_pick",
+    "q12_set_ops",
+    "q13_events_tumbling",
+    "q26_text_stats",
+    "q27_token_topk",
+    "q28_tfidf_top_terms",
+    "q29_language_id",
+    "q30_doc_fingerprint",
+    "q31_extract_polizas",
+    "q32_extract_tasaciones",
+    "q33_extract_inscripciones",
+    "q34_blocks_page_text",
+    "q35_notification_encode",
+    "q37_artifact_keys",
+    "q38_image_features",
+    "q39_frame_sample",
+    "q40_nation_set_ops",
+    "q42_token_counts",
+    "q43_notification_ids",
 ]
 
 
 def test_window_prefix_matches_committed_rotation():
-    assert len(ROTATION_R12) == WINDOW_SIZE
-    assert len(set(ROTATION_R12)) == WINDOW_SIZE
+    assert len(ROTATION_R13) == WINDOW_SIZE
+    assert len(set(ROTATION_R13)) == WINDOW_SIZE
     prefix = list(QUERIES)[:WINDOW_SIZE]
-    assert prefix == ROTATION_R12, (
+    assert prefix == ROTATION_R13, (
         "the driver-facing 50-entry registry prefix no longer matches "
         "the committed rotation list — if this is an intentional "
-        "rotation, update ROTATION_R12 in this test alongside "
+        "rotation, update ROTATION_R13 in this test alongside "
         "registry.py; if not, a refactor silently reordered the window"
     )
 
