@@ -20,7 +20,11 @@ The printed line is therefore kept UNDER 2 KB and self-contained:
   uncapped named map rides the archive file) — with the per-job
   scheduling floor in ``calibration``, this makes per-query
   floor-normalized ratios computable from the artifact alone:
-  ``(spark_cs/100 - n_jobs*floor) / (oracle_cs/100)``.
+  ``(spark_cs/100 - n_jobs*job_floor/2) / (oracle_cs/100)``. (The
+  pre-r12 form ``n_jobs*floor`` over-subtracted ≈2×: executed stages
+  ≡ jobs under AQE and the floor probe is itself a 2-job action, so
+  the honest per-job fixed cost is job_floor/2 — SCALING.md, round-12
+  floor-model correction.)
 - per-query EXECUTED-STAGE counts (``n_stages_by_query``) ride the
   archive file and the hand-promoted ``BENCH_local.json`` (2-digit
   pairs on the line would blow the tail budget); the line carries the
@@ -32,7 +36,13 @@ The printed line is therefore kept UNDER 2 KB and self-contained:
   aggregation over ``range(4e8)``, no IO, no data dependence) timed on
   both engines — any cross-run comparison should first normalize by
   these, making host-load drift visible instead of poisoning
-  per-query deltas.
+  per-query deltas. The two floors are BRACKETED (round-13, VERDICT
+  r12 directive #2): ``pre`` = [job_floor, stage_floor] sampled
+  immediately after warmup, before the suite; the scalar keys keep
+  the original post-suite sampling point (cross-round comparable
+  since r10). The pair turns any floor-normalized ratio into an
+  interval and makes intra-session floor drift (observed 0.051→0.072
+  within one r12 session) adjudicable from a single artifact.
 
 Methodology (BASELINE.md): per-query wall clock is the MEDIAN OF 3
 materializations (noop sink — forces the whole plan, no driver
@@ -102,9 +112,14 @@ def _job_latency(spark) -> tuple[float, float]:
     J = job_floor/2 − stage_floor (t2 = 2(J+S)) and a query's fixed
     scheduling cost as ``n_jobs·J + n_stages·S`` (n_stages from the
     archived per-query map). The three probes interleave so all
-    medians see the same box state; S clamps at 0 against noise. The
-    AQE toggle is scoped to the t3 sample and restored immediately —
-    the probes run after the suite, nothing else is planning.
+    medians see the same box state; S clamps to [0, t2/2] against
+    noise — t2 and t3 are sampled moments apart, and an S above
+    job_floor/2 would imply a NEGATIVE per-job cost J (the r12
+    small-SF promoted records hit exactly that: job 0.072 with stage
+    0.047 → J = −11 ms; ADVICE r12). The AQE toggle is scoped to the
+    t3 sample and restored immediately — nothing else is planning
+    while the probes run (after warmup for the ``pre`` sample, after
+    the oracle suite for the scalar one).
     """
     t1s, t2s, t3s = [], [], []
     aqe_key = "spark.sql.adaptive.enabled"
@@ -126,7 +141,7 @@ def _job_latency(spark) -> tuple[float, float]:
     t1 = statistics.median(t1s)
     t2 = statistics.median(t2s)
     t3 = statistics.median(t3s)
-    return round(t2, 3), round(max(0.0, t3 - t1), 3)
+    return round(t2, 3), round(max(0.0, min(t3 - t1, t2 / 2)), 3)
 
 
 def _calibrate_duckdb(con) -> float:
@@ -239,6 +254,7 @@ def build_artifact(
     sf_num,
     n_jobs: dict[str, int] | None = None,
     stage_floor: float | None = None,
+    floors_pre: tuple[float, float] | None = None,
 ) -> dict:
     """The ONE printed JSON line, as a dict — kept pure so
     tests/test_bench_contract.py can pin the output contract (parses,
@@ -259,16 +275,21 @@ def build_artifact(
         # the archive file and the hand-promoted BENCH_local.json —
         # stage counts are plan properties, stable across boxes, so a
         # cross-box reader pairs them with THIS line's floors.
+        # the note dropped its "n_stages+" prefix in r13 to pay for
+        # the bracketed "pre" floors — the archive pointer still says
+        # where the named maps (n_stages included) live
         "note": (
             f"name-sorted;cs=centisec med{RUNS};null=no oracle;"
-            f"n_jobs 2digit cap{N_JOBS_CAP};n_stages+maps .bench_archive/"
+            f"n_jobs 2digit cap{N_JOBS_CAP};maps .bench_archive/"
         ),
         "spark_cs": [int(round(timings[n] * 100)) for n in names],
         # Spark job count per query (median across rounds), packed as
         # zero-padded 2-digit pairs in the same sorted-name order (a
         # JSON int array costs ~120 more tail bytes) — per-query
         # floor-normalized cross-box ratios are
-        # (spark_cs/100 - n_jobs*floor) / (oracle_cs/100)
+        # (spark_cs/100 - n_jobs*job_floor/2) / (oracle_cs/100)
+        # (job_floor/2, NOT job_floor: the probe is a 2-job action and
+        # stages ≡ jobs under AQE — r12 floor-model correction)
         "n_jobs": (
             "".join(f"{min(n_jobs[n], N_JOBS_CAP):02d}" for n in names)
             if n_jobs
@@ -307,6 +328,16 @@ def build_artifact(
             # stage_floor; n_stages rides the archived named map.
             "spark_job_floor_sec": job_floor,
             "spark_stage_floor_sec": stage_floor,
+            # r13 bracketing (VERDICT r12 #2): the SAME two floors
+            # sampled immediately after warmup, BEFORE the suite —
+            # pre = [job_floor, stage_floor]. The scalar keys above
+            # keep the original post-suite sampling point (the
+            # cross-round comparable since r10); pre/post together
+            # bound the intra-session floor drift so a normalized
+            # suite ratio reads as an interval, not a point.
+            "pre": (
+                [floors_pre[0], floors_pre[1]] if floors_pre else None
+            ),
         },
         "oracle_suite_sec": oracle_total,
         "spark_vs_oracle_ratio": (
@@ -350,6 +381,14 @@ def main() -> None:
     # iteration aid; the driver invokes with no args -> full run)
     only = set(sys.argv[1:])
     names = [n for n in sorted(QUERIES) if not only or n in only]
+
+    # PRE floor sample (r13 bracketing): same probe as the post-suite
+    # one, run on the warmed session before any query — with the post
+    # sample it brackets the box's intra-session floor drift, the
+    # quantity that made the r11→r12 ratio drift adjudicable only by
+    # cross-referencing three artifacts. Full runs only (the subset
+    # path is quick-iteration and skips all probes).
+    floors_pre = _job_latency(spark) if not only else None
 
     # INTERLEAVED rounds: run the whole suite RUNS times and take the
     # per-query median ACROSS rounds, rather than back-to-back repeats.
@@ -460,11 +499,13 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 duck_probe = None
 
-    # The job-floor probe keeps its ORIGINAL sampling point — after the
-    # oracle suite, at artifact-build time — so its box-state context
-    # matches every archived artifact it will be compared against
-    # (hoisting it above the oracle run would put a systematic offset
-    # in exactly the number used as the cross-run denominator).
+    # The scalar job/stage-floor probe keeps its ORIGINAL sampling
+    # point — after the oracle suite, at artifact-build time — so its
+    # box-state context matches every archived artifact it will be
+    # compared against (hoisting it above the oracle run would put a
+    # systematic offset in exactly the number used as the cross-run
+    # denominator). The pre-suite sample taken above rides the
+    # calibration "pre" key instead.
     job_floor, stage_floor = (
         _job_latency(spark) if not only else (None, None)
     )
@@ -485,7 +526,7 @@ def main() -> None:
     # full-precision maps ride the archive file below instead.
     out = build_artifact(
         names, timings, oracle_timings, spark_probe, duck_probe,
-        job_floor, sf_num, n_jobs, stage_floor,
+        job_floor, sf_num, n_jobs, stage_floor, floors_pre,
     )
     line = compact_line(out)
     print(line)
@@ -503,6 +544,11 @@ def main() -> None:
     # and in the hand-promoted BENCH_local.json — pair with the
     # printed line's job/stage floors for two-axis normalization
     full["n_stages_by_query"] = n_stages
+    # bracketed floors under their full names too (the line's compact
+    # "pre" array is a tail-budget concession; the archive isn't)
+    if floors_pre:
+        full["spark_job_floor_sec_pre"] = floors_pre[0]
+        full["spark_stage_floor_sec_pre"] = floors_pre[1]
     try:
         archive_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_archive"

@@ -41,14 +41,21 @@ def _artifact(per_query_sec: float, jobs: int):
     oracle = {n: per_query_sec for n in ORACLE}
     n_jobs = {n: jobs for n in names}
     return names, build_artifact(
-        names, timings, oracle, 99.999, 99.999, 0.999, 0.1, n_jobs, 0.123
+        names, timings, oracle, 99.999, 99.999, 0.999, 0.1, n_jobs, 0.123,
+        (0.999, 0.123),
     )
 
 
 def test_line_fits_tail_at_worst_case_magnitudes():
     # 99 s per query = 4-digit centiseconds everywhere — far beyond
     # any observed driver box (worst real suite: ~82 s TOTAL) — and
-    # every n_jobs entry at the 2-digit cap
+    # every n_jobs entry at the 2-digit cap.
+    # Budget note (r13): the bracketed "pre" floors cost 20 bytes and
+    # the note's trimmed "n_stages+" paid 9 of them back — worst case
+    # now sits at 1898 of the 1900 the headroom bar allows. That is
+    # DELIBERATELY tight: both numbers are pinned here, so nothing
+    # drifts silently, and the next on-line field must displace
+    # something (or ride .bench_archive/) rather than nibble headroom.
     _, art = _artifact(99.0, 10_000)
     line = compact_line(art)
     assert len(line.encode()) <= TAIL_BYTES - MIN_HEADROOM, (
@@ -88,6 +95,9 @@ def test_line_roundtrips_and_aligns_with_registry():
     assert rt["spark_vs_oracle_ratio"] is not None
     assert rt["calibration"]["spark_job_floor_sec"] == 0.999
     assert rt["calibration"]["spark_stage_floor_sec"] == 0.123
+    # r13 bracketing: pre = [job_floor, stage_floor] sampled before
+    # the suite; the scalar keys stay the post-suite sample
+    assert rt["calibration"]["pre"] == [0.999, 0.123]
 
 
 def test_n_jobs_capped_and_fixed_width():
@@ -107,6 +117,21 @@ def test_no_oracle_side_is_optional():
     assert art["spark_vs_oracle_ratio"] is None
     assert art["n_jobs"] is None
     assert json.loads(compact_line(art))["value"] == round(0.5 * len(names), 3)
+
+
+def test_job_latency_floors_satisfy_probe_algebra(spark):
+    """Pin the _job_latency clamp (ADVICE r12, medium): the probe
+    algebra gives J = job_floor/2 − stage_floor, so any returned pair
+    with stage_floor > job_floor/2 encodes a NEGATIVE per-job cost —
+    a nonsensical calibration constant that two r12-promoted records
+    actually carried (job 0.072 with stage 0.047 → J = −11 ms). The
+    clamp S ≤ t2/2 makes the invariant structural; this test keeps it
+    from regressing."""
+    from bench import _job_latency
+
+    job_floor, stage_floor = _job_latency(spark)
+    assert job_floor > 0
+    assert 0.0 <= stage_floor <= job_floor / 2, (job_floor, stage_floor)
 
 
 def test_job_group_counting_measures_spark_jobs(spark):
