@@ -54,6 +54,7 @@ startup and the first mapInPandas query doesn't absorb worker fork.
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -141,7 +142,15 @@ def _job_latency(spark) -> tuple[float, float]:
     t1 = statistics.median(t1s)
     t2 = statistics.median(t2s)
     t3 = statistics.median(t3s)
-    return round(t2, 3), round(max(0.0, min(t3 - t1, t2 / 2)), 3)
+    # clamp against the ROUNDED job floor and truncate (not round) S:
+    # the invariant S ≤ job_floor/2 must hold on the PUBLISHED 3-dp
+    # values — round-nearest let S land 0.5 ms above job_floor/2
+    # (observed: job 0.069 with S 0.035), re-encoding a negative J at
+    # millisecond scale. Truncation biases S down ≤1 ms, inside probe
+    # noise.
+    jf = round(t2, 3)
+    s = max(0.0, min(t3 - t1, jf / 2))
+    return jf, math.floor(s * 1000) / 1000
 
 
 def _calibrate_duckdb(con) -> float:
