@@ -119,6 +119,39 @@ def test_no_oracle_side_is_optional():
     assert json.loads(compact_line(art))["value"] == round(0.5 * len(names), 3)
 
 
+def test_promoted_records_carry_sane_bracketed_floors():
+    """The promotion step is BY HAND (archive -> BENCH_local*.json),
+    so the clamp in _job_latency cannot protect the committed records
+    by itself — the two r12 small-SF promotions carried stage 0.047
+    against job 0.072 (per-job cost J = −11 ms) for a full round
+    before ADVICE caught it. Pin the calibration invariants on every
+    promoted record: a future promotion with a nonsensical floor pair
+    fails the suite instead of shipping."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in (
+        "BENCH_local.json",
+        "BENCH_local_sf0.01.json",
+        "BENCH_local_sf0.001.json",
+    ):
+        with open(os.path.join(repo, fname)) as fh:
+            rec = json.load(fh)
+        cal = rec["calibration"]
+        jf, s = cal["spark_job_floor_sec"], cal["spark_stage_floor_sec"]
+        assert 0 < jf and 0 <= s <= jf / 2, (fname, jf, s)
+        # bracketed floors (r13+): same invariant on the pre pair,
+        # and the archive-promoted record carries the named copies
+        pre = cal["pre"]
+        assert 0 < pre[0] and 0 <= pre[1] <= pre[0] / 2, (fname, pre)
+        assert rec["spark_job_floor_sec_pre"] == pre[0], fname
+        assert rec["spark_stage_floor_sec_pre"] == pre[1], fname
+        # the named per-query maps must survive promotion (they are
+        # the two-axis normalization's n_jobs/n_stages source)
+        for key in ("queries", "n_jobs_by_query", "n_stages_by_query"):
+            assert key in rec, (fname, key)
+
+
 def test_job_latency_floors_satisfy_probe_algebra(spark):
     """Pin the _job_latency clamp (ADVICE r12, medium): the probe
     algebra gives J = job_floor/2 − stage_floor, so any returned pair
