@@ -396,8 +396,18 @@ def main() -> None:
     # sample it brackets the box's intra-session floor drift, the
     # quantity that made the r11→r12 ratio drift adjudicable only by
     # cross-referencing three artifacts. Full runs only (the subset
-    # path is quick-iteration and skips all probes).
-    floors_pre = _job_latency(spark) if not only else None
+    # path is quick-iteration and skips all probes). Runs under its
+    # own job group like the post-suite probes (ADVICE r13: ungrouped
+    # probe jobs misattribute in the UI and any group-keyed reader);
+    # the per-query loop below overwrites the group, so nothing to
+    # clear here.
+    if not only:
+        spark.sparkContext.setJobGroup(
+            "bench:calibration-pre", "pre-suite calibration probes"
+        )
+        floors_pre = _job_latency(spark)
+    else:
+        floors_pre = None
 
     # INTERLEAVED rounds: run the whole suite RUNS times and take the
     # per-query median ACROSS rounds, rather than back-to-back repeats.

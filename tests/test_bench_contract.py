@@ -53,9 +53,12 @@ def test_line_fits_tail_at_worst_case_magnitudes():
     # Budget note (r13): the bracketed "pre" floors cost 20 bytes and
     # the note's trimmed "n_stages+" paid 9 of them back — worst case
     # now sits at 1898 of the 1900 the headroom bar allows. That is
-    # DELIBERATELY tight: both numbers are pinned here, so nothing
-    # drifts silently, and the next on-line field must displace
-    # something (or ride .bench_archive/) rather than nibble headroom.
+    # DELIBERATELY tight, so BOTH numbers are pinned (ADVICE r13: the
+    # <= alone let the remaining 2 bytes be nibbled silently): the
+    # exact-length assert below makes ANY on-line field change — grow
+    # OR shrink — a conscious update of this literal, enforcing the
+    # displace-something policy rather than merely stating it.
+    WORST_CASE_BYTES = 1898
     _, art = _artifact(99.0, 10_000)
     line = compact_line(art)
     assert len(line.encode()) <= TAIL_BYTES - MIN_HEADROOM, (
@@ -63,6 +66,13 @@ def test_line_fits_tail_at_worst_case_magnitudes():
         f"keeps {TAIL_BYTES} and we demand {MIN_HEADROOM} headroom. "
         "Registry grew or a verbose field crept back in — trim the "
         "line or move the field to the .bench_archive/ file."
+    )
+    assert len(line.encode()) == WORST_CASE_BYTES, (
+        f"worst-case bench line is {len(line.encode())} bytes, pinned "
+        f"at {WORST_CASE_BYTES}: an on-line artifact field changed. "
+        "If deliberate, update WORST_CASE_BYTES here in the same "
+        "commit (and keep it <= the headroom bar above); if not, a "
+        "field crept on or off the printed line silently."
     )
 
 
