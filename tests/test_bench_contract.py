@@ -162,6 +162,52 @@ def test_promoted_records_carry_sane_bracketed_floors():
             assert key in rec, (fname, key)
 
 
+def test_promoted_sf01_record_sits_inside_its_floor_band():
+    """Executable form of SCALING.md's raw-ratio drift rule (round 14,
+    VERDICT r13 directive #2): an sf0.1 record predicts its own raw
+    ratio from fixed scheduling cost alone — pred(F) = 1 +
+    J_total * F/2 / oracle_suite_sec with F the record's own floor
+    samples — and a healthy record's raw must not exceed
+    pred(pre_floor) + 0.05 (the pre bound is what the suite's first
+    minutes actually pay; the margin is measured plan-cost residual,
+    +0.027 on the r13 driver record, and both fresh r14 legs sat
+    inside their bands). The alarm form is pinned too: on a SETTLED
+    record (post floor <= 0.08 s) raw > 1.6 is a real regression no
+    floor arithmetic can absorb — a promotion carrying that fails
+    the suite instead of shipping and hiding the regression behind
+    the quiet-box bar. sf0.1 ONLY: at sf0.01/sf0.001 the oracle suite
+    is ~13-15 s, so per-query fixed costs the 1-task probe cannot see
+    (multi-task scheduling, parquet footer reads, Python worker
+    handshakes) dominate the ratio and the band does not calibrate —
+    the small-SF scale argument is the marginal suite ratio, not this
+    band (see SCALING.md)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_local.json")) as fh:
+        rec = json.load(fh)
+    assert rec["sf"] == 0.1
+    nj = rec["n_jobs"]
+    j_total = sum(int(nj[i : i + 2]) for i in range(0, len(nj), 2))
+    osec = rec["oracle_suite_sec"]
+    raw = rec["spark_vs_oracle_ratio"]
+    post = rec["calibration"]["spark_job_floor_sec"]
+    pre = rec["calibration"]["pre"][0]
+    upper = 1 + j_total * pre / 2 / osec + 0.05
+    assert raw <= upper, (
+        f"promoted sf0.1 raw ratio {raw} exceeds its own pre-floor "
+        f"band upper bound {upper:.3f} (J_total={j_total}, pre={pre}, "
+        f"oracle={osec}s) — per SCALING.md's drift rule this is not "
+        "floor arithmetic; bisect before promoting"
+    )
+    if post <= 0.08:
+        assert raw <= 1.6, (
+            f"promoted sf0.1 record is settled (post floor {post}) yet "
+            f"raw ratio is {raw} > 1.6 — SCALING.md's alarm threshold: "
+            "a real regression, do not promote over it"
+        )
+
+
 def test_job_latency_floors_satisfy_probe_algebra(spark):
     """Pin the _job_latency clamp (ADVICE r12, medium): the probe
     algebra gives J = job_floor/2 − stage_floor, so any returned pair
