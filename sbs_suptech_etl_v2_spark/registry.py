@@ -39,15 +39,16 @@ QUERIES: dict[str, QueryFn] = {
     # seated unchanged q102 alongside q99 on the textops.py one-liner
     # under exactly this reading, displacing q97's refresh by a round.
     #
-    # Round-14 rotation (VERDICT r13 directive #1; the r13 precompute,
-    # verified against CORRECTNESS_r13 — 49/50 hash-green + q43
-    # no_oracle BY DESIGN; freshness after r13: 50 r13 / 50 r12 /
-    # 21 r11): no query or operator module changed this round, so
-    # there are no changed-query seats; slots 1-21 are the 21
-    # r11-fresh leftovers in numeric order (q44, q46, q49, q50,
-    # q52-q61, q63, q64, q66-q69, q95); slots 22-50 backfill with the
-    # 29 oldest r12-fresh in numeric order (q14-q25, q36, q41, q45,
-    # q47, q48, q51, q62, q65, q70-q78).
+    # Round-15 rotation (VERDICT r14 directive #1; the r14 precompute,
+    # verified against CORRECTNESS_r14 — 50/50 hash-green; freshness
+    # after r14: 50 r14 / 50 r13 / 21 r12): no query or operator
+    # module changed this round (the round diff is this reorder plus
+    # test-only ADVICE fixes), so there are no changed-query seats;
+    # slots 1-21 are the 21 r12-fresh leftovers in numeric order
+    # (q79-q94, q96, q98-q100, q102 — includes the closed q99 watch
+    # item and the q96/q118 standing-accept re-entries); slots 22-50
+    # backfill with the 29 oldest r13-fresh in numeric order (q01-q13,
+    # q26-q35, q37-q40, q42, q43).
     # The prefix is PINNED by tests/test_registry_window.py: any
     # reorder must update that test's committed list consciously.
     # CORRECTNESS_local[_sf0.001|_sf0.1].json carry the full registry
@@ -56,73 +57,18 @@ QUERIES: dict[str, QueryFn] = {
     # New queries, if any, enter at slot 1 (a changed query must
     # re-earn its verdict the same round and therefore takes a seat).
     #
-    # Round-15 rotation (precomputed from the above; verify against
-    # CORRECTNESS_r14 before applying): lead with any round-15-changed
-    # queries (module-mate rule above), then the 21 r12-fresh
-    # leftovers (q79-q94, q96, q98-q100, q102 — exactly the block
-    # directly below this prefix; includes the q99 watch item and the
-    # q96 plan-audit re-entry), then backfill with the 29 oldest
-    # r13-fresh in numeric order (q01-q13, q26-q35, q37-q40, q42,
-    # q43), leaving q97, q101, q103-q121 (21 queries) as the
-    # round-16 lead. Update tests/test_registry_window.py's ROTATION
-    # list in the same commit.
+    # Round-16 rotation (precomputed from the above; verify against
+    # CORRECTNESS_r15 before applying): lead with any round-16-changed
+    # queries (module-mate rule above), then the 21 r13-fresh
+    # leftovers (q97, q101, q103-q121 — exactly the block directly
+    # below this prefix), then backfill with the 29 oldest r14-fresh
+    # in numeric order (q14-q25, q36, q41, q44-q58), leaving q59-q78
+    # and q95 (21 queries) as the round-17 lead. Update
+    # tests/test_registry_window.py's ROTATION list in the same
+    # commit.
     # ------------------------------------------------------------------
-    # -- slots 1-21: r11-fresh lead (numeric order; no changed queries
+    # -- slots 1-21: r12-fresh lead (numeric order; no changed queries
     #    this round) --
-    "q44_ocr_extract_pages": E.ocr_extract_pages,
-    "q46_events_session": R.events_session_window,
-    "q49_promo_revenue": R.promo_revenue_share,
-    "q50_neardup_clusters": X1.neardup_clusters,
-    "q52_status_cube": R.order_status_cube,
-    "q53_approx_distinct": R.segment_distinct_customers,
-    "q54_purchase_asof_click": R.purchase_asof_click,
-    "q55_image_resize": X3.image_resize,
-    "q56_audio_features": X3.audio_features,
-    "q57_range_frame": R.rolling_spend_range_frame,
-    "q58_salted_agg": R.salted_status_totals,
-    "q59_percentiles": R.priority_price_percentiles,
-    "q60_grouping_sets": R.status_priority_grouping_sets,
-    "q61_contamination_check": X5.contamination_check,
-    "q63_lexicon_scrub": X5.lexicon_scrub,
-    "q64_stratified_sample": X5.stratified_sample,
-    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
-    "q67_acctbal_deciles": R.acctbal_deciles,
-    "q68_interval_join": R.click_purchase_interval_join,
-    "q69_status_pivot": R.status_priority_pivot,
-    "q95_calendar_resample": R.order_calendar_resample,
-    # -- slots 22-50: oldest-r12 backfill (numeric order) --
-    "q14_scalar_refinement": D.scalar_refinement,
-    "q15_path_parse": D.path_parse,
-    "q16_pages_concat": D.pages_concat,
-    "q17_metadata_merge": D.metadata_merge,
-    "q18_stage_gate_notifications": D.stage_gate_notifications,
-    "q19_pages_explode": D.pages_explode,
-    "q20_exact_dedup": X1.exact_dedup,
-    "q21_minhash_neardup": X1.minhash_neardup,
-    "q22_simhash_signatures": X1.simhash_signatures,
-    "q23_ngram_jaccard": X1.ngram_jaccard,
-    "q24_topk_cosine": X2.topk_cosine,
-    "q25_embedding_neardup": X2.embedding_neardup,
-    "q36_request_decode": J.request_decode,
-    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
-    "q45_events_sliding": R.events_sliding_window,
-    "q47_ivf_topk": X2.ivf_topk,
-    "q48_props_decode": J.props_decode,
-    "q51_quantize_embeddings": X2.quantize_embeddings,
-    "q62_repetition_stats": X5.repetition_stats,
-    "q65_sequence_packing": X5.sequence_packing,
-    "q70_brand_argmax": R.top_brand_per_size,
-    "q71_kmeans_update": X2.kmeans_update,
-    "q72_status_unpivot": R.status_counts_unpivot,
-    "q73_order_calendar": R.order_calendar,
-    "q74_edit_distance": X1.variant_edit_distance,
-    "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
-    "q76_session_paths": R.session_event_paths,
-    "q77_rank_functions": R.order_rank_functions,
-    "q78_notification_ids_det": J.notification_ids_deterministic,
-    # -- beyond the 50-entry prefix ------------------------------------
-    # r12-fresh leftovers first (the oldest block after this rotation
-    # lands; round 15 rotates them in by taking this slice)
     "q79_chunk_dedup": X1.chunk_dedup_stats,
     "q80_pii_redaction": X5.pii_redaction,
     "q81_source_mixture": X5.source_mixture,
@@ -144,7 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "q99_bigram_pmi": X4.bigram_pmi,
     "q100_purchase_nearest_click": R.purchase_nearest_click,
     "q102_inverted_index": X4.inverted_index,
-    # r13-fresh block (numeric order)
+    # -- slots 22-50: oldest-r13 backfill (numeric order) --
     "q01_pricing_summary": R.pricing_summary,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
@@ -175,6 +121,9 @@ QUERIES: dict[str, QueryFn] = {
     "q42_token_counts": X4.token_counts,
     "q43_notification_ids": J.notification_ids,  # C7 uuid — no_oracle BY DESIGN (rows-only driver row);
     # q78_notification_ids_det is its hash-checked deterministic sibling
+    # -- beyond the 50-entry prefix ------------------------------------
+    # r13-fresh leftovers first (the oldest block after this rotation
+    # lands; round 16 rotates them in by taking this slice)
     "q97_weighted_sample": X5.weighted_sample,
     "q101_rag_chunking": X5.rag_chunking,
     "q103_funnel_conversion": R.funnel_conversion,
@@ -196,6 +145,57 @@ QUERIES: dict[str, QueryFn] = {
     "q119_incremental_totals": R.incremental_priority_totals,
     "q120_monthly_momentum": R.monthly_revenue_momentum,
     "q121_cusum_changepoints": R.cusum_changepoints,
+    # r14-fresh block (numeric order)
+    "q14_scalar_refinement": D.scalar_refinement,
+    "q15_path_parse": D.path_parse,
+    "q16_pages_concat": D.pages_concat,
+    "q17_metadata_merge": D.metadata_merge,
+    "q18_stage_gate_notifications": D.stage_gate_notifications,
+    "q19_pages_explode": D.pages_explode,
+    "q20_exact_dedup": X1.exact_dedup,
+    "q21_minhash_neardup": X1.minhash_neardup,
+    "q22_simhash_signatures": X1.simhash_signatures,
+    "q23_ngram_jaccard": X1.ngram_jaccard,
+    "q24_topk_cosine": X2.topk_cosine,
+    "q25_embedding_neardup": X2.embedding_neardup,
+    "q36_request_decode": J.request_decode,
+    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
+    "q44_ocr_extract_pages": E.ocr_extract_pages,
+    "q45_events_sliding": R.events_sliding_window,
+    "q46_events_session": R.events_session_window,
+    "q47_ivf_topk": X2.ivf_topk,
+    "q48_props_decode": J.props_decode,
+    "q49_promo_revenue": R.promo_revenue_share,
+    "q50_neardup_clusters": X1.neardup_clusters,
+    "q51_quantize_embeddings": X2.quantize_embeddings,
+    "q52_status_cube": R.order_status_cube,
+    "q53_approx_distinct": R.segment_distinct_customers,
+    "q54_purchase_asof_click": R.purchase_asof_click,
+    "q55_image_resize": X3.image_resize,
+    "q56_audio_features": X3.audio_features,
+    "q57_range_frame": R.rolling_spend_range_frame,
+    "q58_salted_agg": R.salted_status_totals,
+    "q59_percentiles": R.priority_price_percentiles,
+    "q60_grouping_sets": R.status_priority_grouping_sets,
+    "q61_contamination_check": X5.contamination_check,
+    "q62_repetition_stats": X5.repetition_stats,
+    "q63_lexicon_scrub": X5.lexicon_scrub,
+    "q64_stratified_sample": X5.stratified_sample,
+    "q65_sequence_packing": X5.sequence_packing,
+    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
+    "q67_acctbal_deciles": R.acctbal_deciles,
+    "q68_interval_join": R.click_purchase_interval_join,
+    "q69_status_pivot": R.status_priority_pivot,
+    "q70_brand_argmax": R.top_brand_per_size,
+    "q71_kmeans_update": X2.kmeans_update,
+    "q72_status_unpivot": R.status_counts_unpivot,
+    "q73_order_calendar": R.order_calendar,
+    "q74_edit_distance": X1.variant_edit_distance,
+    "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
+    "q76_session_paths": R.session_event_paths,
+    "q77_rank_functions": R.order_rank_functions,
+    "q78_notification_ids_det": J.notification_ids_deterministic,
+    "q95_calendar_resample": R.order_calendar_resample,
 }
 ORACLE: dict[str, str] = {
     "q01_pricing_summary": R.PRICING_SUMMARY_SQL,

@@ -188,7 +188,19 @@ def test_promoted_sf01_record_sits_inside_its_floor_band():
         rec = json.load(fh)
     assert rec["sf"] == 0.1
     nj = rec["n_jobs"]
-    j_total = sum(int(nj[i : i + 2]) for i in range(0, len(nj), 2))
+    pairs = [int(nj[i : i + 2]) for i in range(0, len(nj), 2)]
+    # ADVICE r14: bench.py caps each per-query count at N_JOBS_CAP, so
+    # a saturated pair would silently undercount J_total and deflate
+    # the predicted band into a spurious upper-bound failure. Fail
+    # loudly on saturation instead — no query is near 99 jobs today
+    # (max is ~30, the fixpoint unroll); if one ever is, widen the
+    # encoding or read uncapped counts from the archived record.
+    assert all(p < N_JOBS_CAP for p in pairs), (
+        f"an n_jobs pair hit the {N_JOBS_CAP} encoding cap — J_total "
+        "would be undercounted and the drift band meaningless; fix the "
+        "encoding before trusting this test"
+    )
+    j_total = sum(pairs)
     osec = rec["oracle_suite_sec"]
     raw = rec["spark_vs_oracle_ratio"]
     post = rec["calibration"]["spark_job_floor_sec"]
@@ -201,10 +213,19 @@ def test_promoted_sf01_record_sits_inside_its_floor_band():
         "floor arithmetic; bisect before promoting"
     )
     if post <= 0.08:
-        assert raw <= 1.6, (
+        # ADVICE r14: the alarm bound is derived from the record, not
+        # hardcoded — max(1.6, band upper). Precedence is explicit: a
+        # record the first assert accepts as healthy floor arithmetic
+        # (raw inside its own band) can never trip the alarm, even when
+        # a fast oracle suite plus a cold pre floor pushes the band
+        # above 1.6. The alarm fires only when raw exceeds BOTH the
+        # fixed 1.6 threshold and the record's own band.
+        alarm = max(1.6, upper)
+        assert raw <= alarm, (
             f"promoted sf0.1 record is settled (post floor {post}) yet "
-            f"raw ratio is {raw} > 1.6 — SCALING.md's alarm threshold: "
-            "a real regression, do not promote over it"
+            f"raw ratio is {raw} > alarm bound {alarm:.3f} "
+            "(max of 1.6 and the record's own band upper) — SCALING.md's "
+            "alarm: a real regression, do not promote over it"
         )
 
 
