@@ -39,16 +39,17 @@ QUERIES: dict[str, QueryFn] = {
     # seated unchanged q102 alongside q99 on the textops.py one-liner
     # under exactly this reading, displacing q97's refresh by a round.
     #
-    # Round-15 rotation (VERDICT r14 directive #1; the r14 precompute,
-    # verified against CORRECTNESS_r14 — 50/50 hash-green; freshness
-    # after r14: 50 r14 / 50 r13 / 21 r12): no query or operator
-    # module changed this round (the round diff is this reorder plus
-    # test-only ADVICE fixes), so there are no changed-query seats;
-    # slots 1-21 are the 21 r12-fresh leftovers in numeric order
-    # (q79-q94, q96, q98-q100, q102 — includes the closed q99 watch
-    # item and the q96/q118 standing-accept re-entries); slots 22-50
-    # backfill with the 29 oldest r13-fresh in numeric order (q01-q13,
-    # q26-q35, q37-q40, q42, q43).
+    # Round-16 rotation (VERDICT r15 directive #1; the r15 precompute,
+    # verified against CORRECTNESS_r15 — 50/50 green; freshness after
+    # r15: 50 r15 / 50 r14 / 21 r13): no query or operator module
+    # changed this round (the round diff is this reorder plus
+    # test/doc-only ADVICE fixes), so there are no changed-query
+    # seats; slots 1-21 are the 21 r13-fresh leftovers in numeric
+    # order (q97, q101, q103-q121 — includes the q107/q111 AQE-wobble
+    # re-entries, the q118 standing-accept re-entry, and the heavy
+    # tail q114/q116/q117; expectations pre-registered in SCALING.md);
+    # slots 22-50 backfill with the 29 oldest r14-fresh in numeric
+    # order (q14-q25, q36, q41, q44-q58).
     # The prefix is PINNED by tests/test_registry_window.py: any
     # reorder must update that test's committed list consciously.
     # CORRECTNESS_local[_sf0.001|_sf0.1].json carry the full registry
@@ -57,40 +58,94 @@ QUERIES: dict[str, QueryFn] = {
     # New queries, if any, enter at slot 1 (a changed query must
     # re-earn its verdict the same round and therefore takes a seat).
     #
-    # Round-16 rotation (precomputed from the above; verify against
-    # CORRECTNESS_r15 before applying): lead with any round-16-changed
-    # queries (module-mate rule above), then the 21 r13-fresh
-    # leftovers (q97, q101, q103-q121 — exactly the block directly
-    # below this prefix), then backfill with the 29 oldest r14-fresh
-    # in numeric order (q14-q25, q36, q41, q44-q58), leaving q59-q78
-    # and q95 (21 queries) as the round-17 lead. Update
+    # Round-17 rotation (precomputed from the above; verify against
+    # CORRECTNESS_r16 before applying): lead with any round-17-changed
+    # queries (module-mate rule above), then the 21 r14-fresh
+    # leftovers (q59-q78, q95 — exactly the block directly below this
+    # prefix), then backfill with the 29 oldest r15-fresh in numeric
+    # order (q01-q13, q26-q35, q37-q40, q42, q43), leaving q79-q94,
+    # q96, q98-q100, q102 (21 queries) as the round-18 lead. Update
     # tests/test_registry_window.py's ROTATION list in the same
     # commit.
     # ------------------------------------------------------------------
-    # -- slots 1-21: r12-fresh lead (numeric order; no changed queries
+    # -- slots 1-21: r13-fresh lead (numeric order; no changed queries
     #    this round) --
-    "q79_chunk_dedup": X1.chunk_dedup_stats,
-    "q80_pii_redaction": X5.pii_redaction,
-    "q81_source_mixture": X5.source_mixture,
-    "q82_distribution_windows": R.order_distribution_windows,
-    "q83_nation_presence": R.nation_presence_reconcile,
-    "q84_shingle_containment": X1.shingle_containment,
-    "q85_length_histogram": X4.length_histogram,
-    "q86_pq_quantize": X2.pq_quantize,
-    "q87_surrogate_keys": R.surrogate_keys,
-    "q88_scene_segments": X3.scene_segments,
-    "q89_cogroup_attribution": R.cogroup_attribution,
-    "q90_ann_recall_audit": X2.ann_recall_audit,
-    "q91_unigram_surprisal": X4.unigram_surprisal,
-    "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
-    "q93_semantic_dedup": X2.semantic_dedup,
-    "q94_quantity_price_stats": R.quantity_price_stats,
-    "q96_only_late_supplier": R.only_late_supplier,
-    "q98_user_snapshot_diff": R.user_snapshot_diff,
-    "q99_bigram_pmi": X4.bigram_pmi,
-    "q100_purchase_nearest_click": R.purchase_nearest_click,
-    "q102_inverted_index": X4.inverted_index,
-    # -- slots 22-50: oldest-r13 backfill (numeric order) --
+    "q97_weighted_sample": X5.weighted_sample,
+    "q101_rag_chunking": X5.rag_chunking,
+    "q103_funnel_conversion": R.funnel_conversion,
+    "q104_revenue_interpolation": R.revenue_interpolation,
+    "q105_zscore_anomalies": R.zscore_anomalies,
+    "q106_idle_rich_customers": R.idle_rich_customers,
+    "q107_matryoshka_audit": X2.matryoshka_audit,
+    "q108_nucleus_vocab": X4.nucleus_vocab,
+    "q109_activity_history_scd2": R.activity_history_scd2,
+    "q110_join_key_skew_profile": R.join_key_skew_profile,
+    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
+    "q112_decayed_user_score": R.decayed_user_score,
+    "q113_cohort_retention": R.cohort_retention,
+    "q114_bm25_retrieval": X4.bm25_retrieval,
+    "q115_langid_confusion": X4.langid_confusion,
+    "q116_cumulative_distinct": R.cumulative_distinct_users,
+    "q117_segment_spend_gini": R.segment_spend_gini,
+    "q118_part_pair_baskets": R.part_pair_baskets,
+    "q119_incremental_totals": R.incremental_priority_totals,
+    "q120_monthly_momentum": R.monthly_revenue_momentum,
+    "q121_cusum_changepoints": R.cusum_changepoints,
+    # -- slots 22-50: oldest-r14 backfill (numeric order) --
+    "q14_scalar_refinement": D.scalar_refinement,
+    "q15_path_parse": D.path_parse,
+    "q16_pages_concat": D.pages_concat,
+    "q17_metadata_merge": D.metadata_merge,
+    "q18_stage_gate_notifications": D.stage_gate_notifications,
+    "q19_pages_explode": D.pages_explode,
+    "q20_exact_dedup": X1.exact_dedup,
+    "q21_minhash_neardup": X1.minhash_neardup,
+    "q22_simhash_signatures": X1.simhash_signatures,
+    "q23_ngram_jaccard": X1.ngram_jaccard,
+    "q24_topk_cosine": X2.topk_cosine,
+    "q25_embedding_neardup": X2.embedding_neardup,
+    "q36_request_decode": J.request_decode,
+    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
+    "q44_ocr_extract_pages": E.ocr_extract_pages,
+    "q45_events_sliding": R.events_sliding_window,
+    "q46_events_session": R.events_session_window,
+    "q47_ivf_topk": X2.ivf_topk,
+    "q48_props_decode": J.props_decode,
+    "q49_promo_revenue": R.promo_revenue_share,
+    "q50_neardup_clusters": X1.neardup_clusters,
+    "q51_quantize_embeddings": X2.quantize_embeddings,
+    "q52_status_cube": R.order_status_cube,
+    "q53_approx_distinct": R.segment_distinct_customers,
+    "q54_purchase_asof_click": R.purchase_asof_click,
+    "q55_image_resize": X3.image_resize,
+    "q56_audio_features": X3.audio_features,
+    "q57_range_frame": R.rolling_spend_range_frame,
+    "q58_salted_agg": R.salted_status_totals,
+    # -- beyond the 50-entry prefix ------------------------------------
+    # r14-fresh leftovers first (the oldest block after this rotation
+    # lands; round 17 rotates them in by taking this slice)
+    "q59_percentiles": R.priority_price_percentiles,
+    "q60_grouping_sets": R.status_priority_grouping_sets,
+    "q61_contamination_check": X5.contamination_check,
+    "q62_repetition_stats": X5.repetition_stats,
+    "q63_lexicon_scrub": X5.lexicon_scrub,
+    "q64_stratified_sample": X5.stratified_sample,
+    "q65_sequence_packing": X5.sequence_packing,
+    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
+    "q67_acctbal_deciles": R.acctbal_deciles,
+    "q68_interval_join": R.click_purchase_interval_join,
+    "q69_status_pivot": R.status_priority_pivot,
+    "q70_brand_argmax": R.top_brand_per_size,
+    "q71_kmeans_update": X2.kmeans_update,
+    "q72_status_unpivot": R.status_counts_unpivot,
+    "q73_order_calendar": R.order_calendar,
+    "q74_edit_distance": X1.variant_edit_distance,
+    "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
+    "q76_session_paths": R.session_event_paths,
+    "q77_rank_functions": R.order_rank_functions,
+    "q78_notification_ids_det": J.notification_ids_deterministic,
+    "q95_calendar_resample": R.order_calendar_resample,
+    # r15-fresh block (numeric order)
     "q01_pricing_summary": R.pricing_summary,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
@@ -121,81 +176,27 @@ QUERIES: dict[str, QueryFn] = {
     "q42_token_counts": X4.token_counts,
     "q43_notification_ids": J.notification_ids,  # C7 uuid — no_oracle BY DESIGN (rows-only driver row);
     # q78_notification_ids_det is its hash-checked deterministic sibling
-    # -- beyond the 50-entry prefix ------------------------------------
-    # r13-fresh leftovers first (the oldest block after this rotation
-    # lands; round 16 rotates them in by taking this slice)
-    "q97_weighted_sample": X5.weighted_sample,
-    "q101_rag_chunking": X5.rag_chunking,
-    "q103_funnel_conversion": R.funnel_conversion,
-    "q104_revenue_interpolation": R.revenue_interpolation,
-    "q105_zscore_anomalies": R.zscore_anomalies,
-    "q106_idle_rich_customers": R.idle_rich_customers,
-    "q107_matryoshka_audit": X2.matryoshka_audit,
-    "q108_nucleus_vocab": X4.nucleus_vocab,
-    "q109_activity_history_scd2": R.activity_history_scd2,
-    "q110_join_key_skew_profile": R.join_key_skew_profile,
-    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
-    "q112_decayed_user_score": R.decayed_user_score,
-    "q113_cohort_retention": R.cohort_retention,
-    "q114_bm25_retrieval": X4.bm25_retrieval,
-    "q115_langid_confusion": X4.langid_confusion,
-    "q116_cumulative_distinct": R.cumulative_distinct_users,
-    "q117_segment_spend_gini": R.segment_spend_gini,
-    "q118_part_pair_baskets": R.part_pair_baskets,
-    "q119_incremental_totals": R.incremental_priority_totals,
-    "q120_monthly_momentum": R.monthly_revenue_momentum,
-    "q121_cusum_changepoints": R.cusum_changepoints,
-    # r14-fresh block (numeric order)
-    "q14_scalar_refinement": D.scalar_refinement,
-    "q15_path_parse": D.path_parse,
-    "q16_pages_concat": D.pages_concat,
-    "q17_metadata_merge": D.metadata_merge,
-    "q18_stage_gate_notifications": D.stage_gate_notifications,
-    "q19_pages_explode": D.pages_explode,
-    "q20_exact_dedup": X1.exact_dedup,
-    "q21_minhash_neardup": X1.minhash_neardup,
-    "q22_simhash_signatures": X1.simhash_signatures,
-    "q23_ngram_jaccard": X1.ngram_jaccard,
-    "q24_topk_cosine": X2.topk_cosine,
-    "q25_embedding_neardup": X2.embedding_neardup,
-    "q36_request_decode": J.request_decode,
-    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
-    "q44_ocr_extract_pages": E.ocr_extract_pages,
-    "q45_events_sliding": R.events_sliding_window,
-    "q46_events_session": R.events_session_window,
-    "q47_ivf_topk": X2.ivf_topk,
-    "q48_props_decode": J.props_decode,
-    "q49_promo_revenue": R.promo_revenue_share,
-    "q50_neardup_clusters": X1.neardup_clusters,
-    "q51_quantize_embeddings": X2.quantize_embeddings,
-    "q52_status_cube": R.order_status_cube,
-    "q53_approx_distinct": R.segment_distinct_customers,
-    "q54_purchase_asof_click": R.purchase_asof_click,
-    "q55_image_resize": X3.image_resize,
-    "q56_audio_features": X3.audio_features,
-    "q57_range_frame": R.rolling_spend_range_frame,
-    "q58_salted_agg": R.salted_status_totals,
-    "q59_percentiles": R.priority_price_percentiles,
-    "q60_grouping_sets": R.status_priority_grouping_sets,
-    "q61_contamination_check": X5.contamination_check,
-    "q62_repetition_stats": X5.repetition_stats,
-    "q63_lexicon_scrub": X5.lexicon_scrub,
-    "q64_stratified_sample": X5.stratified_sample,
-    "q65_sequence_packing": X5.sequence_packing,
-    "q66_small_qty_revenue": R.small_quantity_brand_revenue,
-    "q67_acctbal_deciles": R.acctbal_deciles,
-    "q68_interval_join": R.click_purchase_interval_join,
-    "q69_status_pivot": R.status_priority_pivot,
-    "q70_brand_argmax": R.top_brand_per_size,
-    "q71_kmeans_update": X2.kmeans_update,
-    "q72_status_unpivot": R.status_counts_unpivot,
-    "q73_order_calendar": R.order_calendar,
-    "q74_edit_distance": X1.variant_edit_distance,
-    "q75_neardup_fixpoint": X1.neardup_clusters_fixpoint,
-    "q76_session_paths": R.session_event_paths,
-    "q77_rank_functions": R.order_rank_functions,
-    "q78_notification_ids_det": J.notification_ids_deterministic,
-    "q95_calendar_resample": R.order_calendar_resample,
+    "q79_chunk_dedup": X1.chunk_dedup_stats,
+    "q80_pii_redaction": X5.pii_redaction,
+    "q81_source_mixture": X5.source_mixture,
+    "q82_distribution_windows": R.order_distribution_windows,
+    "q83_nation_presence": R.nation_presence_reconcile,
+    "q84_shingle_containment": X1.shingle_containment,
+    "q85_length_histogram": X4.length_histogram,
+    "q86_pq_quantize": X2.pq_quantize,
+    "q87_surrogate_keys": R.surrogate_keys,
+    "q88_scene_segments": X3.scene_segments,
+    "q89_cogroup_attribution": R.cogroup_attribution,
+    "q90_ann_recall_audit": X2.ann_recall_audit,
+    "q91_unigram_surprisal": X4.unigram_surprisal,
+    "q92_dedup_keep_canonical": X1.dedup_keep_canonical,
+    "q93_semantic_dedup": X2.semantic_dedup,
+    "q94_quantity_price_stats": R.quantity_price_stats,
+    "q96_only_late_supplier": R.only_late_supplier,
+    "q98_user_snapshot_diff": R.user_snapshot_diff,
+    "q99_bigram_pmi": X4.bigram_pmi,
+    "q100_purchase_nearest_click": R.purchase_nearest_click,
+    "q102_inverted_index": X4.inverted_index,
 }
 ORACLE: dict[str, str] = {
     "q01_pricing_summary": R.PRICING_SUMMARY_SQL,
