@@ -213,19 +213,29 @@ def test_promoted_sf01_record_sits_inside_its_floor_band():
         "floor arithmetic; bisect before promoting"
     )
     if post <= 0.08:
-        # ADVICE r14: the alarm bound is derived from the record, not
-        # hardcoded — max(1.6, band upper). Precedence is explicit: a
-        # record the first assert accepts as healthy floor arithmetic
-        # (raw inside its own band) can never trip the alarm, even when
-        # a fast oracle suite plus a cold pre floor pushes the band
-        # above 1.6. The alarm fires only when raw exceeds BOTH the
-        # fixed 1.6 threshold and the record's own band.
-        alarm = max(1.6, upper)
+        # ADVICE r15: the alarm derives from the POST-floor band, not
+        # the pre-floor `upper` the unconditional assert above already
+        # enforces — max(1.6, upper) was unreachable (alarm >= upper
+        # always), leaving the 1.6 regression alarm with zero
+        # independent power. A settled record's steady-state
+        # scheduling cost is the post floor, so pred(post) + 0.05 is
+        # the band a settled suite should actually sit under; raw
+        # above BOTH 1.6 and that settled band is a regression the
+        # pre-floor assert cannot see (a cold pre sample inflates
+        # `upper` far past steady state — r14's pre 0.175 put upper at
+        # 1.647 while its settled band read 1.224). Every committed
+        # settled record clears the alarm with room: r15 driver raw
+        # 1.355 vs settled band 1.247 -> alarm 1.6; the promoted local
+        # record 1.420 vs 1.212 -> alarm 1.6.
+        settled_upper = 1 + j_total * post / 2 / osec + 0.05
+        alarm = max(1.6, settled_upper)
         assert raw <= alarm, (
             f"promoted sf0.1 record is settled (post floor {post}) yet "
             f"raw ratio is {raw} > alarm bound {alarm:.3f} "
-            "(max of 1.6 and the record's own band upper) — SCALING.md's "
-            "alarm: a real regression, do not promote over it"
+            "(max of 1.6 and the record's own SETTLED post-floor band "
+            f"upper {settled_upper:.3f}) — SCALING.md's alarm: a real "
+            "regression no floor arithmetic can absorb, do not promote "
+            "over it"
         )
 
 
