@@ -39,17 +39,18 @@ QUERIES: dict[str, QueryFn] = {
     # seated unchanged q102 alongside q99 on the textops.py one-liner
     # under exactly this reading, displacing q97's refresh by a round.
     #
-    # Round-16 rotation (VERDICT r15 directive #1; the r15 precompute,
-    # verified against CORRECTNESS_r15 — 50/50 green; freshness after
-    # r15: 50 r15 / 50 r14 / 21 r13): no query or operator module
-    # changed this round (the round diff is this reorder plus
-    # test/doc-only ADVICE fixes), so there are no changed-query
-    # seats; slots 1-21 are the 21 r13-fresh leftovers in numeric
-    # order (q97, q101, q103-q121 — includes the q107/q111 AQE-wobble
-    # re-entries, the q118 standing-accept re-entry, and the heavy
-    # tail q114/q116/q117; expectations pre-registered in SCALING.md);
-    # slots 22-50 backfill with the 29 oldest r14-fresh in numeric
-    # order (q14-q25, q36, q41, q44-q58).
+    # Round-17 rotation (VERDICT r16 directive #1; the r16 precompute,
+    # verified against CORRECTNESS_r16 — 50/50 hash-green; freshness
+    # after r16: 50 r16 / 50 r15 / 21 r14): no query or operator
+    # module changed this round (the round diff is this reorder plus
+    # test/doc work), so there are no changed-query seats; slots 1-21
+    # are the 21 r14-fresh leftovers in numeric order (q59-q78, q95 —
+    # includes the heavies q62/q66/q71/q74/q75/q76 with expectations
+    # pre-registered in SCALING.md); slots 22-50 backfill with the 29
+    # oldest r15-fresh in numeric order (q01-q13, q26-q35, q37-q40,
+    # q42, q43 — q43 reads no_oracle BY DESIGN; includes the q30
+    # watch-item re-entry, expected back at <= 0.4 s on a settled
+    # record).
     # The prefix is PINNED by tests/test_registry_window.py: any
     # reorder must update that test's committed list consciously.
     # CORRECTNESS_local[_sf0.001|_sf0.1].json carry the full registry
@@ -58,72 +59,18 @@ QUERIES: dict[str, QueryFn] = {
     # New queries, if any, enter at slot 1 (a changed query must
     # re-earn its verdict the same round and therefore takes a seat).
     #
-    # Round-17 rotation (precomputed from the above; verify against
-    # CORRECTNESS_r16 before applying): lead with any round-17-changed
-    # queries (module-mate rule above), then the 21 r14-fresh
-    # leftovers (q59-q78, q95 — exactly the block directly below this
-    # prefix), then backfill with the 29 oldest r15-fresh in numeric
-    # order (q01-q13, q26-q35, q37-q40, q42, q43), leaving q79-q94,
-    # q96, q98-q100, q102 (21 queries) as the round-18 lead. Update
-    # tests/test_registry_window.py's ROTATION list in the same
-    # commit.
+    # Round-18 rotation (precomputed from the above; verify against
+    # CORRECTNESS_r17 before applying): lead with any round-18-changed
+    # queries (module-mate rule above), then the 21 r15-fresh
+    # leftovers (q79-q94, q96, q98-q100, q102 — exactly the block
+    # directly below this prefix), then backfill with the 29 oldest
+    # r16-fresh in numeric order (q14-q25, q36, q41, q44-q58 — that
+    # block is exactly 29), leaving q97, q101, q103-q121 (21 queries)
+    # as the round-19 lead. Update tests/test_registry_window.py's
+    # ROTATION list in the same commit.
     # ------------------------------------------------------------------
-    # -- slots 1-21: r13-fresh lead (numeric order; no changed queries
+    # -- slots 1-21: r14-fresh lead (numeric order; no changed queries
     #    this round) --
-    "q97_weighted_sample": X5.weighted_sample,
-    "q101_rag_chunking": X5.rag_chunking,
-    "q103_funnel_conversion": R.funnel_conversion,
-    "q104_revenue_interpolation": R.revenue_interpolation,
-    "q105_zscore_anomalies": R.zscore_anomalies,
-    "q106_idle_rich_customers": R.idle_rich_customers,
-    "q107_matryoshka_audit": X2.matryoshka_audit,
-    "q108_nucleus_vocab": X4.nucleus_vocab,
-    "q109_activity_history_scd2": R.activity_history_scd2,
-    "q110_join_key_skew_profile": R.join_key_skew_profile,
-    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
-    "q112_decayed_user_score": R.decayed_user_score,
-    "q113_cohort_retention": R.cohort_retention,
-    "q114_bm25_retrieval": X4.bm25_retrieval,
-    "q115_langid_confusion": X4.langid_confusion,
-    "q116_cumulative_distinct": R.cumulative_distinct_users,
-    "q117_segment_spend_gini": R.segment_spend_gini,
-    "q118_part_pair_baskets": R.part_pair_baskets,
-    "q119_incremental_totals": R.incremental_priority_totals,
-    "q120_monthly_momentum": R.monthly_revenue_momentum,
-    "q121_cusum_changepoints": R.cusum_changepoints,
-    # -- slots 22-50: oldest-r14 backfill (numeric order) --
-    "q14_scalar_refinement": D.scalar_refinement,
-    "q15_path_parse": D.path_parse,
-    "q16_pages_concat": D.pages_concat,
-    "q17_metadata_merge": D.metadata_merge,
-    "q18_stage_gate_notifications": D.stage_gate_notifications,
-    "q19_pages_explode": D.pages_explode,
-    "q20_exact_dedup": X1.exact_dedup,
-    "q21_minhash_neardup": X1.minhash_neardup,
-    "q22_simhash_signatures": X1.simhash_signatures,
-    "q23_ngram_jaccard": X1.ngram_jaccard,
-    "q24_topk_cosine": X2.topk_cosine,
-    "q25_embedding_neardup": X2.embedding_neardup,
-    "q36_request_decode": J.request_decode,
-    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
-    "q44_ocr_extract_pages": E.ocr_extract_pages,
-    "q45_events_sliding": R.events_sliding_window,
-    "q46_events_session": R.events_session_window,
-    "q47_ivf_topk": X2.ivf_topk,
-    "q48_props_decode": J.props_decode,
-    "q49_promo_revenue": R.promo_revenue_share,
-    "q50_neardup_clusters": X1.neardup_clusters,
-    "q51_quantize_embeddings": X2.quantize_embeddings,
-    "q52_status_cube": R.order_status_cube,
-    "q53_approx_distinct": R.segment_distinct_customers,
-    "q54_purchase_asof_click": R.purchase_asof_click,
-    "q55_image_resize": X3.image_resize,
-    "q56_audio_features": X3.audio_features,
-    "q57_range_frame": R.rolling_spend_range_frame,
-    "q58_salted_agg": R.salted_status_totals,
-    # -- beyond the 50-entry prefix ------------------------------------
-    # r14-fresh leftovers first (the oldest block after this rotation
-    # lands; round 17 rotates them in by taking this slice)
     "q59_percentiles": R.priority_price_percentiles,
     "q60_grouping_sets": R.status_priority_grouping_sets,
     "q61_contamination_check": X5.contamination_check,
@@ -145,7 +92,7 @@ QUERIES: dict[str, QueryFn] = {
     "q77_rank_functions": R.order_rank_functions,
     "q78_notification_ids_det": J.notification_ids_deterministic,
     "q95_calendar_resample": R.order_calendar_resample,
-    # r15-fresh block (numeric order)
+    # -- slots 22-50: oldest-r15 backfill (numeric order) --
     "q01_pricing_summary": R.pricing_summary,
     "q02_metadata_lookup_join": R.metadata_lookup_join,
     "q03_top_orders_per_customer": R.top_orders_per_customer,
@@ -176,6 +123,9 @@ QUERIES: dict[str, QueryFn] = {
     "q42_token_counts": X4.token_counts,
     "q43_notification_ids": J.notification_ids,  # C7 uuid — no_oracle BY DESIGN (rows-only driver row);
     # q78_notification_ids_det is its hash-checked deterministic sibling
+    # -- beyond the 50-entry prefix ------------------------------------
+    # r15-fresh leftovers first (the oldest block after this rotation
+    # lands; round 18 rotates them in by taking this slice)
     "q79_chunk_dedup": X1.chunk_dedup_stats,
     "q80_pii_redaction": X5.pii_redaction,
     "q81_source_mixture": X5.source_mixture,
@@ -197,7 +147,59 @@ QUERIES: dict[str, QueryFn] = {
     "q99_bigram_pmi": X4.bigram_pmi,
     "q100_purchase_nearest_click": R.purchase_nearest_click,
     "q102_inverted_index": X4.inverted_index,
+    # r16-fresh block (numeric order)
+    "q14_scalar_refinement": D.scalar_refinement,
+    "q15_path_parse": D.path_parse,
+    "q16_pages_concat": D.pages_concat,
+    "q17_metadata_merge": D.metadata_merge,
+    "q18_stage_gate_notifications": D.stage_gate_notifications,
+    "q19_pages_explode": D.pages_explode,
+    "q20_exact_dedup": X1.exact_dedup,
+    "q21_minhash_neardup": X1.minhash_neardup,
+    "q22_simhash_signatures": X1.simhash_signatures,
+    "q23_ngram_jaccard": X1.ngram_jaccard,
+    "q24_topk_cosine": X2.topk_cosine,
+    "q25_embedding_neardup": X2.embedding_neardup,
+    "q36_request_decode": J.request_decode,
+    "q41_ann_bucketed_topk": X2.ann_bucketed_topk,
+    "q44_ocr_extract_pages": E.ocr_extract_pages,
+    "q45_events_sliding": R.events_sliding_window,
+    "q46_events_session": R.events_session_window,
+    "q47_ivf_topk": X2.ivf_topk,
+    "q48_props_decode": J.props_decode,
+    "q49_promo_revenue": R.promo_revenue_share,
+    "q50_neardup_clusters": X1.neardup_clusters,
+    "q51_quantize_embeddings": X2.quantize_embeddings,
+    "q52_status_cube": R.order_status_cube,
+    "q53_approx_distinct": R.segment_distinct_customers,
+    "q54_purchase_asof_click": R.purchase_asof_click,
+    "q55_image_resize": X3.image_resize,
+    "q56_audio_features": X3.audio_features,
+    "q57_range_frame": R.rolling_spend_range_frame,
+    "q58_salted_agg": R.salted_status_totals,
+    "q97_weighted_sample": X5.weighted_sample,
+    "q101_rag_chunking": X5.rag_chunking,
+    "q103_funnel_conversion": R.funnel_conversion,
+    "q104_revenue_interpolation": R.revenue_interpolation,
+    "q105_zscore_anomalies": R.zscore_anomalies,
+    "q106_idle_rich_customers": R.idle_rich_customers,
+    "q107_matryoshka_audit": X2.matryoshka_audit,
+    "q108_nucleus_vocab": X4.nucleus_vocab,
+    "q109_activity_history_scd2": R.activity_history_scd2,
+    "q110_join_key_skew_profile": R.join_key_skew_profile,
+    "q111_supplier_hops_bfs": R.supplier_hops_bfs,
+    "q112_decayed_user_score": R.decayed_user_score,
+    "q113_cohort_retention": R.cohort_retention,
+    "q114_bm25_retrieval": X4.bm25_retrieval,
+    "q115_langid_confusion": X4.langid_confusion,
+    "q116_cumulative_distinct": R.cumulative_distinct_users,
+    "q117_segment_spend_gini": R.segment_spend_gini,
+    "q118_part_pair_baskets": R.part_pair_baskets,
+    "q119_incremental_totals": R.incremental_priority_totals,
+    "q120_monthly_momentum": R.monthly_revenue_momentum,
+    "q121_cusum_changepoints": R.cusum_changepoints,
 }
+
 ORACLE: dict[str, str] = {
     "q01_pricing_summary": R.PRICING_SUMMARY_SQL,
     "q02_metadata_lookup_join": R.METADATA_LOOKUP_JOIN_SQL,

@@ -17,79 +17,79 @@ from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
 
 WINDOW_SIZE = 50
 
-# Round-16 rotation (VERDICT r15 directive #1): no query or operator
+# Round-17 rotation (VERDICT r16 directive #1): no query or operator
 # module changed this round, so there are no changed-query seats;
-# slots 1-21 = the 21 r13-fresh leftovers in numeric order (q97,
-# q101, q103-q121 — includes the q107/q111 AQE-wobble re-entries,
-# the q118 standing-accept re-entry, and the heavy tail
-# q114/q116/q117, with expectations pre-registered in SCALING.md);
-# slots 22-50 = the 29 oldest r14-fresh in numeric order (q14-q25,
-# q36, q41, q44-q58). Update this literal TOGETHER with registry.py
-# each rotation.
-ROTATION_R16 = [
-    # slots 1-21: r13-fresh lead (numeric order)
-    "q97_weighted_sample",
-    "q101_rag_chunking",
-    "q103_funnel_conversion",
-    "q104_revenue_interpolation",
-    "q105_zscore_anomalies",
-    "q106_idle_rich_customers",
-    "q107_matryoshka_audit",
-    "q108_nucleus_vocab",
-    "q109_activity_history_scd2",
-    "q110_join_key_skew_profile",
-    "q111_supplier_hops_bfs",
-    "q112_decayed_user_score",
-    "q113_cohort_retention",
-    "q114_bm25_retrieval",
-    "q115_langid_confusion",
-    "q116_cumulative_distinct",
-    "q117_segment_spend_gini",
-    "q118_part_pair_baskets",
-    "q119_incremental_totals",
-    "q120_monthly_momentum",
-    "q121_cusum_changepoints",
-    # slots 22-50: oldest-r14 backfill (numeric order)
-    "q14_scalar_refinement",
-    "q15_path_parse",
-    "q16_pages_concat",
-    "q17_metadata_merge",
-    "q18_stage_gate_notifications",
-    "q19_pages_explode",
-    "q20_exact_dedup",
-    "q21_minhash_neardup",
-    "q22_simhash_signatures",
-    "q23_ngram_jaccard",
-    "q24_topk_cosine",
-    "q25_embedding_neardup",
-    "q36_request_decode",
-    "q41_ann_bucketed_topk",
-    "q44_ocr_extract_pages",
-    "q45_events_sliding",
-    "q46_events_session",
-    "q47_ivf_topk",
-    "q48_props_decode",
-    "q49_promo_revenue",
-    "q50_neardup_clusters",
-    "q51_quantize_embeddings",
-    "q52_status_cube",
-    "q53_approx_distinct",
-    "q54_purchase_asof_click",
-    "q55_image_resize",
-    "q56_audio_features",
-    "q57_range_frame",
-    "q58_salted_agg",
+# slots 1-21 = the 21 r14-fresh leftovers in numeric order (q59-q78,
+# q95 — includes the heavies q62/q66/q71/q74/q75/q76, with
+# expectations pre-registered in SCALING.md); slots 22-50 = the 29
+# oldest r15-fresh in numeric order (q01-q13, q26-q35, q37-q40, q42,
+# q43 — q43 reads no_oracle BY DESIGN; includes the q30 watch-item
+# re-entry). Update this literal TOGETHER with registry.py each
+# rotation.
+ROTATION_R17 = [
+    # slots 1-21: r14-fresh lead (numeric order)
+    "q59_percentiles",
+    "q60_grouping_sets",
+    "q61_contamination_check",
+    "q62_repetition_stats",
+    "q63_lexicon_scrub",
+    "q64_stratified_sample",
+    "q65_sequence_packing",
+    "q66_small_qty_revenue",
+    "q67_acctbal_deciles",
+    "q68_interval_join",
+    "q69_status_pivot",
+    "q70_brand_argmax",
+    "q71_kmeans_update",
+    "q72_status_unpivot",
+    "q73_order_calendar",
+    "q74_edit_distance",
+    "q75_neardup_fixpoint",
+    "q76_session_paths",
+    "q77_rank_functions",
+    "q78_notification_ids_det",
+    "q95_calendar_resample",
+    # slots 22-50: oldest-r15 backfill (numeric order)
+    "q01_pricing_summary",
+    "q02_metadata_lookup_join",
+    "q03_top_orders_per_customer",
+    "q04_semi_join_open_orders",
+    "q05_anti_join_no_orders",
+    "q06_revenue_by_nation",
+    "q07_branch_union",
+    "q08_priority_rollup",
+    "q09_distinct_agg",
+    "q10_running_window",
+    "q11_positional_pick",
+    "q12_set_ops",
+    "q13_events_tumbling",
+    "q26_text_stats",
+    "q27_token_topk",
+    "q28_tfidf_top_terms",
+    "q29_language_id",
+    "q30_doc_fingerprint",
+    "q31_extract_polizas",
+    "q32_extract_tasaciones",
+    "q33_extract_inscripciones",
+    "q34_blocks_page_text",
+    "q35_notification_encode",
+    "q37_artifact_keys",
+    "q38_image_features",
+    "q39_frame_sample",
+    "q40_nation_set_ops",
+    "q42_token_counts",
+    "q43_notification_ids",
 ]
 
 
 def test_window_prefix_matches_committed_rotation():
-    assert len(ROTATION_R16) == WINDOW_SIZE
-    assert len(set(ROTATION_R16)) == WINDOW_SIZE
+    assert len(ROTATION_R17) == WINDOW_SIZE
+    assert len(set(ROTATION_R17)) == WINDOW_SIZE
     prefix = list(QUERIES)[:WINDOW_SIZE]
-    assert prefix == ROTATION_R16, (
+    assert prefix == ROTATION_R17, (
         "the driver-facing 50-entry registry prefix no longer matches "
         "the committed rotation list — if this is an intentional "
-        "rotation, update ROTATION_R16 in this test alongside "
+        "rotation, update ROTATION_R17 in this test alongside "
         "registry.py; if not, a refactor silently reordered the window"
     )
 
