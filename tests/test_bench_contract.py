@@ -239,6 +239,50 @@ def test_promoted_sf01_record_sits_inside_its_floor_band():
         )
 
 
+def test_driver_records_clear_the_settled_alarm():
+    """The executable leg of SCALING.md's driver-record disposition
+    (round 17, VERDICT r16 directive #2): the r16 driver leg was the
+    first ever to land above its own pre-floor band (raw 1.440 vs
+    upper 1.390), and driver legs cannot be re-run, so a widened
+    margin was rejected — a 0.10 margin would let a leg carrying ~3 s
+    of intra-suite stalls PROMOTE. Instead, every archived DRIVER
+    record with a full calibration block must clear the settled
+    ALARM — max(1.6, pred(post) + 0.05) — the one bound a box-state
+    stall cannot explain away (the pre-floor band stays a per-leg
+    adjudication in SCALING.md, not a hard gate, because a point
+    sample cannot bound a time-varying floor). r11-r16 all clear it;
+    the widest settled upper on record is r16's 1.323."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = 0
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        with open(path) as fh:
+            parsed = (json.load(fh) or {}).get("parsed") or {}
+        cal = parsed.get("calibration") or {}
+        nj = parsed.get("n_jobs")
+        osec = parsed.get("oracle_suite_sec")
+        raw = parsed.get("spark_vs_oracle_ratio")
+        post = cal.get("spark_job_floor_sec")
+        if not (nj and osec and raw and post is not None):
+            continue  # pre-calibration rounds (r01-r10) carry no block
+        pairs = [int(nj[i : i + 2]) for i in range(0, len(nj), 2)]
+        if any(p >= N_JOBS_CAP for p in pairs):
+            continue  # saturated encoding undercounts J_total (see above)
+        j_total = sum(pairs)
+        alarm = max(1.6, 1 + j_total * post / 2 / osec + 0.05)
+        assert raw <= alarm, (
+            f"{os.path.basename(path)}: driver raw ratio {raw} exceeds "
+            f"the settled alarm {alarm:.3f} (J_total={j_total}, "
+            f"post={post}, oracle={osec}s) — per SCALING.md's driver-leg "
+            "disposition this is a regression no box-state stall "
+            "explains; bisect the round's diff before trusting the board"
+        )
+        checked += 1
+    assert checked >= 6, f"expected >= 6 calibrated driver records, saw {checked}"
+
+
 def test_job_latency_floors_satisfy_probe_algebra(spark):
     """Pin the _job_latency clamp (ADVICE r12, medium): the probe
     algebra gives J = job_floor/2 − stage_floor, so any returned pair
