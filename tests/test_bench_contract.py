@@ -260,7 +260,9 @@ def test_driver_records_clear_the_settled_alarm():
     exceeds the settled alarm — max(1.6, pred(post) + 0.05) — AND its
     n_jobs map differs from the promoted record beyond the documented
     q107/q111 ±1 AQE wobble. A breach on unchanged maps is what both
-    measured false positives look like (box state); a plan-shape
+    measured box-state breaches look like (the r16 driver's 1.440
+    over its pre-floor band; the 1.618 leg over the alarm); a
+    plan-shape
     regression moves the maps and still fails loudly; a same-shape
     slowdown is the per-query pre-registered bands' job, not a
     suite-level absolute ratio that measurably swings 1.34 -> 1.62 on
