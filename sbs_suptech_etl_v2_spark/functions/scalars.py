@@ -43,6 +43,72 @@ def _month_map() -> Column:
 DATE_PATTERN = r"\b(\d{2}/\d{2}/\d{4})\b"
 
 
+def sql_quote_regex(pattern: str) -> str:
+    """Escape a Java regex for embedding in a Spark SQL string literal.
+
+    Spark's parser processes C-style escapes inside ``'...'`` literals
+    (default ``spark.sql.parser.escapedStringLiterals=false``), so every
+    backslash in the regex must be doubled to survive parsing — the
+    parsed string is then byte-identical to the raw-Python pattern the
+    Column API passes straight through py4j.
+    """
+    return pattern.replace("\\", "\\\\")
+
+
+# --- SQL-text twins -------------------------------------------------
+# The Column builders below assemble expressions one py4j round trip at
+# a time (~1-2 ms each on the virtualized bench boxes; a refinement
+# projection costs tens of trips). The *_sql twins return the SAME
+# expression as Spark SQL text, letting hot query builders compose a
+# whole projection into one selectExpr that parses JVM-side in a single
+# round trip (guide §5 — keep the driver out of per-expression work).
+# Equivalence is pinned by tests/test_scalars.py::test_sql_twins_match
+# and by the unchanged analyzed plans under plans/r17/.
+
+
+def refine_dates_sql(expr: str) -> str:
+    """SQL-text twin of ``refine_dates`` over an embeddable expression."""
+    return f"nullif(regexp_extract({expr}, '{sql_quote_regex(DATE_PATTERN)}', 1), '')"
+
+
+def _month_map_sql() -> str:
+    entries = ", ".join(
+        f"'{k}', '{v}'" for k, v in SPANISH_MONTHS.items()
+    )
+    return f"map({entries})"
+
+
+def refine_month_sql(expr: str) -> str:
+    """SQL-text twin of ``refine_month``."""
+    return f"element_at({_month_map_sql()}, lower(trim({expr})))"
+
+
+def refine_year_sql(expr: str) -> str:
+    """SQL-text twin of ``refine_year``."""
+    return f"CASE WHEN trim({expr}) RLIKE '^[0-9]{{4}}$' THEN trim({expr}) END"
+
+
+def stringify_map_values_sql(expr: str) -> str:
+    """SQL-text twin of ``stringify_map_values``."""
+    return f"transform_values({expr}, (k, v) -> cast(v as string))"
+
+
+_EMPTY_MAP_SQL = (
+    "map_from_arrays(cast(array() as array<string>),"
+    " cast(array() as array<string>))"
+)
+
+
+def map_merge_new_wins_sql(old: str, new: str) -> str:
+    """SQL-text twin of ``map_merge_new_wins``."""
+    o = f"coalesce({old}, {_EMPTY_MAP_SQL})"
+    n = f"coalesce({new}, {_EMPTY_MAP_SQL})"
+    return (
+        f"map_filter(map_zip_with({o}, {n}, (k, ov, nv) -> coalesce(nv, ov)),"
+        " (k, v) -> v IS NOT NULL)"
+    )
+
+
 def refine_dates(col: Column | str) -> Column:
     """C1 — first ``dd/mm/yyyy`` token in the string, else NULL.
 

@@ -25,12 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.functions.scalars import (
-    format_text_key,
-    map_merge_new_wins,
-    refine_dates,
-    refine_month,
-    refine_year,
-    stringify_map_values,
+    map_merge_new_wins_sql,
+    refine_dates_sql,
+    refine_month_sql,
+    refine_year_sql,
+    stringify_map_values_sql,
 )
 from sbs_suptech_etl_v2_spark.io import table
 
@@ -60,13 +59,6 @@ def _month_case(expr: str) -> str:
     return f"CASE {expr}\n{whens}\n  END"
 
 
-def _month_col(expr: F.Column) -> F.Column:
-    c = F.when(expr == 0, _MONTHS_MIXED[0])
-    for i, m in enumerate(_MONTHS_MIXED[1:], start=1):
-        c = c.when(expr == i, m)
-    return c
-
-
 def scalar_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2/C3 — regex date pick, Spanish-month map, year validation.
 
@@ -75,31 +67,28 @@ def scalar_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     garbage / NULL), and a year string (valid / padded / split / alpha /
     NULL). All refinements are pure Column expressions — no UDFs.
     """
+    # SQL-text form (two selectExprs instead of ~150 py4j round trips
+    # of Column algebra — guide §5 driver-work note; analyzed plan is
+    # unchanged, see plans/r17/q14_scalar_refinement_{before,after}.txt)
     docs = table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    date_text = F.when(
-        did % 3 != 0,
-        F.format_string(
-            "Emitido el %02d/%02d/%04d en Lima",
-            (did % 28 + 1).cast("int"),
-            (did % 12 + 1).cast("int"),
-            (did % 30 + 2000).cast("int"),
-        ),
-    ).otherwise(F.lit("sin fecha registrada"))
-    month_raw = F.when(did % 14 == 12, F.lit("Birmingham")).when(
-        did % 14 != 13, _month_col(did % 14)
-    )  # %14==13 → NULL
-    year_raw = (
-        F.when(did % 5 == 0, F.lit("2023"))
-        .when(did % 5 == 1, F.lit(" 2024 "))
-        .when(did % 5 == 2, F.lit("20 23"))
-        .when(did % 5 == 3, F.lit("abc"))
-    )  # %5==4 → NULL
-    return docs.select(
+    raw = docs.selectExpr(
         "doc_id",
-        refine_dates(date_text).alias("refined_date"),
-        refine_month(month_raw).alias("refined_month"),
-        refine_year(year_raw).alias("refined_year"),
+        "CASE WHEN doc_id % 3 <> 0"
+        " THEN format_string('Emitido el %02d/%02d/%04d en Lima',"
+        " cast(doc_id % 28 + 1 as int), cast(doc_id % 12 + 1 as int),"
+        " cast(doc_id % 30 + 2000 as int))"
+        " ELSE 'sin fecha registrada' END AS date_text",
+        "CASE WHEN doc_id % 14 = 12 THEN 'Birmingham'"
+        f" WHEN doc_id % 14 <> 13 THEN {_month_case('doc_id % 14')}"
+        " END AS month_raw",  # %14==13 → NULL
+        "CASE doc_id % 5 WHEN 0 THEN '2023' WHEN 1 THEN ' 2024 '"
+        " WHEN 2 THEN '20 23' WHEN 3 THEN 'abc' END AS year_raw",  # %5==4 → NULL
+    )
+    return raw.selectExpr(
+        "doc_id",
+        f"{refine_dates_sql('date_text')} AS refined_date",
+        f"{refine_month_sql('month_raw')} AS refined_month",
+        f"{refine_year_sql('year_raw')} AS refined_year",
     )
 
 
@@ -143,43 +132,34 @@ def path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null-safe: unparseable folders yield NULL month/year
     (s3_poller_document.py:29-41).
     """
+    # SQL-text form (was ~230 py4j round trips of Column algebra;
+    # guide §5 — plan unchanged, see plans/r17/q15_path_parse_*.txt)
     docs = table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    month = F.trim(_month_col(did % 12))
-    year = (did % 6 + 2020).cast("string")
-    folder = F.concat(month, F.lit(" "), year)
-    key = (
-        F.when(
-            did % 5 == 0,
-            F.concat(F.lit("Polizas/"), folder, F.lit("/doc_"), did, F.lit(".pdf")),
-        )
-        .when(
-            did % 5 == 1,
-            F.concat(F.lit("Inscripciones/"), folder, F.lit("/doc_"), did, F.lit(".PDF")),
-        )
-        .when(did % 5 == 2, F.concat(F.lit("Tasaciones/"), folder, F.lit("/")))
-        .when(
-            did % 5 == 3,
-            F.concat(F.lit("Polizas/"), folder, F.lit("/doc_"), did, F.lit(".docx")),
-        )
-        .otherwise(F.concat(F.lit("Polizas/badfolder/doc_"), did, F.lit(".pdf")))
+    folder = (
+        f"concat(trim({_month_case('doc_id % 12')}), ' ',"
+        " cast(doc_id % 6 + 2020 as string))"
     )
-    listed = docs.select("doc_id", key.alias("key"))
+    listed = docs.selectExpr(
+        "doc_id",
+        "CASE"
+        f" WHEN doc_id % 5 = 0 THEN concat('Polizas/', {folder}, '/doc_', doc_id, '.pdf')"
+        f" WHEN doc_id % 5 = 1 THEN concat('Inscripciones/', {folder}, '/doc_', doc_id, '.PDF')"
+        f" WHEN doc_id % 5 = 2 THEN concat('Tasaciones/', {folder}, '/')"
+        f" WHEN doc_id % 5 = 3 THEN concat('Polizas/', {folder}, '/doc_', doc_id, '.docx')"
+        " ELSE concat('Polizas/badfolder/doc_', doc_id, '.pdf') END AS key",
+    )
     kept = listed.filter(
-        (~F.col("key").endswith("/")) & F.lower(F.col("key")).endswith(".pdf")
+        "NOT endswith(key, '/') AND endswith(lower(key), '.pdf')"
     )
-    parts = F.split(F.col("key"), "/")
-    folder_col = F.get(parts, 1)
-    folder_parts = F.split(folder_col, " ")
-    month_tok = F.when(F.size(folder_parts) == 2, F.get(folder_parts, 0))
-    year_tok = F.when(F.size(folder_parts) == 2, F.get(folder_parts, 1))
-    return kept.select(
+    month_tok = "CASE WHEN size(split(get(split(key, '/'), 1), ' ')) = 2 THEN get(split(get(split(key, '/'), 1), ' '), 0) END"
+    year_tok = "CASE WHEN size(split(get(split(key, '/'), 1), ' ')) = 2 THEN get(split(get(split(key, '/'), 1), ' '), 1) END"
+    return kept.selectExpr(
         "doc_id",
         "key",
-        F.get(parts, 0).alias("prefix"),
-        F.get(parts, F.size(parts) - 1).alias("basename"),
-        refine_month(month_tok).alias("period_month"),
-        refine_year(year_tok).alias("period_year"),
+        "get(split(key, '/'), 0) AS prefix",
+        "get(split(key, '/'), size(split(key, '/')) - 1) AS basename",
+        f"{refine_month_sql(month_tok)} AS period_month",
+        f"{refine_year_sql(year_tok)} AS period_year",
     )
 
 
@@ -244,23 +224,18 @@ def pages_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-level explode + double groupBy alternative (kept as
     q19_pages_explode for explicit G2 coverage) shuffles every word.
     """
+    # SQL-text form (one selectExpr, JVM-side parse — guide §5; plan
+    # unchanged, see plans/r17/q16_pages_concat_*.txt)
     docs = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_pages = F.ceil(F.size(words) / F.lit(PAGE_WORDS)).cast("int")
-    page_text = lambda i: F.array_join(  # noqa: E731
-        F.slice(words, (i - 1) * PAGE_WORDS + 1, PAGE_WORDS), " "
-    )
-    return docs.select(
+    words = "split(text, ' ')"
+    n_pages = f"cast(ceil(size({words}) / {PAGE_WORDS}) as int)"
+    return docs.selectExpr(
         "doc_id",
-        n_pages.alias("n_pages"),
-        F.size(words).cast("bigint").alias("n_words"),
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.least(n_pages, F.lit(FIRST_PAGES))),
-                page_text,
-            ),
-            "\n\n",
-        ).alias("first_pages"),
+        f"{n_pages} AS n_pages",
+        f"cast(size({words}) as bigint) AS n_words",
+        f"array_join(transform(sequence(1, least({n_pages}, {FIRST_PAGES})),"
+        f" p -> array_join(slice({words}, (p - 1) * {PAGE_WORDS} + 1, {PAGE_WORDS}), ' ')),"
+        " '\\n\\n') AS first_pages",
     )
 
 
@@ -304,37 +279,42 @@ def pages_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread() here: the hash repartition below collapses any
     # round-robin redistribution anyway (CollapseRepartition), so the
     # spread would contribute only its planning-probe latency
+    #
+    # Expressions are SQL-text (selectExpr / F.expr with SQL lambdas),
+    # not Column algebra: the Column/HOF form issued ~420 py4j round
+    # trips to assemble this exact plan (~0.4 s of driver latency per
+    # build on the bench box — guide §5, the driver should do almost
+    # no work); the string form parses JVM-side in ~12 calls and
+    # resolves to the same analyzed plan (pinned by the committed
+    # plans/r17 explain pair).
     docs = table(spark, sf_dir, "documents").repartition("doc_id")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    words = docs.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, word)"
     )
     pages = (
-        words.withColumn("page_no", (F.col("pos") / PAGE_WORDS).cast("int") + 1)
+        words.selectExpr(
+            "doc_id",
+            f"cast(pos / {PAGE_WORDS} as int) + 1 AS page_no",
+            "pos",
+            "word",
+        )
         .groupBy("doc_id", "page_no")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s.word,
-                ),
-                " ",
-            ).alias("page_text"),
-            F.count(F.lit(1)).alias("page_words"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, word))),"
+                " s -> s.word), ' ') AS page_text"
+            ),
+            F.expr("count(1) AS page_words"),
         )
     )
     return pages.groupBy("doc_id").agg(
-        F.max("page_no").cast("int").alias("n_pages"),
-        F.sum("page_words").cast("bigint").alias("n_words"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(F.collect_list(F.struct("page_no", "page_text"))),
-                    lambda s: s.page_no <= FIRST_PAGES,
-                ),
-                lambda s: s.page_text,
-            ),
-            "\n\n",
-        ).alias("first_pages"),
+        F.expr("cast(max(page_no) as int) AS n_pages"),
+        F.expr("cast(sum(page_words) as bigint) AS n_words"),
+        F.expr(
+            "array_join(transform(filter(array_sort(collect_list("
+            f"struct(page_no, page_text))), s -> s.page_no <= {FIRST_PAGES}),"
+            " s -> s.page_text), '\\n\\n') AS first_pages"
+        ),
     )
 
 
@@ -370,31 +350,31 @@ def metadata_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash plain strings instead of maps. The oracle computes the same
     merge relationally (new rows + old rows anti-joined on key).
     """
+    # SQL-text form (was ~330 py4j round trips — the map lambdas are
+    # especially chatty through the Column API; guide §5. Plan
+    # unchanged, see plans/r17/q17_metadata_merge_*.txt)
     customer = table(spark, sf_dir, "customer")
     # values pre-cast to string (C10's str(value)) — create_map would
     # otherwise coerce mixed value types to a common non-string type
-    old_map = stringify_map_values(
-        F.create_map(
-            F.lit("document_type"), F.col("c_mktsegment"),
-            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
-            F.lit("legacy"), F.concat(F.lit("old_"), F.col("c_custkey")),
+    old_map = stringify_map_values_sql(
+        "map('document_type', c_mktsegment,"
+        " 'acctbal', cast(c_acctbal as string),"
+        " 'legacy', concat('old_', c_custkey))"
+    )
+    new_map = (
+        "CASE WHEN c_custkey % 3 <> 0 THEN "
+        + stringify_map_values_sql(
+            "map('acctbal', cast(round(c_acctbal * 2, 2) as string),"
+            " 'status', CASE WHEN c_acctbal > 0 THEN 'active' ELSE 'frozen' END)"
         )
+        + " END"
     )
-    new_map = F.when(
-        F.col("c_custkey") % 3 != 0,
-        stringify_map_values(
-            F.create_map(
-                F.lit("acctbal"), F.round(F.col("c_acctbal") * 2, 2).cast("string"),
-                F.lit("status"), F.when(F.col("c_acctbal") > 0, "active").otherwise("frozen"),
-            )
-        ),
+    merged = customer.selectExpr(
+        "c_custkey AS custkey",
+        f"{map_merge_new_wins_sql(old_map, new_map)} AS meta",
     )
-    merged = customer.select(
-        F.col("c_custkey").alias("custkey"),
-        map_merge_new_wins(old_map, new_map).alias("meta"),
-    )
-    return merged.select(
-        "custkey", F.explode(F.col("meta")).alias("meta_key", "meta_value")
+    return merged.selectExpr(
+        "custkey", "explode(meta) AS (meta_key, meta_value)"
     )
 
 
@@ -433,22 +413,24 @@ def stage_gate_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
     string (workflow_orchestator.py:147-163). uuid() is intentionally
     NOT in the checked output (nondeterministic — C7).
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q18_stage_gate_notifications_*.txt)
     orders = table(spark, sf_dir, "orders")
-    flagged = orders.select(
+    flagged = orders.selectExpr(
         "o_orderkey",
         "o_custkey",
-        (F.col("o_totalprice") > 5000).alias("extract_success"),
-        (F.col("o_orderkey") % 7 != 0).alias("transform_success"),
-        (F.col("o_orderkey") % 11 != 0).alias("load_success"),
+        "o_totalprice > 5000 AS extract_success",
+        "o_orderkey % 7 <> 0 AS transform_success",
+        "o_orderkey % 11 <> 0 AS load_success",
     )
     ok = flagged.filter(
-        F.col("extract_success") & F.col("transform_success") & F.col("load_success")
+        "extract_success AND transform_success AND load_success"
     )
-    return ok.select(
-        F.col("o_orderkey").cast("string").alias("recordId"),
-        F.concat(F.lit("parent_"), F.col("o_custkey")).alias("parentId"),
-        F.concat(F.lit("session_"), (F.col("o_custkey") % 10)).alias("sessionId"),
-        F.lit(NOTIFICATION_TYPE).alias("type"),
+    return ok.selectExpr(
+        "cast(o_orderkey as string) AS recordId",
+        "concat('parent_', o_custkey) AS parentId",
+        "concat('session_', o_custkey % 10) AS sessionId",
+        f"'{NOTIFICATION_TYPE}' AS type",
     )
 
 
@@ -474,16 +456,18 @@ def artifact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output projection carries no text — Catalyst prunes the
     dropped columns out of the scan entirely.
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q37_artifact_keys_*.txt)
     docs = table(spark, sf_dir, "documents")
-    record_id = F.concat(F.lit("rec_"), F.col("doc_id").cast("string"))
-    body = F.encode(F.col("text"), "utf-8")
-    staged = docs.select(
-        record_id.alias("record_id"),
-        format_text_key(record_id).alias("s3_key"),
-        F.length(body).cast("bigint").alias("body_bytes"),
-        F.sha2(body, 256).alias("body_sha256"),
-        F.col("text"),
-        F.col("lang"),
+    record_id = "concat('rec_', cast(doc_id as string))"
+    body = "encode(text, 'utf-8')"
+    staged = docs.selectExpr(
+        f"{record_id} AS record_id",
+        f"format_string('txt/%s.txt', {record_id}) AS s3_key",
+        f"cast(length({body}) as bigint) AS body_bytes",
+        f"sha2({body}, 256) AS body_sha256",
+        "text",
+        "lang",
     )
     # F6/F8 — anti-projection: content dropped before the metadata sink
     return staged.drop("text", "lang")

@@ -161,3 +161,50 @@ def test_scalar_properties_match_python_reference(spark, values):
         assert row["d"] == _py_refine_dates(v), v
         assert row["m"] == _py_refine_month(v), v
         assert row["y"] == _py_refine_year(v), v
+
+
+def test_sql_twins_match(spark):
+    """The *_sql text twins must resolve to the same values as the
+    Column builders they mirror (r17: hot builders compose SQL text to
+    cut py4j round trips; this pins the two forms together)."""
+    from sbs_suptech_etl_v2_spark.functions.scalars import (
+        map_merge_new_wins_sql,
+        refine_dates_sql,
+        refine_month_sql,
+        refine_year_sql,
+        stringify_map_values_sql,
+    )
+
+    values = [
+        "Emitido el 01/02/2023 en Lima",
+        "  DICIEMBRE  ",
+        "Enero",
+        " 2024 ",
+        "20 23",
+        "abc",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    for col_fn, sql_fn in (
+        (refine_dates, refine_dates_sql),
+        (refine_month, refine_month_sql),
+        (refine_year, refine_year_sql),
+    ):
+        got = df.select(
+            col_fn(F.col("x")).alias("c"), F.expr(sql_fn("x")).alias("s")
+        ).collect()
+        assert [r["c"] for r in got] == [r["s"] for r in got], col_fn.__name__
+
+    mdf = spark.createDataFrame(
+        [(1.5, "seg")], "bal double, seg string"
+    ).selectExpr("map('a', cast(bal as string), 'b', seg) AS m1",
+                 "map('a', 'x') AS m2")
+    got = mdf.select(
+        stringify_map_values(F.col("m1")).alias("c"),
+        F.expr(stringify_map_values_sql("m1")).alias("s"),
+        map_merge_new_wins(F.col("m1"), F.col("m2")).alias("cm"),
+        F.expr(map_merge_new_wins_sql("m1", "m2")).alias("sm"),
+    ).collect()[0]
+    assert got["c"] == got["s"]
+    assert got["cm"] == got["sm"]
