@@ -27,21 +27,13 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.io import table
 from sbs_suptech_etl_v2_spark.checkpointing import materialize
 
 CLOSURE_DEPTH = 3  # Textract DAG height: PAGE -> LINE/KEY -> WORD/VALUE
-
-
-def _s(x) -> Column:
-    return x.cast("string") if isinstance(x, Column) else F.lit(str(x))
-
-
-def _bid(prefix: str, *parts) -> Column:
-    return F.concat_ws("-", F.lit(prefix), *[_s(p) for p in parts])
 
 
 def synthesize_blocks(docs: DataFrame) -> DataFrame:
@@ -53,75 +45,72 @@ def synthesize_blocks(docs: DataFrame) -> DataFrame:
     hold the VALUE id (the reference traverses every relationship type,
     extract_async_helper.py:36-45, so one edge array suffices).
     """
-    did = F.col("doc_id")
-    pages = docs.select(
-        "doc_id", F.explode(F.sequence(F.lit(1), (did % 2 + 1).cast("int"))).alias("p")
+    # SQL-text form (was ~430 py4j round trips of Column algebra across
+    # the five block frames — guide §5; plan unchanged, see
+    # plans/r17/q34_blocks_page_text_*.txt)
+    _d, _p, _l, _w = (
+        "cast(doc_id as string)",
+        "cast(p as string)",
+        "cast(l as string)",
+        "cast(w as string)",
     )
-    n_lines = (F.col("doc_id") % 3 + 2).cast("int")
-    lines = pages.select(
-        "doc_id", "p", F.explode(F.sequence(F.lit(1), n_lines)).alias("l")
+    pages = docs.selectExpr(
+        "doc_id", "explode(sequence(1, cast(doc_id % 2 + 1 as int))) AS p"
     )
-    page_blocks = pages.select(
+    n_lines = "cast(doc_id % 3 + 2 as int)"
+    lines = pages.selectExpr(
+        "doc_id", "p", f"explode(sequence(1, {n_lines})) AS l"
+    )
+    page_blocks = pages.selectExpr(
         "doc_id",
-        _bid("pg", F.col("doc_id"), F.col("p")).alias("block_id"),
-        F.lit("PAGE").alias("block_type"),
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("int").alias("line_no"),
-        F.col("p").cast("int").alias("page_no"),
-        F.concat(
-            F.transform(
-                F.sequence(F.lit(1), n_lines),
-                lambda l: F.concat_ws(
-                    "-", F.lit("ln"), _s(F.col("doc_id")), _s(F.col("p")), _s(l)
-                ),
-            ),
-            F.array(_bid("kvk", F.col("doc_id"), F.col("p"))),
-        ).alias("child_ids"),
+        f"concat_ws('-', 'pg', {_d}, {_p}) AS block_id",
+        "'PAGE' AS block_type",
+        "cast(null as string) AS text",
+        "cast(null as int) AS line_no",
+        "cast(p as int) AS page_no",
+        f"concat(transform(sequence(1, {n_lines}),"
+        f" l -> concat_ws('-', 'ln', {_d}, {_p}, cast(l as string))),"
+        f" array(concat_ws('-', 'kvk', {_d}, {_p}))) AS child_ids",
     )
-    line_blocks = lines.select(
+    line_blocks = lines.selectExpr(
         "doc_id",
-        _bid("ln", F.col("doc_id"), F.col("p"), F.col("l")).alias("block_id"),
-        F.lit("LINE").alias("block_type"),
-        F.concat(
-            F.lit("linea "), _s(F.col("l")), F.lit(" pagina "), _s(F.col("p")),
-            F.lit(" doc "), _s(F.col("doc_id")),
-        ).alias("text"),
-        F.col("l").cast("int").alias("line_no"),
-        F.col("p").cast("int").alias("page_no"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(2)),
-            lambda w: F.concat_ws(
-                "-", F.lit("wd"), _s(F.col("doc_id")), _s(F.col("p")), _s(F.col("l")), _s(w)
-            ),
-        ).alias("child_ids"),
+        f"concat_ws('-', 'ln', {_d}, {_p}, {_l}) AS block_id",
+        "'LINE' AS block_type",
+        f"concat('linea ', {_l}, ' pagina ', {_p}, ' doc ', {_d}) AS text",
+        "cast(l as int) AS line_no",
+        "cast(p as int) AS page_no",
+        "transform(sequence(1, 2),"
+        f" w -> concat_ws('-', 'wd', {_d}, {_p}, {_l}, cast(w as string))) AS child_ids",
     )
-    words = lines.select("doc_id", "p", "l", F.explode(F.sequence(F.lit(1), F.lit(2))).alias("w"))
-    word_blocks = words.select(
-        "doc_id",
-        _bid("wd", F.col("doc_id"), F.col("p"), F.col("l"), F.col("w")).alias("block_id"),
-        F.lit("WORD").alias("block_type"),
-        F.concat(F.lit("w"), _s(F.col("l")), _s(F.col("w"))).alias("text"),
-        F.lit(None).cast("int").alias("line_no"),
-        F.col("p").cast("int").alias("page_no"),
-        F.array().cast("array<string>").alias("child_ids"),
+    words = lines.selectExpr(
+        "doc_id", "p", "l", "explode(sequence(1, 2)) AS w"
     )
-    kv_keys = pages.select(
+    word_blocks = words.selectExpr(
         "doc_id",
-        _bid("kvk", F.col("doc_id"), F.col("p")).alias("block_id"),
-        F.lit("KEY_VALUE_SET").alias("block_type"),
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("int").alias("line_no"),
-        F.col("p").cast("int").alias("page_no"),
-        F.array(_bid("kvv", F.col("doc_id"), F.col("p"))).alias("child_ids"),
+        f"concat_ws('-', 'wd', {_d}, {_p}, {_l}, {_w}) AS block_id",
+        "'WORD' AS block_type",
+        f"concat('w', {_l}, {_w}) AS text",
+        "cast(null as int) AS line_no",
+        "cast(p as int) AS page_no",
+        "cast(array() as array<string>) AS child_ids",
     )
-    kv_vals = pages.select(
+    kv_keys = pages.selectExpr(
         "doc_id",
-        _bid("kvv", F.col("doc_id"), F.col("p")).alias("block_id"),
-        F.lit("KEY_VALUE_SET").alias("block_type"),
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("int").alias("line_no"),
-        F.col("p").cast("int").alias("page_no"),
-        F.array().cast("array<string>").alias("child_ids"),
+        f"concat_ws('-', 'kvk', {_d}, {_p}) AS block_id",
+        "'KEY_VALUE_SET' AS block_type",
+        "cast(null as string) AS text",
+        "cast(null as int) AS line_no",
+        "cast(p as int) AS page_no",
+        f"array(concat_ws('-', 'kvv', {_d}, {_p})) AS child_ids",
+    )
+    kv_vals = pages.selectExpr(
+        "doc_id",
+        f"concat_ws('-', 'kvv', {_d}, {_p}) AS block_id",
+        "'KEY_VALUE_SET' AS block_type",
+        "cast(null as string) AS text",
+        "cast(null as int) AS line_no",
+        "cast(p as int) AS page_no",
+        "cast(array() as array<string>) AS child_ids",
     )
     return reduce(
         lambda a, b: a.unionByName(b),
@@ -184,14 +173,11 @@ def blocks_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = reach.join(line_blocks, reach.bid == line_blocks.block_id)
     return hit.groupBy("doc_id", "page_no").agg(
-        F.count(F.lit(1)).alias("lines_count"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "text"))),
-                lambda s: s.text,
-            ),
-            "\n",
-        ).alias("page_text"),
+        F.expr("count(1) AS lines_count"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(line_no, text))),"
+            " s -> s.text), '\\n') AS page_text"
+        ),
     )
 
 

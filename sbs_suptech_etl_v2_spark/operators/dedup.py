@@ -113,6 +113,43 @@ def _shingle_hashes(text: Column) -> Column:
     )
 
 
+# --- Spark-SQL-text twins of the expression helpers above ---------------
+# Hot builders compose these into one selectExpr so the whole projection
+# parses JVM-side in a single py4j round trip instead of one trip per
+# Column node (guide §5 — keep the driver out of per-expression work).
+# Twins mirror the Column forms token for token; the committed
+# plans/r17 explain pairs pin the resolved plans as identical.
+
+
+def _hash32_sql(expr: str) -> str:
+    """SQL-text twin of ``_hash32``."""
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)"
+
+
+def _shingle_hashes_sql(expr: str) -> str:
+    """SQL-text twin of ``_shingle_hashes`` (same _let idiom)."""
+    P = MERSENNE_P
+    return (
+        f"get(transform(array(transform(split({expr}, ' '),"
+        f" w -> {_hash32_sql('w')} % {P})),"
+        f" hs -> CASE WHEN size(hs) >= {SHINGLE_K}"
+        " THEN array_distinct(transform(sequence(0, size(hs) - "
+        f"{SHINGLE_K}),"
+        f" i -> ((hs[i] * 31 + hs[i + 1]) * 31 + hs[i + 2]) % {P}))"
+        f" ELSE array({_hash32_sql(expr)} % {P}) END), 0)"
+    )
+
+
+_VARIANT_TEXT_SQL = (
+    "get(transform(array(split(text, ' ')),"
+    f" ws -> array_join(slice(ws, 1, greatest({SHINGLE_K},"
+    # the D suffix keeps the literal a DOUBLE exactly like F.lit(0.8)
+    # (a bare 0.8 parses as DECIMAL(1,1) and would change the floor's
+    # input type)
+    f" cast(floor(size(ws) * {VARIANT_KEEP}D) as int))), ' ')), 0)"
+)
+
+
 def _minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>) — N_HASHES-element MinHash signature
     per corpus row, as an Arrow-batched ``mapInPandas`` NumPy kernel.
@@ -254,25 +291,9 @@ def _shingle_sets(corpus: DataFrame) -> DataFrame:
 def _variant_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ planted near-duplicates (every 4th doc, 80% prefix)."""
     base = docs.select("doc_id", "text")
-    variants = (
-        docs.filter(F.col("doc_id") % 4 == 0)
-        .select(
-            (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
-            _let(
-                _words(F.col("text")),
-                lambda ws: F.array_join(
-                    F.slice(
-                        ws,
-                        1,
-                        F.greatest(
-                            F.lit(SHINGLE_K),
-                            F.floor(F.size(ws) * VARIANT_KEEP).cast("int"),
-                        ),
-                    ),
-                    " ",
-                ),
-            ).alias("text"),
-        )
+    variants = docs.filter("doc_id % 4 = 0").selectExpr(
+        f"doc_id + {VARIANT_OFFSET} AS doc_id",
+        f"{_VARIANT_TEXT_SQL} AS text",
     )
     return base.unionByName(variants)
 
@@ -1094,35 +1115,22 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     form joins the candidate pairs from the LSH bucket stage
     (minhash_neardup) back to the shingle table.
     """
+    # SQL-text form (was ~420 py4j round trips of nested-HOF Column
+    # algebra — guide §5; plan unchanged, plans/r17/q23_ngram_jaccard_*)
     docs = spread(table(spark, sf_dir, "documents"))
-    pairs = docs.filter(F.col("doc_id") % 4 == 0).select(
+    pairs = docs.filter("doc_id % 4 = 0").selectExpr(
         "doc_id",
-        _shingle_hashes(F.col("text")).alias("s_base"),
-        _shingle_hashes(
-            _let(
-                _words(F.col("text")),
-                lambda ws: F.array_join(
-                    F.slice(
-                        ws,
-                        1,
-                        F.greatest(
-                            F.lit(SHINGLE_K),
-                            F.floor(F.size(ws) * VARIANT_KEEP).cast("int"),
-                        ),
-                    ),
-                    " ",
-                ),
-            )
-        ).alias("s_var"),
+        f"{_shingle_hashes_sql('text')} AS s_base",
+        f"{_shingle_hashes_sql(_VARIANT_TEXT_SQL)} AS s_var",
     )
-    inter = F.size(F.array_intersect("s_base", "s_var"))
-    union = F.size(F.array_union("s_base", "s_var"))
-    return pairs.select(
+    inter = "size(array_intersect(s_base, s_var))"
+    union = "size(array_union(s_base, s_var))"
+    return pairs.selectExpr(
         "doc_id",
-        (F.col("doc_id") + VARIANT_OFFSET).alias("variant_id"),
-        inter.cast("bigint").alias("n_intersect"),
-        union.cast("bigint").alias("n_union"),
-        (inter / union).alias("jaccard"),
+        f"doc_id + {VARIANT_OFFSET} AS variant_id",
+        f"cast({inter} as bigint) AS n_intersect",
+        f"cast({union} as bigint) AS n_union",
+        f"{inter} / {union} AS jaccard",
     )
 
 
@@ -1221,28 +1229,16 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop out (they have no dedupable unit).
     """
     docs = table(spark, sf_dir, "documents")
-    chunks = docs.select(
+    # SQL-text form (was ~230 py4j round trips — guide §5; plan
+    # unchanged, plans/r17/q79_chunk_dedup_*). sequence(0, -1) would
+    # DESCEND in Spark — guard sub-chunk-length docs to an empty list.
+    chunks = docs.selectExpr(
         "doc_id",
-        F.explode(
-            _let(
-                _words(F.col("text")),
-                # sequence(0, -1) would DESCEND in Spark — guard the
-                # sub-chunk-length docs to an empty chunk list instead
-                lambda ws: F.when(
-                    F.size(ws) >= CHUNK_TOKENS,
-                    F.transform(
-                        F.sequence(
-                            F.lit(0), F.floor(F.size(ws) / CHUNK_TOKENS).cast("int") - 1
-                        ),
-                        lambda i: F.md5(
-                            F.array_join(
-                                F.slice(ws, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
-                            )
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>")),
-            )
-        ).alias("chunk_md5"),
+        "explode(get(transform(array(split(text, ' ')),"
+        f" ws -> CASE WHEN size(ws) >= {CHUNK_TOKENS}"
+        f" THEN transform(sequence(0, cast(floor(size(ws) / {CHUNK_TOKENS}) as int) - 1),"
+        f" i -> md5(array_join(slice(ws, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' ')))"
+        " ELSE cast(array() as array<string>) END), 0)) AS chunk_md5",
     )
     freq = chunks.groupBy("chunk_md5").agg(
         F.count_distinct("doc_id").alias("chunk_docs")
@@ -1294,35 +1290,22 @@ def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator). The planted variants are 80% prefixes, so containment
     of the variant in its base is ~1.0 while q23's Jaccard is ~0.8.
     """
+    # SQL-text form (was ~430 py4j round trips — guide §5; plan
+    # unchanged, plans/r17/q84_shingle_containment_*)
     docs = spread(table(spark, sf_dir, "documents"))
-    pairs = docs.filter(F.col("doc_id") % 4 == 0).select(
+    pairs = docs.filter("doc_id % 4 = 0").selectExpr(
         "doc_id",
-        _shingle_hashes(F.col("text")).alias("s_base"),
-        _shingle_hashes(
-            _let(
-                _words(F.col("text")),
-                lambda ws: F.array_join(
-                    F.slice(
-                        ws,
-                        1,
-                        F.greatest(
-                            F.lit(SHINGLE_K),
-                            F.floor(F.size(ws) * VARIANT_KEEP).cast("int"),
-                        ),
-                    ),
-                    " ",
-                ),
-            )
-        ).alias("s_var"),
+        f"{_shingle_hashes_sql('text')} AS s_base",
+        f"{_shingle_hashes_sql(_VARIANT_TEXT_SQL)} AS s_var",
     )
-    inter = F.size(F.array_intersect("s_base", "s_var"))
-    return pairs.select(
+    inter = "size(array_intersect(s_base, s_var))"
+    return pairs.selectExpr(
         "doc_id",
-        (F.col("doc_id") + VARIANT_OFFSET).alias("variant_id"),
-        F.size("s_var").cast("bigint").alias("n_var_shingles"),
-        inter.cast("bigint").alias("n_contained"),
-        (inter / F.size("s_var")).alias("containment"),
-    ).withColumn("is_subset_dup", F.col("containment") >= 0.9)
+        f"doc_id + {VARIANT_OFFSET} AS variant_id",
+        "cast(size(s_var) as bigint) AS n_var_shingles",
+        f"cast({inter} as bigint) AS n_contained",
+        f"{inter} / size(s_var) AS containment",
+    ).withColumn("is_subset_dup", F.expr("containment >= 0.9"))
 
 
 SHINGLE_CONTAINMENT_SQL = f"""

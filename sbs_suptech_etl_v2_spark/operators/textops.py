@@ -37,8 +37,7 @@ from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.operators.dedup import (
     _ORACLE_SHINGLE_HASHES,
     _hash32,
-    _let,
-    _shingle_hashes,
+    _shingle_hashes_sql,
     _words,
 )
 
@@ -70,28 +69,21 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token-ratio floor. Everything derives per-row from ``text`` —
     map-only, shuffle-free, whole-stage-codegen'd.
     """
+    # SQL-text form (the nested-HOF Column chain was ~260 py4j round
+    # trips — guide §5; plan unchanged, see plans/r17/q26_text_stats_*)
     docs = table(spark, sf_dir, "documents")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    out = _let(
-        _words(F.col("text")),
-        lambda ws: F.struct(
-            F.size(ws).cast("bigint").alias("n_tokens"),
-            F.size(F.array_distinct(ws)).cast("bigint").alias("n_types"),
-            (F.size(F.filter(ws, lambda t: F.array_contains(stop_arr, t))) / F.size(ws)).alias(
-                "stopword_ratio"
-            ),
-            (
-                F.aggregate(
-                    F.transform(ws, lambda t: F.length(t).cast("bigint")),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                )
-                / F.size(ws)
-            ).alias("mean_token_len"),
-            (F.size(F.array_distinct(ws)) / F.size(ws)).alias("type_token_ratio"),
-        ),
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    out = (
+        "get(transform(array(split(text, ' ')), ws -> struct("
+        "cast(size(ws) as bigint) AS n_tokens,"
+        " cast(size(array_distinct(ws)) as bigint) AS n_types,"
+        f" size(filter(ws, t -> array_contains({stop_arr}, t))) / size(ws) AS stopword_ratio,"
+        " aggregate(transform(ws, t -> cast(length(t) as bigint)),"
+        "  cast(0 as bigint), (acc, x) -> acc + x) / size(ws) AS mean_token_len,"
+        " size(array_distinct(ws)) / size(ws) AS type_token_ratio"
+        ")), 0)"
     )
-    stats = docs.select("doc_id", "lang", F.col("n_chars"), out.alias("s")).select(
+    stats = docs.selectExpr("doc_id", "lang", "n_chars", f"{out} AS s").selectExpr(
         "doc_id",
         "lang",
         "n_chars",
@@ -101,13 +93,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s.mean_token_len",
         "s.type_token_ratio",
     )
-    keep = (
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("n_tokens") <= MAX_TOKENS)
-        & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
-        & (F.col("type_token_ratio") >= MIN_TTR)
+    return stats.withColumn(
+        "keep",
+        F.expr(
+            f"n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}"
+            f" AND stopword_ratio <= {MAX_STOPWORD_RATIO}"
+            f" AND type_token_ratio >= {MIN_TTR}"
+        ),
     )
-    return stats.withColumn("keep", keep)
 
 
 TEXT_STATS_SQL = f"""
@@ -241,32 +234,33 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only; with char-n-gram profiles the plan is identical, only the
     membership arrays grow.
     """
+    # SQL-text form (was ~240 py4j round trips — guide §5; plan
+    # unchanged, see plans/r17/q29_language_id_*.txt)
     docs = table(spark, sf_dir, "documents")
     langs = sorted(LANG_PROFILES)
 
-    def hits(ws, lang: str):
-        profile = F.array(*[F.lit(t) for t in LANG_PROFILES[lang]])
-        return F.size(F.filter(ws, lambda t: F.array_contains(profile, t)))
+    def hits(lang: str) -> str:
+        profile = "array(" + ", ".join(f"'{t}'" for t in LANG_PROFILES[lang]) + ")"
+        return f"size(filter(ws, t -> array_contains({profile}, t)))"
 
-    scored = docs.select(
+    struct_fields = ", ".join(
+        f"cast({hits(lang)} as bigint) AS score_{lang}" for lang in langs
+    )
+    scored = docs.selectExpr(
         "doc_id",
-        F.col("lang").alias("actual_lang"),
-        _let(
-            _words(F.col("text")),
-            lambda ws: F.struct(
-                *[hits(ws, lang).cast("bigint").alias(f"score_{lang}") for lang in langs]
-            ),
-        ).alias("s"),
-    ).select("doc_id", "actual_lang", *[f"s.score_{lang}" for lang in langs])
-    best = scored
-    pred = F.lit(langs[0])
-    best_score = F.col(f"score_{langs[0]}")
+        "lang AS actual_lang",
+        "get(transform(array(split(text, ' ')),"
+        f" ws -> struct({struct_fields})), 0) AS s",
+    ).selectExpr("doc_id", "actual_lang", *[f"s.score_{lang}" for lang in langs])
+    # same left-to-right argmax chain as the oracle SQL
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
     for lang in langs[1:]:
-        cond = F.col(f"score_{lang}") > best_score
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
-    return best.withColumn("predicted_lang", pred).select(
-        "doc_id", "actual_lang", "predicted_lang", *[f"score_{lang}" for lang in langs]
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return scored.selectExpr(
+        "doc_id", "actual_lang", f"{pred} AS predicted_lang",
+        *[f"score_{lang}" for lang in langs],
     )
 
 
@@ -344,14 +338,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     all. Usable directly as the exact-dedup key at 100 TB (constant
     size per row regardless of document length). Map-only plan.
     """
+    # SQL-text form (the shingle-hash HOF chain was ~200 py4j round
+    # trips — guide §5; plan unchanged, see plans/r17/q30_doc_fingerprint_*)
     docs = spread(table(spark, sf_dir, "documents"))
-    sketch = _let(
-        F.array_sort(_shingle_hashes(F.col("text"))),
-        lambda hs: F.array_join(
-            F.transform(F.slice(hs, 1, FINGERPRINT_K), lambda h: h.cast("string")), "-"
-        ),
+    sketch = (
+        f"get(transform(array(array_sort({_shingle_hashes_sql('text')})),"
+        f" hs -> array_join(transform(slice(hs, 1, {FINGERPRINT_K}),"
+        " h -> cast(h as string)), '-')), 0)"
     )
-    return docs.select("doc_id", sketch.alias("fingerprint"))
+    return docs.selectExpr("doc_id", f"{sketch} AS fingerprint")
 
 
 DOC_FINGERPRINT_SQL = f"""
