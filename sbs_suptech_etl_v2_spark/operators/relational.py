@@ -53,50 +53,51 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact (precision, scale) the one-level decimal sums produced,
     so every output double is bit-identical to the flat form.
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q01_pricing_summary_*.txt)
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
-    q4 = (_dec(F.col("l_quantity"), 4) * 10000).cast("bigint")
-    b4 = (_dec(F.col("l_extendedprice"), 4) * 10000).cast("bigint")
-    d6 = (_dec(disc_price) * 1000000).cast("bigint")
-    c6 = (_dec(charge) * 1000000).cast("bigint")
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"({disc_price}) * (1 + l_tax)"
+    q4 = "cast(cast(l_quantity as decimal(18,4)) * 10000 as bigint)"
+    b4 = "cast(cast(l_extendedprice as decimal(18,4)) * 10000 as bigint)"
+    d6 = f"cast(cast({disc_price} as decimal(18,6)) * 1000000 as bigint)"
+    c6 = f"cast(cast({charge} as decimal(18,6)) * 1000000 as bigint)"
     partial = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter("l_shipdate <= cast('1998-09-02 00:00:00' as timestamp)")
         .groupBy(
             "l_returnflag",
             "l_linestatus",
             # salt over columns the aggregate already reads — never
             # widen the pruned scan for the salt
-            F.pmod(
-                F.hash("l_extendedprice", "l_quantity"), F.lit(_MOMENT_SALTS)
+            F.expr(
+                f"pmod(hash(l_extendedprice, l_quantity), {_MOMENT_SALTS})"
             ).alias("_salt"),
         )
         .agg(
-            F.sum(q4).alias("_pq"),
-            F.sum(b4).alias("_pb"),
-            F.sum(d6).alias("_pd"),
-            F.sum(c6).alias("_pc"),
-            F.count(F.lit(1)).alias("_pn"),
+            F.expr(f"sum({q4}) AS _pq"),
+            F.expr(f"sum({b4}) AS _pb"),
+            F.expr(f"sum({d6}) AS _pd"),
+            F.expr(f"sum({c6}) AS _pc"),
+            F.expr("count(1) AS _pn"),
         )
     )
-    dec0 = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
     agg = partial.groupBy("l_returnflag", "l_linestatus").agg(
-        (F.sum(dec0("_pq")) / 10000).cast("decimal(28,4)").alias("_sum_qty"),
-        (F.sum(dec0("_pb")) / 10000).cast("decimal(28,4)").alias("_sum_base"),
-        (F.sum(dec0("_pd")) / 1000000).cast("decimal(28,6)").alias("_sum_disc"),
-        (F.sum(dec0("_pc")) / 1000000).cast("decimal(28,6)").alias("_sum_charge"),
-        F.sum("_pn").alias("count_order"),
+        F.expr("cast(sum(cast(_pq as decimal(28,0))) / 10000 as decimal(28,4)) AS _sum_qty"),
+        F.expr("cast(sum(cast(_pb as decimal(28,0))) / 10000 as decimal(28,4)) AS _sum_base"),
+        F.expr("cast(sum(cast(_pd as decimal(28,0))) / 1000000 as decimal(28,6)) AS _sum_disc"),
+        F.expr("cast(sum(cast(_pc as decimal(28,0))) / 1000000 as decimal(28,6)) AS _sum_charge"),
+        F.expr("sum(_pn) AS count_order"),
     )
-    return agg.select(
+    return agg.selectExpr(
         "l_returnflag",
         "l_linestatus",
-        F.col("_sum_qty").cast("double").alias("sum_qty"),
-        F.col("_sum_base").cast("double").alias("sum_base_price"),
-        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
-        F.col("_sum_charge").cast("double").alias("sum_charge"),
-        (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
-        F.col("count_order"),
+        "cast(_sum_qty as double) AS sum_qty",
+        "cast(_sum_base as double) AS sum_base_price",
+        "cast(_sum_disc as double) AS sum_disc_price",
+        "cast(_sum_charge as double) AS sum_charge",
+        "cast(_sum_qty as double) / count_order AS avg_qty",
+        "cast(_sum_base as double) / count_order AS avg_price",
+        "count_order",
     )
 
 
@@ -475,16 +476,15 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     customer, orders = load(spark, sf_dir, "customer", "orders")
     flags = orders.groupBy("o_custkey").agg(
-        F.max((F.col("o_totalprice") > 100000).cast("int")).alias("is_big"),
-        F.max(
-            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")).cast(
-                "int"
-            )
-        ).alias("is_recent"),
-        F.max((F.col("o_orderstatus") == "O").cast("int")).alias("is_open"),
+        F.expr("max(cast(o_totalprice > 100000 as int)) AS is_big"),
+        F.expr(
+            "max(cast(o_orderdate >= cast('1997-01-01 00:00:00' as timestamp)"
+            " as int)) AS is_recent"
+        ),
+        F.expr("max(cast(o_orderstatus = 'O' as int)) AS is_open"),
     )
     keys = flags.filter(
-        (F.col("is_big") == 1) & (F.col("is_recent") == 1) & (F.col("is_open") == 0)
+        "is_big = 1 AND is_recent = 1 AND is_open = 0"
     ).select("o_custkey")
     return keys.join(customer, keys.o_custkey == customer.c_custkey).select(
         "c_custkey", "c_name"
@@ -518,24 +518,24 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate; only two sums) — the flat one-exchange form stays.
     """
     li, part = load(spark, sf_dir, "lineitem", "part")
-    disc = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
-        F.lit(0).cast("decimal(18,6)")
+    disc = "cast(l_extendedprice * (1 - l_discount) as decimal(18,6))"
+    promo = (
+        f"CASE WHEN p_type = 'PROMO' THEN {disc}"
+        " ELSE cast(0 as decimal(18,6)) END"
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .groupBy(F.expr("date_trunc('month', l_shipdate)").alias("ship_month"))
         .agg(
-            F.sum(promo).alias("_promo"),
-            F.sum(disc).alias("_total"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.expr(f"sum({promo}) AS _promo"),
+            F.expr(f"sum({disc}) AS _total"),
+            F.expr("count(1) AS n_items"),
         )
-        .select(
+        .selectExpr(
             "ship_month",
-            (F.col("_promo").cast("double") * 100 / F.col("_total").cast("double")).alias(
-                "promo_share_pct"
-            ),
-            F.col("_total").cast("double").alias("total_revenue"),
+            "cast(_promo as double) * 100 / cast(_total as double)"
+            " AS promo_share_pct",
+            "cast(_total as double) AS total_revenue",
             "n_items",
         )
     )
@@ -889,6 +889,26 @@ def _epoch_seconds(c) -> Column:
     )
 
 
+def _epoch_seconds_sql(e: str) -> str:
+    """SQL-text twin of ``_epoch_seconds`` (guide §5 — hot builders
+    compose projections as SQL text parsed JVM-side in one round trip)."""
+    return (
+        f"(cast(datediff(to_date({e}), cast('1970-01-01' as date)) as bigint)"
+        f" * 86400 + cast(hour({e}) as bigint) * 3600"
+        f" + cast(minute({e}) as bigint) * 60 + cast(second({e}) as bigint))"
+    )
+
+
+def _epoch_micros_sql(e: str) -> str:
+    """SQL-text twin of ``_epoch_micros``."""
+    return (
+        f"(cast(datediff(to_date({e}), cast('1970-01-01' as date)) as bigint)"
+        f" * 86400000000 + cast(hour({e}) as bigint) * 3600000000"
+        f" + cast(minute({e}) as bigint) * 60000000"
+        f" + cast(date_part('SECOND', {e}) * 1000000 as bigint))"
+    )
+
+
 def rolling_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window — SURVEY §2.6 frame-spec coverage beyond
     q10's ROWS frame: per customer, each order's trailing
@@ -1200,22 +1220,24 @@ def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks in ``[p.ts - W, p.ts)`` always fall in bucket(p) or
     bucket(p)-1 regardless of timezone offset.
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q68_interval_join_*.txt)
     window_s = 600
     ev = table(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        F.col("event_id").alias("click_id"),
-        (_epoch_seconds(F.col("ts")) / window_s).cast("bigint").alias("bucket"),
+    clicks = ev.where("event_type = 'click'").selectExpr(
+        "user_id AS c_user",
+        "ts AS c_ts",
+        "event_id AS click_id",
+        f"cast({_epoch_seconds_sql('ts')} / {window_s} as bigint) AS bucket",
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
+    purchases = ev.where("event_type = 'purchase'").selectExpr(
         "event_id",
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        (_epoch_seconds(F.col("ts")) / window_s).cast("bigint").alias("p_bucket"),
+        "user_id AS p_user",
+        "ts AS p_ts",
+        f"cast({_epoch_seconds_sql('ts')} / {window_s} as bigint) AS p_bucket",
     )
     probes = purchases.withColumn(
-        "bucket", F.explode(F.array(F.col("p_bucket") - 1, F.col("p_bucket")))
+        "bucket", F.expr("explode(array(p_bucket - 1, p_bucket))")
     )
     joined = probes.join(
         clicks,
@@ -1929,41 +1951,40 @@ def quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupting, so the budget is fail-loud. The merge level is
     |groups| x salts rows — trivial at any scale.
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q94_quantity_price_stats_*.txt)
     li = table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
     # quantized per-row integers: decimal cast (HALF_UP on the exact
     # double expansion, matching the oracle's CAST) then exact *100
-    xc = (x.cast("decimal(18,2)") * 100).cast("bigint")
-    yc = (y.cast("decimal(18,2)") * 100).cast("bigint")
-    xxc = ((x * x).cast("decimal(18,2)") * 100).cast("bigint")
-    yyc = (y * y).cast("decimal(18,0)").cast("bigint")
-    xyc = ((x * y).cast("decimal(18,2)") * 100).cast("bigint")
+    xc = "cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)"
+    yc = "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+    xxc = "cast(cast(l_quantity * l_quantity as decimal(18,2)) * 100 as bigint)"
+    yyc = "cast(cast(l_extendedprice * l_extendedprice as decimal(18,0)) as bigint)"
+    xyc = "cast(cast(l_quantity * l_extendedprice as decimal(18,2)) * 100 as bigint)"
     # salt from the two columns the moments already scan (hash of the
     # value pair spreads 600k rows over 1024 buckets fine at sf0.1 and
     # prices stay near-unique at any SF) — salting on a key column
     # would widen the pruned 3-column scan for nothing
     partial = li.groupBy(
         "l_returnflag",
-        F.pmod(
-            F.hash("l_quantity", "l_extendedprice"), F.lit(_MOMENT_SALTS)
+        F.expr(
+            f"pmod(hash(l_quantity, l_extendedprice), {_MOMENT_SALTS})"
         ).alias("_salt"),
     ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum(xc).alias("_px"),
-        F.sum(yc).alias("_py"),
-        F.sum(xxc).alias("_pxx"),
-        F.sum(yyc).alias("_pyy"),
-        F.sum(xyc).alias("_pxy"),
+        F.expr("cast(count(1) as bigint) AS _n"),
+        F.expr(f"sum({xc}) AS _px"),
+        F.expr(f"sum({yc}) AS _py"),
+        F.expr(f"sum({xxc}) AS _pxx"),
+        F.expr(f"sum({yyc}) AS _pyy"),
+        F.expr(f"sum({xyc}) AS _pxy"),
     )
-    dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
     agg = partial.groupBy("l_returnflag").agg(
-        F.sum("_n").alias("n_rows"),
-        F.sum(dec("_px")).alias("_sx"),
-        F.sum(dec("_py")).alias("_sy"),
-        F.sum(dec("_pxx")).alias("_sxx"),
-        F.sum(dec("_pyy")).alias("_syy"),
-        F.sum(dec("_pxy")).alias("_sxy"),
+        F.expr("sum(_n) AS n_rows"),
+        F.expr("sum(cast(_px as decimal(28,0))) AS _sx"),
+        F.expr("sum(cast(_py as decimal(28,0))) AS _sy"),
+        F.expr("sum(cast(_pxx as decimal(28,0))) AS _sxx"),
+        F.expr("sum(cast(_pyy as decimal(28,0))) AS _syy"),
+        F.expr("sum(cast(_pxy as decimal(28,0))) AS _sxy"),
     )
     n = F.col("n_rows").cast("double")
 
@@ -2231,44 +2252,40 @@ def user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream MERGE. Value totals sum as DECIMAL(18,6) (exact,
     order-independent) and surface as DOUBLE.
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q98_user_snapshot_diff_*.txt)
     ev = table(spark, sf_dir, "events")
 
     def snap(lo: str, hi: str) -> DataFrame:
         return (
             ev.filter(
-                (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
-                & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+                f"ts >= cast('{lo}' as timestamp_ntz)"
+                f" AND ts < cast('{hi}' as timestamp_ntz)"
             )
             .groupBy("user_id")
             .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("double")
-                .alias("total_value"),
+                F.expr("cast(count(1) as bigint) AS n_events"),
+                F.expr(
+                    "cast(sum(cast(value as decimal(18,6))) as double)"
+                    " AS total_value"
+                ),
             )
         )
 
     prev = snap(*SNAPSHOT_PREV).alias("p")
     curr = snap(*SNAPSHOT_CURR).alias("c")
-    change = (
-        F.when(F.col("p.user_id").isNull(), F.lit("new"))
-        .when(F.col("c.user_id").isNull(), F.lit("churned"))
-        .when(
-            (F.col("p.n_events") == F.col("c.n_events"))
-            & (F.col("p.total_value") == F.col("c.total_value")),
-            F.lit("stable"),
-        )
-        .otherwise(F.lit("changed"))
-    )
     return prev.join(
         curr, F.col("p.user_id") == F.col("c.user_id"), "full_outer"
-    ).select(
-        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
-        F.col("p.n_events").alias("n_events_prev"),
-        F.col("p.total_value").alias("value_prev"),
-        F.col("c.n_events").alias("n_events_curr"),
-        F.col("c.total_value").alias("value_curr"),
-        change.alias("change_type"),
+    ).selectExpr(
+        "coalesce(p.user_id, c.user_id) AS user_id",
+        "p.n_events AS n_events_prev",
+        "p.total_value AS value_prev",
+        "c.n_events AS n_events_curr",
+        "c.total_value AS value_curr",
+        "CASE WHEN p.user_id IS NULL THEN 'new'"
+        " WHEN c.user_id IS NULL THEN 'churned'"
+        " WHEN p.n_events = c.n_events AND p.total_value = c.total_value"
+        " THEN 'stable' ELSE 'changed' END AS change_type",
     )
 
 
@@ -2337,26 +2354,25 @@ def purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_epoch_micros``), so the argmin and the oracle's agree bit-for-
     bit — no float in the ordering key.
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q100_purchase_nearest_click_*.txt)
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_event_id"),
-        _epoch_micros(F.col("ts")).alias("c_us"),
-        (_epoch_seconds(F.col("ts")) / NEAREST_WINDOW_S).cast("bigint").alias("bucket"),
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS c_user",
+        "ts AS click_ts",
+        "event_id AS click_event_id",
+        f"{_epoch_micros_sql('ts')} AS c_us",
+        f"cast({_epoch_seconds_sql('ts')} / {NEAREST_WINDOW_S} as bigint) AS bucket",
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_event_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-        _epoch_micros(F.col("ts")).alias("p_us"),
-        (_epoch_seconds(F.col("ts")) / NEAREST_WINDOW_S).cast("bigint").alias("p_bucket"),
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_event_id",
+        "user_id AS p_user",
+        "ts AS purchase_ts",
+        f"{_epoch_micros_sql('ts')} AS p_us",
+        f"cast({_epoch_seconds_sql('ts')} / {NEAREST_WINDOW_S} as bigint) AS p_bucket",
     )
     probes = purchases.withColumn(
-        "bucket",
-        F.explode(
-            F.array(F.col("p_bucket") - 1, F.col("p_bucket"), F.col("p_bucket") + 1)
-        ),
+        "bucket", F.expr("explode(array(p_bucket - 1, p_bucket, p_bucket + 1))")
     )
     radius_us = NEAREST_WINDOW_S * 1_000_000
     cand = probes.join(
@@ -2366,31 +2382,28 @@ def purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             probes.bucket == clicks.bucket,
             F.abs(clicks.c_us - probes.p_us) <= radius_us,
         ],
-    ).select(
+    ).selectExpr(
         "purchase_event_id",
-        F.col("p_user").alias("user_id"),
+        "p_user AS user_id",
         "purchase_ts",
         "click_event_id",
         "click_ts",
-        F.abs(F.col("c_us") - F.col("p_us")).alias("abs_diff_us"),
+        "abs(c_us - p_us) AS abs_diff_us",
     )
     # argmin as an aggregate, not a window: struct comparison is
     # field-by-field, so min(struct(|Δt|, ts, id)) IS the tie-broken
     # nearest candidate — and unlike row_number it combines map-side,
     # shuffling one row per purchase instead of every candidate.
-    best = F.min(
-        F.struct("abs_diff_us", "click_ts", "click_event_id")
-    ).alias("best")
     return (
         cand.groupBy("purchase_event_id", "user_id", "purchase_ts")
-        .agg(best)
-        .select(
+        .agg(F.expr("min(struct(abs_diff_us, click_ts, click_event_id)) AS best"))
+        .selectExpr(
             "purchase_event_id",
             "user_id",
             "purchase_ts",
-            F.col("best.click_event_id").alias("click_event_id"),
-            F.col("best.click_ts").alias("click_ts"),
-            F.col("best.abs_diff_us").alias("abs_diff_us"),
+            "best.click_event_id AS click_event_id",
+            "best.click_ts AS click_ts",
+            "best.abs_diff_us AS abs_diff_us",
         )
     )
 
@@ -2436,52 +2449,61 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final counts are three 1-row aggregates unioned with
     exact-integer conversion ratios.
     """
+    # r17 restructure (guide §2.4 — remove shuffles outright): the
+    # original chained three per-stage aggregates through two joins,
+    # scanning the fact three times and shuffling user-level state
+    # three times (10 Spark jobs). The chain is per-user arithmetic:
+    # click_ts = min click AFTER the user's first view, purchase_ts =
+    # min purchase AFTER that click — so ONE user-keyed aggregate can
+    # carry (min view ts, click-ts array, purchase-ts array) and the
+    # stage chain evaluates per row with array_min(filter(...)) (a
+    # comparison against NULL filters to empty, reproducing the inner
+    # joins' "no prior stage -> no row"). One fact scan, one user
+    # shuffle, then a 1-row rollup; per-user arrays are bounded by a
+    # user's event count — the same rows the joins shuffled. Measured
+    # 10 jobs -> 4 and 6 exchanges -> 2 (plans/r17/q103_*); results
+    # hash-identical against the UNCHANGED oracle at sf0.01/sf0.1.
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts"),
+        F.expr(
+            "collect_list(CASE WHEN event_type = 'click' THEN ts END) AS clicks"
+        ),
+        F.expr(
+            "collect_list(CASE WHEN event_type = 'purchase' THEN ts END)"
+            " AS purchases"
+        ),
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
+    staged = per_user.selectExpr(
+        "view_ts",
+        "array_min(filter(clicks, c -> c > view_ts)) AS click_ts",
+        "purchases",
+    ).selectExpr(
+        "view_ts",
+        "click_ts",
+        "array_min(filter(purchases, p -> p > click_ts)) AS purchase_ts",
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-
-    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(idx).cast("bigint").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        )
-
-    counts = (
-        stage(views, 1, "view")
-        .unionAll(stage(clicks, 2, "click_after_view"))
-        .unionAll(stage(purchases, 3, "purchase_after_click"))
+    counts = staged.agg(
+        F.expr("cast(count(view_ts) as bigint) AS v"),
+        F.expr("cast(count(click_ts) as bigint) AS c"),
+        F.expr("cast(count(purchase_ts) as bigint) AS p"),
+    ).selectExpr(
+        "stack(3, cast(1 as bigint), 'view', v,"
+        " cast(2 as bigint), 'click_after_view', c,"
+        " cast(3 as bigint), 'purchase_after_click', p)"
+        " AS (stage, stage_name, n_users)"
     )
     # guard the ratio on prev > 0: an empty prior stage would divide by
     # zero, where Spark's double division yields Infinity but DuckDB
     # yields NULL — a latent cross-engine divergence the corpus never
     # exercises (stage 1 reports NULL via lag's missing predecessor)
-    prev_users = F.lag("n_users", 1).over(W.orderBy("stage"))
-    return counts.select(
+    return counts.selectExpr(
         "stage",
         "stage_name",
         "n_users",
-        F.when(prev_users > 0, F.col("n_users") / prev_users).alias(
-            "conv_from_prev"
-        ),
+        "CASE WHEN lag(n_users, 1) OVER (ORDER BY stage) > 0"
+        " THEN n_users / lag(n_users, 1) OVER (ORDER BY stage)"
+        " END AS conv_from_prev",
     )
 
 
@@ -2653,44 +2675,40 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.sum(_dec(F.col("value"))).cast("double").alias("day_total"))
     )
-    daynum = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(daynum)
-        .rangeBetween(-ZSCORE_TRAIL_DAYS, -1)
+    # SQL-text form incl. the inline OVER clause (guide §5; plan
+    # unchanged — plans/r17/q105_zscore_anomalies_*.txt)
+    win = (
+        "OVER (PARTITION BY user_id"
+        " ORDER BY datediff(day, cast('1970-01-01' as date))"
+        f" RANGE BETWEEN {ZSCORE_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)"
     )
-    x = F.col("day_total")
-    scored = daily.select(
+    scored = daily.selectExpr(
         "user_id",
         "day",
         "day_total",
-        F.count(x).over(w).cast("bigint").alias("n_trail"),
-        F.sum(_dec(x)).over(w).alias("_s1"),
+        f"cast(count(day_total) {win} as bigint) AS n_trail",
+        f"sum(cast(day_total as decimal(18,6))) {win} AS _s1",
         # decimal(38,4), not (18,4): x^2 passes 1e14 once a day total
         # exceeds ~1e7, and an overflowing accumulator RAISES under
         # Spark's default ANSI mode (and errors in DuckDB) — the wide
         # accumulator keeps the moment exact at any real scale
-        F.sum((x * x).cast("decimal(38,4)")).over(w).alias("_s2"),
+        f"sum(cast(day_total * day_total as decimal(38,4))) {win} AS _s2",
     )
-    n = F.col("n_trail").cast("double")
-    s1 = F.col("_s1").cast("double")
-    s2 = F.col("_s2").cast("double")
-    mean = s1 / n
-    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
-    std = F.sqrt(var)
-    z = F.when(std > 0, (x - mean) / std)
-    return (
-        scored.filter(F.col("n_trail") >= ZSCORE_MIN_N)
-        .select(
-            "user_id",
-            "day",
-            "day_total",
-            "n_trail",
-            F.round(z, 6).alias("z"),
-            F.when(F.abs(z) > ZSCORE_FLAG, F.lit(True))
-            .otherwise(F.lit(False))
-            .alias("is_anomaly"),
-        )
+    mean = "cast(_s1 as double) / cast(n_trail as double)"
+    var = (
+        "greatest((cast(_s2 as double) - cast(_s1 as double)"
+        " * cast(_s1 as double) / cast(n_trail as double))"
+        " / (cast(n_trail as double) - 1), 0.0D)"
+    )
+    z = f"CASE WHEN sqrt({var}) > 0 THEN (day_total - {mean}) / sqrt({var}) END"
+    return scored.filter(f"n_trail >= {ZSCORE_MIN_N}").selectExpr(
+        "user_id",
+        "day",
+        "day_total",
+        "n_trail",
+        f"round({z}, 6) AS z",
+        f"CASE WHEN abs({z}) > {ZSCORE_FLAG}D THEN true ELSE false END"
+        " AS is_anomaly",
     )
 
 
@@ -3297,43 +3315,43 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, one segment sort (the segment count bounds window
     width), one segment rollup.
     """
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q117_segment_spend_gini_*.txt)
     o = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     spend = (
         o.groupBy("o_custkey")
         .agg(
-            (F.sum(_dec(F.col("o_totalprice"), 4)) * 10000)
-            .cast("bigint")
-            .alias("spend_c4")
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,4))) * 10000"
+                " as bigint) AS spend_c4"
+            )
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
-    wseg = W.partitionBy("c_mktsegment")
-    word = wseg.orderBy("spend_c4", "c_custkey")
-    ranked = spend.select(
+    ranked = spend.selectExpr(
         "c_mktsegment",
         "spend_c4",
-        F.row_number().over(word).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(wseg).cast("bigint").alias("n"),
+        "cast(row_number() OVER (PARTITION BY c_mktsegment"
+        " ORDER BY spend_c4, c_custkey) as bigint) AS i",
+        "cast(count(1) OVER (PARTITION BY c_mktsegment) as bigint) AS n",
     )
     return (
         ranked.groupBy("c_mktsegment")
         .agg(
-            F.max("n").alias("n_customers"),
-            F.sum(
-                F.col("spend_c4").cast("decimal(38,0)")
-                * (2 * F.col("i") - F.col("n") - 1)
-            ).alias("_num"),
-            F.sum(F.col("spend_c4").cast("decimal(38,0)")).alias("_tot"),
+            F.expr("max(n) AS n_customers"),
+            F.expr(
+                "sum(cast(spend_c4 as decimal(38,0)) * (2 * i - n - 1)) AS _num"
+            ),
+            F.expr("sum(cast(spend_c4 as decimal(38,0))) AS _tot"),
         )
-        .select(
+        .selectExpr(
             "c_mktsegment",
             "n_customers",
-            (_exact_double(F.col("_tot")) / 10000.0).alias("total_spend"),
-            (
-                _exact_double(F.col("_num"))
-                / (F.col("n_customers").cast("double") * _exact_double(F.col("_tot")))
-            ).alias("gini"),
+            "cast(cast(_tot as string) as double) / 10000.0D AS total_spend",
+            "cast(cast(_num as string) as double)"
+            " / (cast(n_customers as double)"
+            " * cast(cast(_tot as string) as double)) AS gini",
         )
     )
 
