@@ -91,6 +91,12 @@ def _dbl(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# SQL-text twin of the ubiquitous `_dbl(embedding) AS v` projection —
+# one selectExpr round trip instead of the per-node Column chatter
+# (guide §5); resolves to the identical transform/cast expression.
+_DBL_V_SQL = "transform(embedding, x -> cast(x as double)) AS v"
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product — RETAINED ONLY as the
     reference implementation the kernel property tests compare
@@ -163,8 +169,7 @@ def _whole_vecs(vecs: DataFrame) -> DataFrame:
     Pinned by tests/test_kernel_properties.py::test_empty_vector_rows.
     """
     return vecs.filter(
-        (F.size(F.col("v")) > 0)
-        & (F.size(F.array_compact(F.col("v"))) == F.size(F.col("v")))
+        "size(v) > 0 AND size(array_compact(v)) = size(v)"
     )
 
 
@@ -401,8 +406,8 @@ def _banded_rows(vecs: DataFrame) -> DataFrame:
 
 
 def _explode_bands(banded: DataFrame) -> DataFrame:
-    return banded.select(
-        "vec_id", "u", F.posexplode("buckets").alias("band", "bucket")
+    return banded.selectExpr(
+        "vec_id", "u", "posexplode(buckets) AS (band, bucket)"
     )
 
 
@@ -883,7 +888,7 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # zero-norm vectors are excluded on both engines — cosine is
     # undefined for them (see _unit)
-    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    base = emb.selectExpr("vec_id", _DBL_V_SQL)
     vecs = _live_vecs(base)
     # the stride predicate sits BELOW the query-leg kernel so it
     # reaches the parquet scan — filtering _live_vecs(corpus) instead
@@ -951,7 +956,7 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan shape. Unit vectors make each candidate a single dot.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    base = emb.selectExpr("vec_id", _DBL_V_SQL)
     # pair scoring happens INSIDE each (band, bucket) group — the
     # banded frame shuffles once on its cell key and the pair fan-out
     # never leaves the kernel (see _bucket_pair_scores, which also
@@ -1029,13 +1034,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q41) with the bucket id replaced by a learned cell id.
     """
     emb = table(spark, sf_dir, "embeddings")
-    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
+    unit = _unit(emb.selectExpr("vec_id", _DBL_V_SQL)).select(
         "vec_id", "u"
     )
     # donor filter BELOW the kernel: picking K centroids must not cost
     # a second full-corpus _unit pass (per-row kernel -> identical)
     centroids = _unit(
-        emb.select("vec_id", _dbl(F.col("embedding")).alias("v")).filter(
+        emb.selectExpr("vec_id", _DBL_V_SQL).filter(
             (F.col("vec_id") % CENTROID_STRIDE == 3)
             & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
         )
@@ -1164,7 +1169,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE ops in the same order; the oracle mirrors the normalization.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    base = emb.selectExpr("vec_id", _DBL_V_SQL)
     variant_signs = _plane_signs(7, 7)  # fixed perturbation pattern
     variants = base.filter(F.col("vec_id") % NEARDUP_STRIDE == 0).select(
         (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
@@ -1254,7 +1259,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy emits per-query recall.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    base = emb.selectExpr("vec_id", _DBL_V_SQL)
     up = materialize(_banded_rows(base))
     unit = up.select("vec_id", "u")
     sample = (F.col("vec_id") % QUERY_STRIDE == 0) & (
@@ -1538,13 +1543,13 @@ def kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     point sidesteps both.
     """
     emb = table(spark, sf_dir, "embeddings")
-    unit = _unit(emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))).select(
+    unit = _unit(emb.selectExpr("vec_id", _DBL_V_SQL)).select(
         "vec_id", "u"
     )
     # donor filter BELOW the kernel: picking K centroids must not cost
     # a second full-corpus _unit pass (per-row kernel -> identical)
     centroids = _unit(
-        emb.select("vec_id", _dbl(F.col("embedding")).alias("v")).filter(
+        emb.selectExpr("vec_id", _DBL_V_SQL).filter(
             (F.col("vec_id") % CENTROID_STRIDE == 3)
             & (F.col("vec_id") < CENTROID_STRIDE * IVF_K)
         )
@@ -1685,7 +1690,7 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point (order-free BIGINT), same device as q71.
     """
     emb = table(spark, sf_dir, "embeddings")
-    vecs = spread(emb.select("vec_id", _dbl(F.col("embedding")).alias("v")))
+    vecs = spread(emb.selectExpr("vec_id", _DBL_V_SQL))
     sub = vecs.select(
         "vec_id",
         F.posexplode(
@@ -1907,7 +1912,7 @@ def matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     query broadcast and candidate side.
     """
     emb = table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    base = emb.selectExpr("vec_id", _DBL_V_SQL)
     unit_full = materialize(_unit(base))
     trunc = base.select(
         "vec_id", F.slice(F.col("v"), 1, MATRYOSHKA_DIMS).alias("v")

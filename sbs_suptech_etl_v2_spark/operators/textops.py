@@ -686,29 +686,30 @@ def nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("lang", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    wlang = W.partitionBy("lang")
-    word = W.partitionBy("lang").orderBy(F.col("c").desc(), "token")
-    wrun = word.rowsBetween(W.unboundedPreceding, 0)
-    scored = cnt.select(
+    # SQL-text form with inline OVER clauses (guide §5; plan unchanged
+    # — plans/r17/q108_nucleus_vocab_*.txt)
+    word = "PARTITION BY lang ORDER BY c DESC, token"
+    scored = cnt.selectExpr(
         "lang",
         "token",
         "c",
-        F.sum("c").over(wlang).cast("bigint").alias("total"),
-        F.row_number().over(word).cast("bigint").alias("rank"),
-        F.sum("c").over(wrun).cast("bigint").alias("cum"),
+        "cast(sum(c) OVER (PARTITION BY lang) as bigint) AS total",
+        f"cast(row_number() OVER ({word}) as bigint) AS rank",
+        f"cast(sum(c) OVER ({word}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum",
     )
     nucleus = scored.filter(
-        (F.col("cum") - F.col("c")) * NUCLEUS_DEN < NUCLEUS_NUM * F.col("total")
+        f"(cum - c) * {NUCLEUS_DEN} < {NUCLEUS_NUM} * total"
     )
-    return nucleus.select(
+    return nucleus.selectExpr(
         "lang",
         "token",
         "c",
         "rank",
         "cum",
         "total",
-        (F.col("c").cast("double") / F.col("total")).alias("share"),
-        (F.col("cum").cast("double") / F.col("total")).alias("cum_share"),
+        "cast(c as double) / total AS share",
+        "cast(cum as double) / total AS cum_share",
     )
 
 
@@ -766,27 +767,27 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("n_tokens"),
     )
-    terms = F.array(*[F.lit(t) for t in BM25_QUERY])
+    terms = "array(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
     tf = (
-        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
-        .filter(F.array_contains(terms, F.col("token")))
+        docs.selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+        .filter(f"array_contains({terms}, token)")
         .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .agg(F.expr("cast(count(1) as bigint) AS tf"))
     )
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    df_ = tf.groupBy("token").agg(F.expr("cast(count(1) as bigint) AS df"))
     scored = (
         tf.join(F.broadcast(df_), "token")
         .join(F.broadcast(lens), "doc_id")
         .crossJoin(F.broadcast(totals))
     )
-    avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    term_score = idf * (
-        F.col("tf") * (BM25_K1 + 1)
-        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    # every fractional literal carries the D suffix: a bare 0.5 parses
+    # as DECIMAL(1,1) and would silently shift the arithmetic off the
+    # double path the Column form (and the oracle) computes on
+    avgdl = "(cast(n_tokens as double) / n_docs)"
+    idf = f"ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
+    term_score = (
+        f"{idf} * (tf * ({BM25_K1}D + 1)"
+        f" / (tf + {BM25_K1}D * (1 - {BM25_B}D + {BM25_B}D * dl / {avgdl})))"
     )
     # per-term scores accumulate as decimal(28,12), not double: float
     # addition is not associative and the per-doc row order depends on
@@ -807,13 +808,11 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(term_score.cast("decimal(28,12)"))
-                .cast("string")
-                .cast("double"),
-                6,
-            ).alias("score"),
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.expr(
+                f"round(cast(cast(sum(cast({term_score} as decimal(28,12)))"
+                " as string) as double), 6) AS score"
+            ),
+            F.expr("cast(count(1) as bigint) AS n_terms_hit"),
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP)

@@ -185,17 +185,21 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-grain join re-broadcasts what one aggregate can carry.
     # posexplode_outer keeps NULL-text documents as a pos-NULL row, so
     # their counters stay NULL without a join-back.
-    base = docs.select("doc_id", _words(F.col("text")).alias("ws")).repartition(
+    # SQL-text form (guide §5; plan unchanged —
+    # plans/r17/q62_repetition_stats_*.txt)
+    base = docs.selectExpr("doc_id", "split(text, ' ') AS ws").repartition(
         "doc_id"
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
     exploded = (
-        base.select(
+        base.selectExpr(
             "doc_id",
-            F.size("ws").cast("bigint").alias("n_toks"),
-            F.posexplode_outer("ws").alias("pos", "tok"),
+            "cast(size(ws) as bigint) AS n_toks",
+            "posexplode_outer(ws) AS (pos, tok)",
         )
-        .withColumn("nxt", F.lead("tok").over(win))
+        .withColumn(
+            "nxt",
+            F.expr("lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)"),
+        )
         .select(
             "doc_id",
             "n_toks",
@@ -208,49 +212,37 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ws): its kind must stay NULL exactly like the explode_outer
         # of an empty gram array used to produce, so the rollup's
         # conditional aggregates see no token row for it
-        .withColumn("kind", F.when(F.col("pos").isNotNull(), F.col("kind")))
+        .withColumn("kind", F.expr("CASE WHEN pos IS NOT NULL THEN kind END"))
         # the last token's bigram seat has no successor: drop it
         # (n-1 bigrams per n-token doc); keep placeholder rows
-        .where(
-            F.col("pos").isNull()
-            | ~((F.col("kind") == 2) & F.col("gram").isNull())
-        )
+        .where("pos IS NULL OR NOT (kind = 2 AND gram IS NULL)")
         .select("doc_id", "n_toks", "kind", "gram")
     )
     counts = exploded.groupBy("doc_id", "kind", "gram").agg(
-        F.max("n_toks").alias("n_toks"), F.count(F.lit(1)).alias("c")
+        F.expr("max(n_toks) AS n_toks"), F.expr("count(1) AS c")
     )
-    tok = F.col("kind") == 1
     out = counts.groupBy("doc_id").agg(
-        F.max("n_toks").alias("n_tokens"),
-        F.max(F.when(tok, F.col("c"))).cast("bigint").alias("top_token_n"),
-        F.when(
-            F.max("n_toks").isNotNull(),
-            F.coalesce(
-                F.sum(F.when(tok & (F.col("c") >= 2), F.col("c"))), F.lit(0)
-            ),
-        )
-        .cast("bigint")
-        .alias("dup_token_n"),
-        F.when(
-            F.max("n_toks") >= 2,
-            F.coalesce(F.max(F.when(~tok, F.col("c"))), F.lit(0)),
-        )
-        .when(F.max("n_toks").isNotNull(), F.lit(0))
-        .cast("bigint")
-        .alias("top_bigram_n"),
+        F.expr("max(n_toks) AS n_tokens"),
+        F.expr("cast(max(CASE WHEN kind = 1 THEN c END) as bigint) AS top_token_n"),
+        F.expr(
+            "cast(CASE WHEN max(n_toks) IS NOT NULL THEN"
+            " coalesce(sum(CASE WHEN kind = 1 AND c >= 2 THEN c END), 0)"
+            " END as bigint) AS dup_token_n"
+        ),
+        F.expr(
+            "cast(CASE WHEN max(n_toks) >= 2 THEN"
+            " coalesce(max(CASE WHEN NOT (kind = 1) THEN c END), 0)"
+            " WHEN max(n_toks) IS NOT NULL THEN 0"
+            " END as bigint) AS top_bigram_n"
+        ),
     )
-    ttf = F.when(
-        F.col("n_tokens") >= 1, F.col("top_token_n") / F.col("n_tokens")
-    )
-    dtf = F.when(
-        F.col("n_tokens") >= 1, F.col("dup_token_n") / F.col("n_tokens")
-    )
+    ttf = F.expr("CASE WHEN n_tokens >= 1 THEN top_token_n / n_tokens END")
+    dtf = F.expr("CASE WHEN n_tokens >= 1 THEN dup_token_n / n_tokens END")
     # single-token docs have zero bigrams: define the fraction as 0.0
     # rather than divide by zero (ANSI mode raises on n_tokens == 1)
-    tbf = (
-        F.when(F.col("n_tokens") >= 2, F.col("top_bigram_n") / (F.col("n_tokens") - 1))
-        .when(F.col("n_tokens").isNotNull(), F.lit(0.0))
+    tbf = F.expr(
+        "CASE WHEN n_tokens >= 2 THEN top_bigram_n / (n_tokens - 1)"
+        " WHEN n_tokens IS NOT NULL THEN 0.0D END"
     )
     return (
         out.withColumn("top_token_frac", ttf)
