@@ -117,6 +117,43 @@ def test_n_jobs_capped_and_fixed_width():
     assert art["n_jobs"] == "03" * len(names)
 
 
+def test_archive_writes_stable_named_sidecar(tmp_path):
+    """VERDICT r17 directive #2: named {query: sec} maps must be
+    consumable without globbing timestamps. The printed line cannot
+    carry them (121 names ≈ 3.4 KB vs the 2000-byte stdout tail), so
+    every archive write also lands the SAME payload at the fixed path
+    .bench_archive/latest.json — pinned here: both files written, both
+    parse, both carry the named per-query keys, byte-identical."""
+    from bench import write_archive
+
+    full = {
+        "value": 1.0,
+        "spark_cs": [100],
+        "queries": {"q01_pricing_summary": 1.0},
+        "oracle_queries": {"q01_pricing_summary": 0.5},
+        "n_jobs_by_query": {"q01_pricing_summary": 3},
+        "n_stages_by_query": {"q01_pricing_summary": 4},
+    }
+    d = str(tmp_path / "arch")
+    write_archive(full, d)
+    import glob as _glob
+    import os as _os
+
+    stamped = [
+        p
+        for p in _glob.glob(_os.path.join(d, "bench_*.json"))
+    ]
+    assert len(stamped) == 1
+    latest = _os.path.join(d, "latest.json")
+    assert _os.path.exists(latest)
+    with open(latest) as fh:
+        got = json.load(fh)
+    assert got["queries"] == {"q01_pricing_summary": 1.0}
+    assert got["n_jobs_by_query"] == {"q01_pricing_summary": 3}
+    with open(stamped[0]) as fh_a, open(latest) as fh_b:
+        assert fh_a.read() == fh_b.read()
+
+
 def test_no_oracle_side_is_optional():
     names = sorted(QUERIES)
     art = build_artifact(
@@ -244,6 +281,21 @@ def test_promoted_sf01_record_sits_inside_its_floor_band():
 # ±1 job between otherwise identical legs, at two SFs, same session.
 AQE_WOBBLE_QUERIES = {"q107_matryoshka_audit", "q111_supplier_hops_bfs"}
 
+# Documented plan restructures whose job counts legitimately moved off
+# the promoted record's stale map (SCALING.md map-gate notes; the
+# promoted BENCH_local.json predates them). Maps to the EXPECTED job
+# count on the current tree: a leg reading the expected value matches
+# the committed plans; a leg reading the promoted record's old value
+# would mean the OLD plan regressed back in. Entries are removed when
+# a newer record is promoted with the restructured maps baked in.
+RESTRUCTURED_EXPECTED_JOBS = {
+    # r17 q103 funnel: one user-keyed aggregate replaced the
+    # three-stage join chain — 10 jobs -> 3, 8 Exchanges -> 2
+    # (OPTIMIZATION_r17.md §2.2, plans/r17/q103_*, SCALING.md
+    # "Map-gate note for the r17 optimization tree")
+    "q103_funnel_conversion": 3,
+}
+
 
 def test_driver_records_clear_the_settled_alarm():
     """The executable driver-record gate of SCALING.md's disposition
@@ -309,7 +361,14 @@ def test_driver_records_clear_the_settled_alarm():
                 if a != b
             }
             wobble_only = all(
-                n in AQE_WOBBLE_QUERIES and abs(a - b) <= 1
+                (n in AQE_WOBBLE_QUERIES and abs(a - b) <= 1)
+                or (
+                    # a documented restructure reading its EXPECTED
+                    # count is the current tree's plan, not drift —
+                    # the promoted record's map is simply stale there
+                    n in RESTRUCTURED_EXPECTED_JOBS
+                    and a == RESTRUCTURED_EXPECTED_JOBS[n]
+                )
                 for n, (a, b) in diffs.items()
             )
             if wobble_only:
@@ -429,8 +488,18 @@ def test_bench_main_subset_prints_parseable_line_with_n_jobs():
     # archive verbatim; a regression here silently drops the stage
     # evidence from every promoted record
     new = set(glob.glob(os.path.join(repo, ".bench_archive", "*.json"))) - before
-    assert len(new) == 1, "bench run should write exactly one archive file"
-    full = json.loads(open(new.pop()).read())
+    # one timestamped archive file per run, plus the stable-name named
+    # sidecar latest.json (VERDICT r17 directive #2) — which counts in
+    # `new` only on the box's first-ever run, so assert on the
+    # timestamped set and on latest.json's presence separately
+    stamped = {p for p in new if os.path.basename(p) != "latest.json"}
+    assert len(stamped) == 1, "bench run should write exactly one timestamped archive file"
+    latest = os.path.join(repo, ".bench_archive", "latest.json")
+    assert os.path.exists(latest)
+    with open(stamped.pop()) as fh_a, open(latest) as fh_b:
+        a_txt, b_txt = fh_a.read(), fh_b.read()
+    assert a_txt == b_txt, "latest.json must mirror the timestamped archive"
+    full = json.loads(a_txt)
     for key in ("queries", "n_jobs_by_query", "n_stages_by_query"):
         assert key in full, key
     assert full["n_stages_by_query"]["q37_artifact_keys"] >= 1
