@@ -287,6 +287,12 @@ def build_artifact(
         # the note dropped its "n_stages+" prefix in r13 to pay for
         # the bracketed "pre" floors — the archive pointer still says
         # where the named maps (n_stages included) live
+        # named {query: sec} maps cannot ride the line (121 names
+        # ≈ 3.4 KB vs the 2000-byte stdout-tail budget — measured from
+        # the driver's own BENCH_r*.json captures, tail_len exactly
+        # 2000 every round); the STABLE sidecar
+        # .bench_archive/latest.json carries them instead (VERDICT r17
+        # directive #2) — inside the directory this note points at
         "note": (
             f"name-sorted;cs=centisec med{RUNS};null=no oracle;"
             f"n_jobs 2digit cap{N_JOBS_CAP};maps .bench_archive/"
@@ -354,6 +360,29 @@ def build_artifact(
         ),
         "value": total,
     }
+
+
+def write_archive(full: dict, archive_dir: str) -> None:
+    """Write the FULL verbose artifact (named per-query maps) to the
+    untracked archive: one timestamped file per run, PLUS the
+    STABLE-NAME sidecar ``latest.json`` (VERDICT r17 directive #2).
+
+    The printed line cannot carry named per-query maps (121 names
+    ≈ 3.4 KB vs the 2000-byte stdout-tail budget), so any consumer
+    that needs ``queries`` ({name: sec}) / ``n_jobs_by_query`` keyed
+    by NAME — the driver's PERF attribution, the judge's per-query
+    comparison — reads the fixed sidecar path instead of globbing
+    timestamps. Overwritten by every run; additions-only vs the
+    printed contract (value/spark_cs/oracle_cs/n_jobs unchanged).
+    Untracked like the rest of the archive — bench must never write a
+    git-tracked file (the round-5 clobber lesson)."""
+    os.makedirs(archive_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    payload = json.dumps(full) + "\n"
+    with open(os.path.join(archive_dir, f"bench_{stamp}.json"), "w") as fh:
+        fh.write(payload)
+    with open(os.path.join(archive_dir, "latest.json"), "w") as fh:
+        fh.write(payload)
 
 
 def compact_line(artifact: dict) -> str:
@@ -572,10 +601,7 @@ def main() -> None:
         archive_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_archive"
         )
-        os.makedirs(archive_dir, exist_ok=True)
-        stamp = time.strftime("%Y%m%dT%H%M%S")
-        with open(os.path.join(archive_dir, f"bench_{stamp}.json"), "w") as fh:
-            fh.write(json.dumps(full) + "\n")
+        write_archive(full, archive_dir)
     except OSError:
         pass
     spark.stop()
