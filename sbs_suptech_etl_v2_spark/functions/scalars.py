@@ -55,6 +55,20 @@ def sql_quote_regex(pattern: str) -> str:
     return pattern.replace("\\", "\\\\")
 
 
+def sql_quote_literal(s: str) -> str:
+    """Escape an arbitrary string for embedding in a single-quoted
+    Spark SQL literal (ADVICE r17): backslashes first (the parser
+    processes C-style escapes inside ``'...'`` by default), then
+    single quotes doubled per the SQL standard. Every ``*_sql`` twin
+    that interpolates a Python constant (stopwords, language profiles,
+    query terms, month names) routes through this, so a future
+    constant containing a quote cannot break parsing or silently
+    alter the query. Today's constants contain neither character, so
+    the emitted SQL — and therefore every committed plan — is
+    byte-identical."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
 # --- SQL-text twins -------------------------------------------------
 # The Column builders below assemble expressions one py4j round trip at
 # a time (~1-2 ms each on the virtualized bench boxes; a refinement
@@ -73,7 +87,7 @@ def refine_dates_sql(expr: str) -> str:
 
 def _month_map_sql() -> str:
     entries = ", ".join(
-        f"'{k}', '{v}'" for k, v in SPANISH_MONTHS.items()
+        f"'{sql_quote_literal(k)}', '{v}'" for k, v in SPANISH_MONTHS.items()
     )
     return f"map({entries})"
 

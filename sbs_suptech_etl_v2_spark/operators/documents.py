@@ -29,6 +29,7 @@ from sbs_suptech_etl_v2_spark.functions.scalars import (
     refine_dates_sql,
     refine_month_sql,
     refine_year_sql,
+    sql_quote_literal,
     stringify_map_values_sql,
 )
 from sbs_suptech_etl_v2_spark.io import table
@@ -430,7 +431,7 @@ def stage_gate_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(o_orderkey as string) AS recordId",
         "concat('parent_', o_custkey) AS parentId",
         "concat('session_', o_custkey % 10) AS sessionId",
-        f"'{NOTIFICATION_TYPE}' AS type",
+        f"'{sql_quote_literal(NOTIFICATION_TYPE)}' AS type",
     )
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sbs_suptech_etl_v2_spark.checkpointing import materialize
+from sbs_suptech_etl_v2_spark.functions.scalars import sql_quote_literal
 from sbs_suptech_etl_v2_spark.io import spread, table
 from sbs_suptech_etl_v2_spark.operators.dedup import (
     _ORACLE_SHINGLE_HASHES,
@@ -72,7 +73,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL-text form (the nested-HOF Column chain was ~260 py4j round
     # trips — guide §5; plan unchanged, see plans/r17/q26_text_stats_*)
     docs = table(spark, sf_dir, "documents")
-    stop_arr = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    stop_arr = (
+        "array(" + ", ".join(f"'{sql_quote_literal(s)}'" for s in STOPWORDS) + ")"
+    )
     out = (
         "get(transform(array(split(text, ' ')), ws -> struct("
         "cast(size(ws) as bigint) AS n_tokens,"
@@ -240,7 +243,11 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = sorted(LANG_PROFILES)
 
     def hits(lang: str) -> str:
-        profile = "array(" + ", ".join(f"'{t}'" for t in LANG_PROFILES[lang]) + ")"
+        profile = (
+            "array("
+            + ", ".join(f"'{sql_quote_literal(t)}'" for t in LANG_PROFILES[lang])
+            + ")"
+        )
         return f"size(filter(ws, t -> array_contains({profile}, t)))"
 
     struct_fields = ", ".join(
@@ -252,11 +259,16 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "get(transform(array(split(text, ' ')),"
         f" ws -> struct({struct_fields})), 0) AS s",
     ).selectExpr("doc_id", "actual_lang", *[f"s.score_{lang}" for lang in langs])
-    # same left-to-right argmax chain as the oracle SQL
-    pred = f"'{langs[0]}'"
+    # same left-to-right argmax chain as the oracle SQL (lang keys are
+    # also column-name suffixes, so they can never contain quote
+    # characters — quoted defensively anyway, it costs nothing)
+    pred = f"'{sql_quote_literal(langs[0])}'"
     best = f"score_{langs[0]}"
     for lang in langs[1:]:
-        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        pred = (
+            f"CASE WHEN score_{lang} > {best}"
+            f" THEN '{sql_quote_literal(lang)}' ELSE {pred} END"
+        )
         best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
     return scored.selectExpr(
         "doc_id", "actual_lang", f"{pred} AS predicted_lang",
@@ -767,7 +779,9 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("n_tokens"),
     )
-    terms = "array(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+    terms = (
+        "array(" + ", ".join(f"'{sql_quote_literal(t)}'" for t in BM25_QUERY) + ")"
+    )
     tf = (
         docs.selectExpr("doc_id", "explode(split(text, ' ')) AS token")
         .filter(f"array_contains({terms}, token)")

@@ -208,3 +208,26 @@ def test_sql_twins_match(spark):
     ).collect()[0]
     assert got["c"] == got["s"]
     assert got["cm"] == got["sm"]
+
+
+def test_sql_quote_literal_roundtrips_through_the_parser(spark):
+    """ADVICE r17: constants interpolated into single-quoted Spark SQL
+    literals must survive quotes and backslashes. Pin that the escape
+    round-trips byte-exactly through the actual parser for every
+    character class the *_sql twins could ever interpolate — and that
+    today's clean constants are emitted unchanged (plan stability)."""
+    from sbs_suptech_etl_v2_spark.functions.scalars import sql_quote_literal
+
+    cases = [
+        "plain",
+        "it's",
+        "back\\slash",
+        "both\\'mixed''",
+        "",
+    ]
+    for s in cases:
+        got = spark.sql(f"SELECT '{sql_quote_literal(s)}' AS v").collect()[0]["v"]
+        assert got == s, repr(s)
+    # clean constants (no quote, no backslash) pass through unchanged,
+    # so every committed plan that interpolates them stays byte-stable
+    assert sql_quote_literal("the") == "the"
