@@ -2459,13 +2459,35 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage chain evaluates per row with array_min(filter(...)) (a
     # comparison against NULL filters to empty, reproducing the inner
     # joins' "no prior stage -> no row"). One fact scan, one user
-    # shuffle, then a 1-row rollup; per-user arrays are bounded by a
-    # user's event count — the same rows the joins shuffled. Measured
-    # 10 jobs -> 4 and 6 exchanges -> 2 (plans/r17/q103_*); results
-    # hash-identical against the UNCHANGED oracle at sf0.01/sf0.1.
+    # shuffle, then a 1-row rollup. Measured 10 jobs -> 3 and
+    # 8 Exchanges -> 2 (plans/r17/q103_*, confirmed by the r17 driver
+    # leg's n_jobs map); results hash-identical against the UNCHANGED
+    # oracle at sf0.01/sf0.1.
+    #
+    # SKEW GUARD (VERDICT r17 #1): the per-user click/purchase arrays
+    # are bounded by that user's event count — the same rows the old
+    # join form shuffled — but they land in ONE aggregation buffer row,
+    # so a pathological hot user (10^7+ events) concentrates its whole
+    # history in a single reducer row where the old min-per-stage form
+    # reduced to scalars via streaming partial aggs and could spill.
+    # tests/test_adversarial_inputs.py::test_q103_hot_user_skew pins
+    # the behavior at a 10^5-event hot user (output exact, one
+    # aggregate). If user skew at deployment scale exceeds executor
+    # row budgets, fall back to the two-phase form: pre-aggregate
+    # (user_id, ts) distinct per stage, or restore the per-stage
+    # min-aggregate chain (the pre-r17 plan) for the hot keys only.
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # has_view alongside min(view ts) (ADVICE r17): stage 1 counts users
+    # with ANY view event — the oracle's COUNT(*) FROM views counts a
+    # user whose view events all carry NULL ts (its MIN(ts) row exists
+    # with view_ts NULL), where count(view_ts) would skip it. The
+    # synthetic corpus has non-null ts, so results are unchanged here —
+    # this closes the latent NULL-ts divergence only. max() over the
+    # boolean is false (not NULL) for a user with no view events, so
+    # count_if below is well-defined for every per_user row.
     per_user = ev.groupBy("user_id").agg(
         F.expr("min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts"),
+        F.expr("max(event_type = 'view') AS has_view"),
         F.expr(
             "collect_list(CASE WHEN event_type = 'click' THEN ts END) AS clicks"
         ),
@@ -2475,16 +2497,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     staged = per_user.selectExpr(
+        "has_view",
         "view_ts",
         "array_min(filter(clicks, c -> c > view_ts)) AS click_ts",
         "purchases",
     ).selectExpr(
+        "has_view",
         "view_ts",
         "click_ts",
         "array_min(filter(purchases, p -> p > click_ts)) AS purchase_ts",
     )
     counts = staged.agg(
-        F.expr("cast(count(view_ts) as bigint) AS v"),
+        F.expr("cast(count_if(has_view) as bigint) AS v"),
         F.expr("cast(count(click_ts) as bigint) AS c"),
         F.expr("cast(count(purchase_ts) as bigint) AS p"),
     ).selectExpr(

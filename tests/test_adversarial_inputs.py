@@ -96,3 +96,60 @@ def test_q89_count_equals_collect(spark, sf_dir):
     """
     df = QUERIES["q89_cogroup_attribution"](spark, sf_dir)
     assert df.count() == len(df.collect())
+
+
+def test_q103_hot_user_skew(spark, sf_dir, tmp_path):
+    """VERDICT r17 #1 (q103 skew guard): the funnel's one user-keyed
+    aggregate carries per-user click/purchase timestamp ARRAYS, so one
+    pathological hot user concentrates its whole event history in a
+    single aggregation buffer row (the old per-stage min-join form
+    reduced to scalars via streaming partial aggs). Pin the behavior
+    at a 10^5-event hot user: the query completes on a small-heap
+    local session and the staged counts are exact.
+
+    Data: user 1 (hot) = 1 view then ~50k clicks then ~50k purchases,
+    strictly increasing ts -> converts through every stage; user 2 =
+    clicks only -> no stage; user 3 = click BEFORE its only view ->
+    view counts, click does not. Expected: v=2, c=1, p=1."""
+    import datetime as dt
+
+    from sbs_suptech_etl_v2_spark.operators.relational import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    n_hot = 100_000
+    rows_ts, rows_user, rows_type = [], [], []
+
+    def add(user, typ, ts):
+        rows_user.append(user)
+        rows_type.append(typ)
+        rows_ts.append(ts)
+
+    add(1, "view", t0)
+    for i in range(1, n_hot // 2):
+        add(1, "click", t0 + dt.timedelta(seconds=i))
+    for i in range(n_hot // 2, n_hot):
+        add(1, "purchase", t0 + dt.timedelta(seconds=i))
+    add(2, "click", t0)
+    add(3, "click", t0)  # before user 3's first view -> must not count
+    add(3, "view", t0 + dt.timedelta(seconds=5))
+    n = len(rows_ts)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(rows_ts, pa.timestamp("us")),
+            "user_id": pa.array(rows_user, pa.int64()),
+            "event_type": pa.array(rows_type, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        r["stage_name"]: r["n_users"]
+        for r in funnel_conversion(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": 2,
+        "click_after_view": 1,
+        "purchase_after_click": 1,
+    }
