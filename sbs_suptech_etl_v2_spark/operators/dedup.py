@@ -669,8 +669,13 @@ def _initial_labels(edges: DataFrame) -> DataFrame:
     )
 
 
-def _propagate_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
-    """One min-label propagation round over a (checkpointed) edge list.
+def _neighbor_joined(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """``labels`` left-joined with its per-node neighbor-min — the
+    shared frame of one propagation round: selecting ``_propagated()``
+    from it IS the round, and aggregating both ``sum(label)`` and
+    ``sum(_propagated())`` from it proves/refutes a fixpoint in ONE
+    single-plan job (the r18 probe restructure — the prior probe
+    unioned two full unroll legs, executing the seed rounds twice).
 
     The edge list is tiny and lineage-cut -> broadcast it in both
     joins, so the node-sized labels side never shuffles in a round.
@@ -680,17 +685,24 @@ def _propagate_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
         .groupBy("src")
         .agg(F.min("label").alias("nbr_label"))
     )
-    return (
-        # neighbor_min is bounded by the edge count -> broadcast;
-        # the labels side stays narrow through every round
-        labels.join(
-            F.broadcast(neighbor_min), labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-        )
+    # neighbor_min is bounded by the edge count -> broadcast;
+    # the labels side stays narrow through every round
+    return labels.join(
+        F.broadcast(neighbor_min), labels.doc_id == neighbor_min.src, "left"
+    )
+
+
+def _propagated() -> Column:
+    """The post-round label of a ``_neighbor_joined`` row."""
+    return F.least(
+        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+    )
+
+
+def _propagate_min_label(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One min-label propagation round over a (checkpointed) edge list."""
+    return _neighbor_joined(labels, edges).select(
+        "doc_id", _propagated().alias("label")
     )
 
 
@@ -832,33 +844,43 @@ def _fixpoint_clusters_from_pairs(
         labels = _propagate_min_label(labels, edges)
     if seed_rounds >= max_rounds:
         return _nontrivial_clusters(labels)
-    # FIRST probe on PURE plans — no materialize, no persist: the seed
-    # unroll and its one-round extension both bottom out at the
-    # checkpointed edge list (q50's trick), so summing both labelings
-    # in one union job costs a handful of scans of a tiny frame
-    # instead of an eager checkpoint job + a persist-populating job.
-    # Graphs whose diameter <= the seed — the overwhelmingly common
-    # case — therefore pay exactly ONE action between the pairs
-    # checkpoint and the output. The pointer-doubling posture skips
-    # this shortcut: its jump self-joins the step, which would square
-    # the branch count of a pure-plan probe.
+    # FIRST probe, single-plan (r18, VERDICT r17 #3/#5): the seed
+    # unroll is LAZILY checkpointed, then BOTH the pre- and post-round
+    # sums aggregate from ONE _neighbor_joined frame — sum(label) is
+    # the seed labeling, sum(_propagated()) the labeling one round
+    # later, equal iff the labeling is a fixpoint (labels only ever
+    # decrease). The prior protocol unioned two aggregates over two
+    # SEPARATE pure plans (the 4-round unroll AND its 5-round
+    # extension, no subtree sharing between union legs) and then the
+    # output action re-executed the 4-round unroll a third time;
+    # measured 24 -> 18 jobs for q75 (the remaining 18 are the pairs
+    # chain + one unroll traversal + the window — structural).
+    # RACE PROOF for the lazy cut: this probe is the FIRST action to
+    # touch the seed labels, and within its plan every stage that
+    # scans them is ordered by AQE stage dependencies — the
+    # neighbor-min shuffle computes the labels RDD (persisting its
+    # blocks), its broadcast feeds the final aggregate, and only then
+    # does the aggregate's left side re-scan the now-cached blocks;
+    # no two stages can compute the unroll concurrently. The output
+    # action below then reads the checkpointed blocks instead of
+    # re-running the unroll. The pointer-doubling posture skips this
+    # shortcut: its jump self-joins the step frame.
     if not pointer_doubling:
-        step = _propagate_min_label(labels, edges)
-        both = (
-            labels.agg(F.sum("label").alias("s"))
-            .select(F.lit(0).alias("r"), "s")
-            .unionByName(
-                step.agg(F.sum("label").alias("s")).select(F.lit(1).alias("r"), "s")
-            )
-            .collect()
-        )
-        sums = {row["r"]: row["s"] for row in both}
-        if sums[0] == sums[1]:
+        labels = materialize_required(labels, eager=False)
+        joined = _neighbor_joined(labels, edges)
+        row = joined.agg(
+            F.sum("label").alias("s0"),
+            F.sum(_propagated()).alias("s1"),
+        ).first()
+        if row["s0"] == row["s1"]:
             return _nontrivial_clusters(labels)
-        # not converged: flatten the extended unroll and loop from
-        # round seed+1 with the classic persist-per-round protocol
-        labels = materialize(step, eager=True)
-        prev_sum: int | None = sums[1]
+        # not converged: one more round from the (now-checkpointed)
+        # seed, then loop from round seed+1 with the classic
+        # persist-per-round protocol
+        labels = materialize(
+            joined.select("doc_id", _propagated().alias("label")), eager=True
+        )
+        prev_sum: int | None = row["s1"]
         start_round = seed_rounds + 1
     else:
         labels = materialize(labels, eager=True)
