@@ -535,8 +535,15 @@ def _bucket_pair_scores(
         # banded frame; without the cut the banding kernel (and its
         # corpus scan) would run twice. Cut BEFORE the band explode:
         # the checkpoint then stores each 64-double unit vector once,
-        # not once per band.
-        banded_rows = materialize(banded_rows)
+        # not once per band. LAZY (r18, VERDICT r17 #3): the census is
+        # the hinted-broadcast build side of the salted join, so AQE
+        # must finish the census stage — which computes and persists
+        # the banded RDD — before the scorer stage that re-scans it
+        # can start; the stage dependency makes the lazy cut race-free
+        # and saves the dedicated eager-checkpoint job. (q90 passes
+        # cut=False and keeps its own EAGER cut: its frame feeds two
+        # independent legs whose leaf stages run concurrently.)
+        banded_rows = materialize(banded_rows, eager=False)
     banded = _explode_bands(banded_rows)
     is_q = None
     if query_stride is not None:
@@ -1913,11 +1920,18 @@ def matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     base = emb.selectExpr("vec_id", _DBL_V_SQL)
-    unit_full = materialize(_unit(base))
+    # LAZY cuts (r18, VERDICT r17 #3): each unit frame is consumed
+    # only inside its own top-k leg, where the hinted query broadcast
+    # must materialize — computing and persisting the unit RDD —
+    # before the candidate side of the same leg re-scans it; the two
+    # legs touch DIFFERENT frames, so no stage can race a first
+    # computation. Saves the two dedicated eager-checkpoint jobs
+    # (measured 8 -> 6 jobs for q107 on this box).
+    unit_full = materialize(_unit(base), eager=False)
     trunc = base.select(
         "vec_id", F.slice(F.col("v"), 1, MATRYOSHKA_DIMS).alias("v")
     )
-    unit_trunc = materialize(_unit(trunc))
+    unit_trunc = materialize(_unit(trunc), eager=False)
     sample = (F.col("vec_id") % QUERY_STRIDE == 0) & (
         F.col("vec_id") < QUERY_STRIDE * MAX_BF_QUERIES
     )
