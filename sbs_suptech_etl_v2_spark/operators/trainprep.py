@@ -100,7 +100,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback hash), so the explode drops no documents.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = materialize(_shingle_sets(docs.select("doc_id", "text")))
+    # LAZY cut (r18, VERDICT r17 #3): bench_keys is the hinted-
+    # broadcast build side of the left join, so AQE completes its
+    # stage — computing and persisting the shingle RDD — before the
+    # evaluation branch's aggregate stage re-scans the cached blocks;
+    # the stage dependency makes the lazy cut race-free and saves the
+    # dedicated eager-checkpoint job (measured 5 -> 4 jobs).
+    sh = materialize(_shingle_sets(docs.select("doc_id", "text")), eager=False)
     bench_keys = (
         sh.where(F.col("doc_id") % BENCH_MOD == 0)
         .select(F.explode("hashes").alias("h"))
