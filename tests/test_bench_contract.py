@@ -294,6 +294,18 @@ RESTRUCTURED_EXPECTED_JOBS = {
     # (OPTIMIZATION_r17.md §2.2, plans/r17/q103_*, SCALING.md
     # "Map-gate note for the r17 optimization tree")
     "q103_funnel_conversion": 3,
+    # r18 (OPTIMIZATION_r18.md): q75's first convergence probe fused
+    # into one single-plan job over a lazily-checkpointed seed (24 ->
+    # 18); lazy dependency-ordered checkpoints removed the dedicated
+    # eager-checkpoint job of the similarity banded frame (q25 6 -> 5,
+    # q41 7 -> 6, q93 15 -> 14), q107's two unit frames (8 -> 6), and
+    # q61's shingle frame (5 -> 4)
+    "q75_neardup_fixpoint": 18,
+    "q25_embedding_neardup": 5,
+    "q41_ann_bucketed_topk": 6,
+    "q93_semantic_dedup": 14,
+    "q107_matryoshka_audit": 6,
+    "q61_contamination_check": 4,
 }
 
 

@@ -17,68 +17,71 @@ from sbs_suptech_etl_v2_spark.registry import ORACLE, QUERIES
 
 WINDOW_SIZE = 50
 
-# Round-17 rotation (VERDICT r16 directive #1): no query or operator
-# module changed this round, so there are no changed-query seats;
-# slots 1-21 = the 21 r14-fresh leftovers in numeric order (q59-q78,
-# q95 — includes the heavies q62/q66/q71/q74/q75/q76, with
-# expectations pre-registered in SCALING.md); slots 22-50 = the 29
-# oldest r15-fresh in numeric order (q01-q13, q26-q35, q37-q40, q42,
-# q43 — q43 reads no_oracle BY DESIGN; includes the q30 watch-item
-# re-entry). Update this literal TOGETHER with registry.py each
-# rotation.
+# Round-18 rotation (VERDICT r17 directive #1, overriding the r17
+# precompute): slots 1-21 = the r17-restructured/rewritten paths the
+# driver has not oracle-verified since their rewrite (q103 — the only
+# semantic restructure — first, then the rewritten relational/text
+# builders and the similarity carriers, in the verdict's order);
+# slots 22-28 = the round-18-changed queries (q75 probe fusion +
+# propagate refactor seats q75/q50/q92; q61 lazy shingle cut; the
+# q26/q29/q18 literal-quoting carriers); slots 29-40 = the remaining
+# r15-fresh leftovers; slots 41-50 = the oldest r16-fresh backfill.
+# Update this literal TOGETHER with registry.py each rotation.
 ROTATION_R17 = [
-    # slots 1-21: r14-fresh lead (numeric order)
-    "q59_percentiles",
-    "q60_grouping_sets",
-    "q61_contamination_check",
-    "q62_repetition_stats",
-    "q63_lexicon_scrub",
-    "q64_stratified_sample",
-    "q65_sequence_packing",
-    "q66_small_qty_revenue",
-    "q67_acctbal_deciles",
-    "q68_interval_join",
-    "q69_status_pivot",
-    "q70_brand_argmax",
+    # slots 1-21: r17-restructured/rewritten lead (q103 first)
+    "q103_funnel_conversion",
+    "q104_revenue_interpolation",
+    "q105_zscore_anomalies",
+    "q108_nucleus_vocab",
+    "q114_bm25_retrieval",
+    "q117_segment_spend_gini",
+    "q49_promo_revenue",
+    "q79_chunk_dedup",
+    "q84_shingle_containment",
+    "q94_quantity_price_stats",
+    "q98_user_snapshot_diff",
+    "q100_purchase_nearest_click",
+    "q24_topk_cosine",
+    "q25_embedding_neardup",
+    "q41_ann_bucketed_topk",
+    "q47_ivf_topk",
     "q71_kmeans_update",
-    "q72_status_unpivot",
-    "q73_order_calendar",
-    "q74_edit_distance",
+    "q86_pq_quantize",
+    "q90_ann_recall_audit",
+    "q93_semantic_dedup",
+    "q107_matryoshka_audit",
+    # slots 22-28: round-18-changed queries
     "q75_neardup_fixpoint",
-    "q76_session_paths",
-    "q77_rank_functions",
-    "q78_notification_ids_det",
-    "q95_calendar_resample",
-    # slots 22-50: oldest-r15 backfill (numeric order)
-    "q01_pricing_summary",
-    "q02_metadata_lookup_join",
-    "q03_top_orders_per_customer",
-    "q04_semi_join_open_orders",
-    "q05_anti_join_no_orders",
-    "q06_revenue_by_nation",
-    "q07_branch_union",
-    "q08_priority_rollup",
-    "q09_distinct_agg",
-    "q10_running_window",
-    "q11_positional_pick",
-    "q12_set_ops",
-    "q13_events_tumbling",
+    "q50_neardup_clusters",
+    "q92_dedup_keep_canonical",
+    "q61_contamination_check",
     "q26_text_stats",
-    "q27_token_topk",
-    "q28_tfidf_top_terms",
     "q29_language_id",
-    "q30_doc_fingerprint",
-    "q31_extract_polizas",
-    "q32_extract_tasaciones",
-    "q33_extract_inscripciones",
-    "q34_blocks_page_text",
-    "q35_notification_encode",
-    "q37_artifact_keys",
-    "q38_image_features",
-    "q39_frame_sample",
-    "q40_nation_set_ops",
-    "q42_token_counts",
-    "q43_notification_ids",
+    "q18_stage_gate_notifications",
+    # slots 29-40: remaining r15-fresh leftovers (numeric order)
+    "q80_pii_redaction",
+    "q81_source_mixture",
+    "q82_distribution_windows",
+    "q83_nation_presence",
+    "q85_length_histogram",
+    "q87_surrogate_keys",
+    "q88_scene_segments",
+    "q89_cogroup_attribution",
+    "q91_unigram_surprisal",
+    "q96_only_late_supplier",
+    "q99_bigram_pmi",
+    "q102_inverted_index",
+    # slots 41-50: oldest r16-fresh backfill (numeric order)
+    "q14_scalar_refinement",
+    "q15_path_parse",
+    "q16_pages_concat",
+    "q17_metadata_merge",
+    "q19_pages_explode",
+    "q20_exact_dedup",
+    "q21_minhash_neardup",
+    "q22_simhash_signatures",
+    "q23_ngram_jaccard",
+    "q36_request_decode",
 ]
 
 
