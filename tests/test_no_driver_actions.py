@@ -33,14 +33,17 @@ PKG_ROOT = pathlib.Path(pkg.__file__).parent
 
 # every allowed driver-action site: file (relative to the package) ->
 # exact allowed occurrence count. The three dedup sites are the
-# fixpoint's convergence probes (two fused 1-row union-aggregate
-# collects + one 1-row .first()); __main__.py's toLocalIterator IS the
-# CLI's print sink — the one place whose whole job is to stream rows
-# to the driver's stdout, and an iterator (one partition in flight,
-# never the full frame) is the bounded way to do it; nothing else is
+# fixpoint's convergence probes, all 1-row aggregates: the r18
+# single-plan first probe (.first() of the fused pre/post-round sum
+# pair), the pointer-doubling loop's fused union-aggregate .collect(),
+# and the steady-state loop's per-round sum .first(); __main__.py's
+# toLocalIterator IS the CLI's print sink — the one place whose whole
+# job is to stream rows to the driver's stdout, and an iterator (one
+# partition in flight, never the full frame) is the bounded way to do
+# it; nothing else is
 # allowed.
 ALLOWED = {
-    "operators/dedup.py": {".collect(": 2, ".first(": 1},
+    "operators/dedup.py": {".collect(": 1, ".first(": 2},
     "__main__.py": {".toLocalIterator(": 1},
 }
 
